@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Table access for the driver testdata layout (`TESTDATA.md`): one parquet
+  * file per table under a scale-factor directory. All queries receive the
+  * directory and resolve tables through here so the read path (schema
+  * pruning, pushdown) is uniform.
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) — unsupported by Spark's
+    * vectorized reader. Sessions set `spark.sql.legacy.parquet.nanosAsLong`;
+    * here the nanos long is converted back to a (UTC) timestamp so query
+    * code sees a plain TimestampType column either way.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => df
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** The reference's one in-repo real dataset
+    * (reference `data/restaurants/restaurants.csv`, 9,556 rows; see
+    * FIXTURES.md §1). Explicit schema — Spark CSV inference differs from
+    * pandas (`src/load.py:21-22` relies on pandas dtype inference).
+    */
+  val restaurantsSchema: StructType = StructType(Seq(
+    StructField("Restaurant ID", LongType),
+    StructField("Restaurant Name", StringType),
+    StructField("Country Code", IntegerType),
+    StructField("City", StringType),
+    StructField("Address", StringType),
+    StructField("Locality", StringType),
+    StructField("Locality Verbose", StringType),
+    StructField("Longitude", DoubleType),
+    StructField("Latitude", DoubleType),
+    StructField("Cuisines", StringType),
+    StructField("Average Cost for two", LongType),
+    StructField("Currency", StringType),
+    StructField("Has Table booking", StringType),
+    StructField("Has Online delivery", StringType),
+    StructField("Is delivering now", StringType),
+    StructField("Switch to order menu", StringType),
+    StructField("Price range", IntegerType),
+    StructField("Aggregate rating", DoubleType),
+    StructField("Rating color", StringType),
+    StructField("Rating text", StringType),
+    StructField("Votes", LongType)
+  ))
+
+  val restaurantsCsvPath = "/root/reference/data/restaurants/restaurants.csv"
+
+  /** S1 CSV scan (reference `src/load.py:21-22`). */
+  def restaurants(spark: SparkSession,
+                  path: String = restaurantsCsvPath): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .schema(restaurantsSchema)
+      .csv(path)
+}

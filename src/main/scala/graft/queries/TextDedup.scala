@@ -1,0 +1,201 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators over `documents`: deduplication
+  * (exact hash, MinHash+LSH banding, n-gram Jaccard) and text analysis
+  * (token counting, quality scoring, fingerprinting). All are built on a
+  * cross-engine-reproducible hash (md5) so DuckDB oracles check the full
+  * pipeline, not just row counts.
+  */
+object TextDedup {
+
+  private def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  // ---- dedup ----
+
+  // D1 exact dedup: hash-groupBy on content hash; keeper = min id.
+  private val d1 = Q(
+    "d1_exact_dedup",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("h"),
+    Some("""SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents GROUP BY md5(text) ORDER BY h"""))
+
+  /** MinHash signature column j: min over distinct tokens of
+    * md5("<j>:" + token). md5 is identical across engines, so signatures
+    * (and thus LSH bands) are oracle-checkable — unlike engine-native
+    * hash functions. */
+  private def sigCols(n: Int): Seq[Int] = 0 until n
+
+  // D2 MinHash signatures (8 hashes).
+  private val d2 = Q(
+    "d2_minhash_sig",
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .distinct()
+      val sc = sigCols(8).map(j =>
+        min(md5(concat(lit(s"$j:"), col("tok")))).as(s"h$j"))
+      tok.groupBy(col("doc_id"))
+        .agg(sc.head, sc.tail: _*)
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id,
+             ${sigCols(8).map(j => s"min(md5('$j:' || tok)) AS h$j").mkString(", ")}
+             FROM (SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                   FROM documents)
+             GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Shared MinHash-signature plan for banding (2 bands × 4 hashes). */
+  private def bandedSigs(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+    val sc = sigCols(8).map(j =>
+      min(md5(concat(lit(s"$j:"), col("tok")))).as(s"h$j"))
+    val sigs = tok.groupBy(col("doc_id")).agg(sc.head, sc.tail: _*)
+    sigs
+      .withColumn("band0", md5(concat(col("h0"), col("h1"), col("h2"), col("h3"))))
+      .withColumn("band1", md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))))
+  }
+
+  // D3 LSH candidate pairs: docs sharing any band bucket. The scale path:
+  // candidate generation is a shuffle on band hash, never an O(n²) compare.
+  private val d3 = Q(
+    "d3_minhash_lsh_pairs",
+    (s, d) => {
+      val sigs = bandedSigs(s, d)
+      def pairsOn(b: String): DataFrame = {
+        val l = sigs.select(col("doc_id").as("a_id"), col(b).as("bucket"))
+        val r = sigs.select(col("doc_id").as("b_id"), col(b).as("bucket"))
+        l.join(r, "bucket").filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"))
+      }
+      pairsOn("band0").unionByName(pairsOn("band1"))
+        .distinct()
+        .orderBy("a_id", "b_id")
+    },
+    Some("""WITH tok AS (SELECT DISTINCT doc_id,
+                         unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+                 sig AS (SELECT doc_id,
+                         min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1,
+                         min(md5('2:' || tok)) AS h2, min(md5('3:' || tok)) AS h3,
+                         min(md5('4:' || tok)) AS h4, min(md5('5:' || tok)) AS h5,
+                         min(md5('6:' || tok)) AS h6, min(md5('7:' || tok)) AS h7
+                         FROM tok GROUP BY doc_id),
+                 band AS (SELECT doc_id, md5(h0 || h1 || h2 || h3) AS band0,
+                                 md5(h4 || h5 || h6 || h7) AS band1 FROM sig),
+                 pairs AS (
+                   SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM band a
+                   JOIN band b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+                   UNION
+                   SELECT a.doc_id, b.doc_id FROM band a
+                   JOIN band b ON a.band1 = b.band1 AND a.doc_id < b.doc_id)
+            SELECT DISTINCT a_id, b_id FROM pairs ORDER BY a_id, b_id"""))
+
+  // D4 n-gram (word-bigram shingle) Jaccard on a bounded pair set.
+  private val d4 = Q(
+    "d4_ngram_jaccard",
+    (s, d) => {
+      val sh = Tables.documents(s, d)
+        .filter(col("doc_id") < 40)
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("shingles", array_distinct(
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat(element_at(col("toks"), i), lit(" "),
+              element_at(col("toks"), i + 1)))))
+        .select(col("doc_id"), col("shingles"))
+      val a = sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh"))
+      val b = sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"))
+      a.crossJoin(b).filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+            size(array_union(col("a_sh"), col("b_sh"))), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    },
+    Some("""WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS shingles
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                    FROM documents WHERE doc_id < 40))
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                         len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ORDER BY a_id, b_id"""))
+
+  // ---- text analysis ----
+
+  // X1 token counting (whitespace tokenization).
+  private val x1 = Q(
+    "x1_token_count",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, length(text) AS n_chars_m,
+            len(string_split_regex(trim(text), '\s+')) AS n_tokens
+            FROM documents ORDER BY doc_id"""))
+
+  // X2 quality scoring: stopword ratio, alpha ratio, mean token length.
+  private val x2 = Q(
+    "x2_quality_score",
+    (s, d) => {
+      val toks = tokens(col("text"))
+      val nTok = size(toks)
+      val nStop = size(filter(toks, t => t.isin("the", "a")))
+      val alpha = length(regexp_replace(col("text"), "[^a-z]", ""))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          round(nStop.cast("double") / nTok, 6).as("stop_ratio"),
+          round(alpha.cast("double") / length(col("text")), 6).as("alpha_ratio"),
+          round((length(col("text")) - nTok + 1).cast("double") / nTok, 6)
+            .as("mean_tok_len"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+            round(len(list_filter(toks, t -> t IN ('the', 'a')))::DOUBLE / len(toks), 6) AS stop_ratio,
+            round(length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text), 6) AS alpha_ratio,
+            round((length(text) - len(toks) + 1)::DOUBLE / len(toks), 6) AS mean_tok_len
+            FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+                  FROM documents)
+            ORDER BY doc_id"""))
+
+  // X4 document fingerprint (key-collision method: sorted distinct tokens → md5).
+  private val x4 = Q(
+    "x4_fingerprint",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(array_join(array_sort(array_distinct(tokens(col("text")))), " "))
+          .as("fingerprint"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+            md5(array_to_string(list_sort(list_distinct(
+              string_split_regex(trim(text), '\s+'))), ' ')) AS fingerprint
+            FROM documents ORDER BY doc_id"""))
+
+  // ST1 event-time hourly window aggregation (batch twin of the
+  // Structured Streaming tumbling-window pipeline in graft.streaming).
+  private val st1 = Q(
+    "st1_event_window",
+    (s, d) => Tables.events(s, d)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(Q.dsum(col("value")), 4).as("sum_value"))
+      .orderBy("hour", "event_type"),
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+            event_type, count(*) AS n,
+            round(sum(value::DECIMAL(28,6))::DOUBLE, 4) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
+
+  val qs: Seq[Q] = Seq(d1, d2, d3, d4, x1, x2, x4, st1)
+}

@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.Tables
+import graft.search.Search
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Vector-search operators (SURVEY.md §2.7 K1 + pipeline extensions):
+  * exact inner-product top-k, brute-force cosine k-NN, embedding-cosine
+  * near-duplicate detection. DuckDB oracles use list_dot_product /
+  * list_cosine_similarity over the same parquet.
+  */
+object Vectors {
+
+  /** Fixed literal query vector, rendered identically into the Spark plan
+    * and the oracle SQL (decimal text parses to the same double on both). */
+  val QVEC: Array[Double] = Array.tabulate(64)(i => ((i * 37) % 19 - 9) / 10.0)
+  private val qvecSql = QVEC.mkString("[", ", ", "]::DOUBLE[]")
+
+  // K1 exact inner-product top-k (reference src/app.py:78: IndexFlatIP.search)
+  private val k1 = Q(
+    "k1_fused_topk",
+    (s, d) => Search.fusedTopK(Tables.embeddings(s, d), "embedding", "vec_id", QVEC, 10),
+    Some(s"""SELECT vec_id,
+             round(list_dot_product(embedding::DOUBLE[], $qvecSql), 5) + 0.0 AS score
+             FROM embeddings ORDER BY score DESC, vec_id LIMIT 10"""))
+
+  // Similarity search: brute-force cosine top-k for a small query set
+  private val sim1 = Q(
+    "sim1_knn_cosine",
+    (s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+      Search.knnBruteForce(e, q, "embedding", "vec_id", "q_embedding", "q_id", 5)
+        .orderBy("q_id", "rk")
+    },
+    Some("""SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+            round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 5) + 0.0 AS score,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 5) DESC,
+                       e.vec_id) AS rk
+            FROM embeddings q, embeddings e
+            WHERE q.vec_id IN (0, 1, 2) AND e.vec_id != q.vec_id
+            QUALIFY rk <= 5
+            ORDER BY q_id, rk"""))
+
+  // Embedding-cosine near-duplicate pairs, blocked by label (the exact
+  // oracle-checkable variant; LSH-blocked variant is sim2 + tests)
+  private val d5 = Q(
+    "d5_embedding_neardup",
+    (s, d) => {
+      val a = Tables.embeddings(s, d)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("label"))
+      val b = Tables.embeddings(s, d)
+        .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("label"))
+      a.join(b, Seq("label"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("score",
+          round(Search.cosine(Search.asDouble(col("a_emb")), Search.asDouble(col("b_emb"))), 5) + 0.0)
+        .filter(col("score") >= 0.9)
+        .select(col("a_id"), col("b_id"), col("score"))
+        .orderBy("a_id", "b_id")
+    },
+    Some("""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+            round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) + 0.0 AS score
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) >= 0.9
+            ORDER BY a_id, b_id"""))
+
+  // A5 argmax-by (reference np.nanargmax, src/encode.py:155-157): per
+  // event_type, the event achieving the max (value, event_id).
+  private val a5 = Q(
+    "a5_argmax_by",
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(max_by(col("event_id"), struct(col("value"), col("event_id"))).as("max_event"),
+        max(col("value")).as("max_value"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, event_id AS max_event, value AS max_value
+            FROM (SELECT event_type, event_id, value,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY value DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 ORDER BY event_type"""))
+
+  // A6 any/existence (reference src/encode.py:257)
+  private val a6 = Q(
+    "a6_existence",
+    (s, d) => Tables.lineitem(s, d).agg(
+      (max(when(col("l_returnflag") === "R", 1).otherwise(0)) === 1).as("has_r"),
+      (max(when(col("l_returnflag") === "Z", 1).otherwise(0)) === 1).as("has_z")),
+    Some("""SELECT max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) = 1 AS has_r,
+            max(CASE WHEN l_returnflag = 'Z' THEN 1 ELSE 0 END) = 1 AS has_z
+            FROM lineitem"""))
+
+  val qs: Seq[Q] = Seq(k1, sim1, d5, a5, a6)
+}

@@ -1,0 +1,116 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Exact inner-product / cosine search (reference K1, `src/app.py:78`,
+  * `src/eval/faiss_experiment.py:66-68`). The reference's FAISS
+  * `IndexFlatIP` is a brute-force scan; the Spark-native equivalent is a
+  * narrow projection + `TakeOrderedAndProject` top-k (per-partition heap,
+  * driver merge — no shuffle of the full table).
+  *
+  * Dot product uses higher-order functions (codegen'd by Catalyst); at
+  * ~1.4K dims a custom codegen Expression is the profiled follow-up
+  * (SURVEY.md §7.3).
+  */
+object Search {
+
+  /** Inner product of two ArrayType(Double) columns; sequential left-to-right
+    * accumulation (deterministic per row). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** L2-normalize an array column (reference `F.normalize(p=2)`,
+    * src/encode.py:304). Zero vectors stay zero. */
+  def l2Normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    when(n === 0.0, a).otherwise(transform(a, x => x / n))
+  }
+
+  def asDouble(a: Column): Column = a.cast("array<double>")
+
+  /** K1: exact inner-product top-k of a literal query vector against a
+    * vector table. Physical plan: scan → project(score) →
+    * TakeOrderedAndProject (scales: no shuffle, k-sized heaps only).
+    */
+  def fusedTopK(vectors: DataFrame, vecCol: String, idCol: String,
+                q: Array[Double], k: Int): DataFrame = {
+    val score = dot(asDouble(col(vecCol)), typedLit(q))
+    vectors
+      .withColumn("score", round(score, 5) + 0.0) // collapse IEEE −0.0
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
+  /** K2: hard-filter top-k — the oracle-path query family
+    * (reference src/eval/milvus_experiment.py:72-89). */
+  def hardFilterTopK(items: DataFrame, preds: Seq[Column], score: Column,
+                     tieBreak: Seq[Column], k: Int): DataFrame = {
+    val filtered = if (preds.isEmpty) items else items.filter(preds.reduce(_ && _))
+    filtered.orderBy((score.desc +: tieBreak.map(_.asc)): _*).limit(k)
+  }
+
+  /** Brute-force k-NN for a small broadcast query set: each query row joined
+    * (broadcast nested-loop) against the full vector table, per-query top-k
+    * via window. Scales linearly in table size; query side must be small.
+    */
+  def knnBruteForce(vectors: DataFrame, queries: DataFrame,
+                    vecCol: String, idCol: String,
+                    qVecCol: String, qIdCol: String, k: Int,
+                    metric: String = "cosine"): DataFrame = {
+    val score = metric match {
+      case "cosine" => cosine(asDouble(col(qVecCol)), asDouble(col(vecCol)))
+      case "ip"     => dot(asDouble(col(qVecCol)), asDouble(col(vecCol)))
+      case m        => throw new IllegalArgumentException(s"metric $m")
+    }
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("score").desc, col(idCol))
+    vectors.crossJoin(broadcast(queries))
+      .filter(col(qIdCol) =!= col(idCol))
+      .withColumn("score", round(score, 5) + 0.0)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(qIdCol), col(idCol), col("score"), col("rk"))
+  }
+
+  /** Random-hyperplane LSH bucketing: deterministic hyperplanes derived from
+    * a seed; vectors sharing a `nBits`-bit sign signature land in one bucket.
+    * The scale path for ANN: candidate generation becomes a shuffle on
+    * bucket id instead of an O(n²) cross join.
+    */
+  def lshBuckets(vectors: DataFrame, vecCol: String, dim: Int,
+                 nBits: Int, seed: Long = 42L): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val planes: Seq[Array[Double]] =
+      Seq.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      when(dot(asDouble(col(vecCol)), typedLit(p)) >= 0.0, lit(1L << i))
+        .otherwise(lit(0L))
+    }
+    vectors.withColumn("bucket", bits.reduce(_ + _))
+  }
+
+  /** ANN top-k via LSH buckets: search only within the query's bucket
+    * (single-probe). Recall measured against knnBruteForce in tests. */
+  def knnLsh(vectors: DataFrame, queries: DataFrame, vecCol: String,
+             idCol: String, qVecCol: String, qIdCol: String,
+             dim: Int, nBits: Int, k: Int, seed: Long = 42L): DataFrame = {
+    val vb = lshBuckets(vectors, vecCol, dim, nBits, seed)
+    val qb = lshBuckets(queries, qVecCol, dim, nBits, seed)
+      .withColumnRenamed("bucket", "q_bucket")
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("score").desc, col(idCol))
+    vb.join(broadcast(qb), col("bucket") === col("q_bucket"))
+      .filter(col(qIdCol) =!= col(idCol))
+      .withColumn("score", round(cosine(asDouble(col(qVecCol)), asDouble(col(vecCol))), 5) + 0.0)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(qIdCol), col(idCol), col("score"), col("rk"))
+  }
+}
