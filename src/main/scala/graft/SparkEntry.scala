@@ -8,15 +8,16 @@ import graft.search.Search
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  /** Flagship: exact inner-product top-k over the embeddings table, gathered
-    * back to the documents table (reference lifecycle §3.1: search → iloc
-    * gather → relevance attach). Runs on /root/testdata/sf0.001.
+  /** Flagship: multimodal fused search — text block (precomputed
+    * embeddings) + sparse language + dense n_chars interval in ONE exact
+    * inner-product top-k, gathered back to the documents table (reference
+    * lifecycle §3.1: encode_query → IndexFlatIP.search → iloc gather).
+    * Runs on /root/testdata/sf0.001.
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    val top = Search.fusedTopK(
-      Tables.embeddings(spark, dir), "embedding", "vec_id", Vectors.QVEC, 10)
-    top.join(Tables.documents(spark, dir), top("vec_id") === col("doc_id"))
+    val top = queries("fr6_fused_topk")(spark, dir)
+    top.join(Tables.documents(spark, dir), Seq("doc_id"))
       .select(col("doc_id"), col("score").as("relevance"), col("lang"),
         col("source"), col("n_chars"))
       .orderBy(col("relevance").desc, col("doc_id"))

@@ -1,0 +1,80 @@
+package graft.eval
+
+import graft.encode._
+import graft.profile.{ColumnProfile, Profiler}
+import graft.query._
+import graft.search.Search
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Differential-evaluation harness (reference src/eval/): the fused-vector
+  * top-k (subject) vs the hard-filter top-k (oracle), scored by recall /
+  * R-precision. This is the reference's entire correctness methodology
+  * (SURVEY.md §5) re-expressed on Spark, with the hard-filter query family
+  * replacing Milvus.
+  */
+object Eval {
+
+  /** recall = |L1 ∩ L2| / |L1| (reference src/eval/evaluate.py:92-101);
+    * empty L1 → 0. */
+  def recall(oracle: Seq[Long], subject: Seq[Long]): Double =
+    if (oracle.isEmpty) 0.0
+    else oracle.toSet.intersect(subject.toSet).size.toDouble / oracle.size
+
+  /** R-precision = |L1 ∩ L2[:k]| / k with k = |L1| (reference
+    * src/eval/evaluate.py:104-110). */
+  def rPrecision(oracle: Seq[Long], subject: Seq[Long]): Double = {
+    if (oracle.isEmpty) return 0.0
+    val k = oracle.size
+    oracle.toSet.intersect(subject.take(k).toSet).size.toDouble / k
+  }
+
+  /** Hard-filter oracle: boolean-filter the items then text-score top-k
+    * (reference milvus filter strings, src/eval/milvus_experiment.py:72-89:
+    * numeric → `col <= v`, categorical/binary → `col == value`).
+    */
+  def hardFilterTopK(items: DataFrame, idCol: String, textVecCol: String,
+                     qText: Array[Double], filters: Seq[Filter], k: Int): Seq[Long] = {
+    val preds = filters.collect {
+      case DenseIntervalFilter(c, _, hi, false, _) => col(c) <= hi
+      case DensePointFilter(c, v, false, _) => col(c) <= v
+      case SparseFilter(c, sel, false, _) => col(c).isin(sel: _*)
+      case BinaryFilter(c, v, _) => col(c).cast("string") === v
+    }
+    val filtered = if (preds.isEmpty) items else items.filter(preds.reduce(_ && _))
+    filtered
+      .withColumn("score", Search.dot(Search.asDouble(col(textVecCol)), typedLit(qText)))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol).cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+  }
+
+  /** Fused-vector subject: encode the query against the layout, exact
+    * inner-product top-k over the fused vectors. */
+  def fusedTopK(vectors: DataFrame, idCol: String, fusedCol: String,
+                q: Array[Double], k: Int): Seq[Long] =
+    Search.fusedTopK(vectors, fusedCol, idCol, q, k)
+      .select(col(idCol).cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+
+  /** One differential experiment point (reference run_experiment,
+    * src/eval/faiss_experiment.py:36-74): filters synthesized from a sampled
+    * row — dense → interval [col min, row value]; sparse → [value];
+    * binary → value (reference filter synthesis, faiss_experiment.py:36-58).
+    */
+  def experimentFilters(row: Map[String, Any], profiles: Map[String, ColumnProfile]): Seq[Filter] =
+    row.toSeq.flatMap { case (c, v) =>
+      val p = profiles(c)
+      (p.kind, Option(v)) match {
+        case (_, None) => None
+        case (graft.profile.ModalityKind.Dense, Some(x)) =>
+          Some(DenseIntervalFilter(c, p.min, x.toString.toDouble))
+        case (graft.profile.ModalityKind.Binary, Some(x)) =>
+          Some(BinaryFilter(c, x.toString))
+        case (graft.profile.ModalityKind.Sparse, Some(x)) =>
+          Some(SparseFilter(c, Seq(x.toString)))
+        case _ => None
+      }
+    }
+}

@@ -1,0 +1,123 @@
+package graft.profile
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Modality kind, inferred from data (reference src/app.py:40-55 /
+  * src/eval/experiment.py:43-58): exactly-2-distinct → binary; string →
+  * sparse; lon/lat struct → geolocation; numeric → dense.
+  */
+sealed trait ModalityKind
+object ModalityKind {
+  case object Sparse extends ModalityKind
+  case object Binary extends ModalityKind
+  case object Dense extends ModalityKind
+  case object Geolocation extends ModalityKind
+}
+
+/** Per-column statistics backing encoding + query building: the rebuild's
+  * explicit version of the reference's scattered data-dependent lookups
+  * (min/max src/encode.py:358-359, sorted distinct :136, nunique
+  * src/app.py:44). All gathered in ONE aggregation pass per table — at
+  * 100 TB this is a single scan, not one job per column.
+  *
+  * Value-order convention: `distinctSorted` is ascending-sorted (matches
+  * `pd.get_dummies` column order). Binary value order is ALSO sorted —
+  * the reference uses pandas first-appearance order (src/encode.py:73),
+  * which is partition-order-dependent in a distributed engine; sorted
+  * order is our pinned, deterministic spec (SURVEY.md §7.4 gotcha 3).
+  */
+final case class ColumnProfile(
+    name: String,
+    kind: ModalityKind,
+    nRows: Long,
+    nNulls: Long,
+    nDistinct: Long,
+    min: Double,
+    max: Double,
+    distinctSorted: Seq[String]) {
+  /** Binary mapping: first sorted value → −1, second → +1 (reference
+    * src/encode.py:74 with pinned order). */
+  def binaryValues: (String, String) = {
+    require(nDistinct == 2, s"$name is not binary (nDistinct=$nDistinct)")
+    (distinctSorted.head, distinctSorted(1))
+  }
+}
+
+object Profiler {
+
+  /** Max vocabulary collected for sparse columns; columns above this are not
+    * one-hot encodable (the reference would build a 20k-wide dummy matrix;
+    * at scale that is a modeling error, so we cap and fail loudly). */
+  val MaxVocab = 10000
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _ => false
+  }
+
+  /** One-pass profile of the given columns. Geolocation columns are passed
+    * as "lon,lat" pairs via `geoCols` and profiled for nulls only.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): Map[String, ColumnProfile] = {
+    if (cols.isEmpty) return Map.empty
+    val schema = df.schema
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      val numeric = isNumeric(schema(c).dataType)
+      Seq(
+        count(lit(1)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        (if (numeric) min(col(c)).cast("double") else lit(null).cast("double")).as(s"${c}__min"),
+        (if (numeric) max(col(c)).cast("double") else lit(null).cast("double")).as(s"${c}__max"),
+        // vocabulary only for non-numeric columns (sorted; see class doc)
+        (if (!numeric)
+          sort_array(collect_set(col(c).cast("string")))
+        else array().cast("array<string>")).as(s"${c}__vals"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.map { c =>
+      val nd = row.getAs[Long](s"${c}__nd")
+      val numeric = isNumeric(schema(c).dataType)
+      val vals: Seq[String] = row.getSeq[String](row.fieldIndex(s"${c}__vals")).toList
+      require(numeric || vals.size <= MaxVocab,
+        s"column $c has ${vals.size} distinct values — above MaxVocab=$MaxVocab")
+      val kind =
+        if (nd == 2) ModalityKind.Binary
+        else if (!numeric) ModalityKind.Sparse
+        else ModalityKind.Dense
+      c -> ColumnProfile(
+        name = c,
+        kind = kind,
+        nRows = row.getAs[Long](s"${c}__n"),
+        nNulls = row.getAs[Long](s"${c}__nulls"),
+        nDistinct = nd,
+        min = Option(row.get(row.fieldIndex(s"${c}__min"))).map(_.asInstanceOf[Double]).getOrElse(Double.NaN),
+        max = Option(row.get(row.fieldIndex(s"${c}__max"))).map(_.asInstanceOf[Double]).getOrElse(Double.NaN),
+        distinctSorted = if (numeric && nd == 2) binaryNumericVals(df, c) else vals)
+    }.toMap
+  }
+
+  /** Sorted distinct values of a 2-valued numeric column (binary modality
+    * over numbers, e.g. 0/1 flags). */
+  private def binaryNumericVals(df: DataFrame, c: String): Seq[String] =
+    df.select(col(c).cast("string")).filter(col(c).isNotNull)
+      .distinct().orderBy(col(c)).collect().map(_.getString(0)).toSeq
+
+  /** Farthest point from (qLon, qLat) by haversine — the one per-query
+    * full-scan aggregate (reference nanargmax, src/encode.py:155-157).
+    * `max_by` gives a single-pass, shuffle-free (partial+final) aggregate.
+    */
+  def farthestPoint(df: DataFrame, lonCol: String, latCol: String,
+                    qLon: Double, qLat: Double): (Double, Double) = {
+    val d = graft.functions.Geo.haversine(col(lonCol), col(latCol), lit(qLon), lit(qLat))
+    // lexicographic (dist, lon, lat) max → deterministic under distance ties
+    val row = df.filter(col(lonCol).isNotNull && col(latCol).isNotNull)
+      .agg(max_by(struct(col(lonCol).cast("double"), col(latCol).cast("double")),
+        struct(d, col(lonCol).cast("double"), col(latCol).cast("double"))).as("p"))
+      .head()
+    val p = row.getStruct(0)
+    (p.getDouble(0), p.getDouble(1))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.Tables
+import graft.query._
+import graft.rerank.Rerank
+import graft.transform.{Transforms, YeoJohnson}
+import org.apache.spark.sql.functions._
+
+/** Re-rank pipeline (R1-R6) and transform-fit operators with DuckDB oracle
+  * twins. The rerank oracle replicates the pandas average-tie rank in window
+  * SQL (avg(row_number) over the key partition).
+  */
+object RerankQueries {
+
+  // rr1: full R1+R2+R4+R5 pipeline over a top-50 result set.
+  private val rr1 = Q(
+    "rr1_rerank_pipeline",
+    (s, d) => {
+      val top = Tables.lineitem(s, d)
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(50)
+        .withColumn("relevance", lit(0.0))
+      val filters = Seq[Filter](
+        DensePointFilter("l_quantity", 30.0),                      // centroid
+        DenseIntervalFilter("l_quantity", 10.0, 40.0, weight = 0.5),
+        BinaryFilter("l_linestatus", "O"),
+        SparseFilter("l_returnflag", Seq("A", "R"), weight = 2.0))
+      Rerank.rerank(top, filters, minMax = Map("l_quantity" -> (1.0, 50.0)))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (round(col("relevance"), 6) + 0.0).as("relevance"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""WITH top AS (
+              SELECT l_orderkey, l_linenumber, l_quantity, l_linestatus, l_returnflag
+              FROM lineitem
+              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 50),
+            k AS (SELECT *,
+              abs(30.0 - l_quantity) AS k1,
+              CASE WHEN l_quantity BETWEEN 10 AND 40 THEN -1e308 ELSE l_quantity END AS k2,
+              CASE WHEN l_linestatus = 'O' THEN ' ' ELSE l_linestatus END AS k4,
+              CASE WHEN l_returnflag IN ('A','R') THEN ' ' ELSE l_returnflag END AS k5
+              FROM top),
+            rn AS (SELECT *,
+              row_number() OVER (ORDER BY k1 DESC, l_orderkey, l_linenumber) AS rn1,
+              row_number() OVER (ORDER BY k2 DESC, l_orderkey, l_linenumber) AS rn2,
+              row_number() OVER (ORDER BY k4 DESC, l_orderkey, l_linenumber) AS rn4,
+              row_number() OVER (ORDER BY k5 DESC, l_orderkey, l_linenumber) AS rn5
+              FROM k),
+            r AS (SELECT *,
+              avg(rn1) OVER (PARTITION BY k1) AS r1,
+              avg(rn2) OVER (PARTITION BY k2) AS r2,
+              avg(rn4) OVER (PARTITION BY k4) AS r4,
+              avg(rn5) OVER (PARTITION BY k5) AS r5
+              FROM rn)
+            SELECT l_orderkey, l_linenumber,
+              round((2*(r1-1)/49 - 1) * 1.0 + (2*(r2-1)/49 - 1) * 0.5 +
+                    (2*(r4-1)/49 - 1) * 1.0 +
+                    CASE WHEN (SELECT count(*) FROM top
+                               WHERE l_returnflag IN ('A','R')) > 0
+                         THEN (2*(r5-1)/49 - 1) * 2.0 ELSE 0.0 END, 6) + 0.0 AS relevance
+            FROM r ORDER BY l_orderkey, l_linenumber"""))
+
+  // t4: Yeo-Johnson APPLY with fixed λ (the fit is tested in ScalaTest; the
+  // piecewise formula is oracle-checkable). events.value exercises both
+  // branches (negative values present).
+  private val t4 = Q(
+    "t4_yeojohnson_apply",
+    (s, d) => Tables.events(s, d)
+      .select(col("event_id"),
+        (round(YeoJohnson.expr(col("value"), 0.5), 6) + 0.0).as("v"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+            round(CASE WHEN value >= 0 THEN (pow(value + 1, 0.5) - 1) / 0.5
+                  ELSE -((pow(-value + 1, 1.5) - 1) / 1.5) END, 6) + 0.0 AS v
+            FROM events ORDER BY event_id"""))
+
+  // t5: KS normality statistic of log2(x+1)-transformed l_quantity
+  // (best-transform scoring; reference src/transform.py:94-98). Both engines
+  // use the SAME Abramowitz-Stegun erf polynomial.
+  private val erfSql =
+    """sign(z) * (1 - (((((1.061405429 * (1/(1+0.3275911*abs(z))) - 1.453152027) *
+      | (1/(1+0.3275911*abs(z)))) + 1.421413741) * (1/(1+0.3275911*abs(z))) -
+      | 0.284496736) * (1/(1+0.3275911*abs(z))) + 0.254829592) *
+      | (1/(1+0.3275911*abs(z))) * exp(-z*z))""".stripMargin.replace("\n", " ")
+
+  private val t5 = Q(
+    "t5_ks_statistic",
+    (s, d) => Transforms.ksStatistic(
+        Tables.lineitem(s, d), log(2.0, col("l_quantity") + 1))
+      .select((round(col("ks"), 6) + 0.0).as("ks")),
+    Some(s"""WITH t AS (SELECT log2(l_quantity + 1) AS x FROM lineitem
+                        WHERE l_quantity IS NOT NULL),
+             st AS (SELECT avg(x) AS m, sqrt(avg(x*x) - avg(x)*avg(x)) AS sd,
+                           count(*) AS n FROM t),
+             r AS (SELECT x, row_number() OVER (ORDER BY x) AS i FROM t),
+             f AS (SELECT i, n,
+                     (1 + ($erfSql)) / 2 AS cdf
+                   FROM (SELECT i, n, (x - m) / (sd * sqrt(2)) AS z FROM r, st))
+             SELECT round(max(greatest(i / n::DOUBLE - cdf, cdf - (i - 1) / n::DOUBLE)), 6)
+                    + 0.0 AS ks
+             FROM f"""))
+
+  val qs: Seq[Q] = Seq(rr1, t4, t5)
+}

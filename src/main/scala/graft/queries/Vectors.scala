@@ -15,7 +15,7 @@ object Vectors {
   /** Fixed literal query vector, rendered identically into the Spark plan
     * and the oracle SQL (decimal text parses to the same double on both). */
   val QVEC: Array[Double] = Array.tabulate(64)(i => ((i * 37) % 19 - 9) / 10.0)
-  private val qvecSql = QVEC.mkString("[", ", ", "]::DOUBLE[]")
+  val qvecSql: String = QVEC.mkString("[", ", ", "]::DOUBLE[]")
 
   // K1 exact inner-product top-k (reference src/app.py:78: IndexFlatIP.search)
   private val k1 = Q(
