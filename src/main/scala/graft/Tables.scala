@@ -9,8 +9,15 @@ import org.apache.spark.sql.types._
   * pruning, pushdown) is uniform.
   */
 object Tables {
+  // DataFrame (logical plan) cache per (session, path): repeated queries in
+  // one session reuse the resolved relation — file listing + schema read
+  // happen once per table, not once per query. No data is cached.
+  private val dfCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    dfCache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")

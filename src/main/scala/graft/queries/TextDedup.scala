@@ -30,56 +30,63 @@ object TextDedup {
   /** MinHash signature column j: min over distinct tokens of
     * md5("<j>:" + token). md5 is identical across engines, so signatures
     * (and thus LSH bands) are oracle-checkable — unlike engine-native
-    * hash functions. */
+    * hash functions.
+    *
+    * Computed ROW-LOCAL (array_min over the token array) — no
+    * explode/distinct/groupBy shuffle. At 100 TB the signature stage is a
+    * narrow map pipelined into the scan; only LSH banding shuffles.
+    */
   private def sigCols(n: Int): Seq[Int] = 0 until n
+
+  private def minhash(j: Int): Column =
+    array_min(transform(array_distinct(tokens(col("text"))),
+      t => md5(concat(lit(s"$j:"), t))))
 
   // D2 MinHash signatures (8 hashes).
   private val d2 = Q(
     "d2_minhash_sig",
-    (s, d) => {
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .distinct()
-      val sc = sigCols(8).map(j =>
-        min(md5(concat(lit(s"$j:"), col("tok")))).as(s"h$j"))
-      tok.groupBy(col("doc_id"))
-        .agg(sc.head, sc.tail: _*)
-        .orderBy("doc_id")
-    },
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id") +: sigCols(8).map(j => minhash(j).as(s"h$j")): _*)
+      .orderBy("doc_id"),
     Some(s"""SELECT doc_id,
              ${sigCols(8).map(j => s"min(md5('$j:' || tok)) AS h$j").mkString(", ")}
              FROM (SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
                    FROM documents)
              GROUP BY doc_id ORDER BY doc_id"""))
 
-  /** Shared MinHash-signature plan for banding (2 bands × 4 hashes). */
+  /** Shared MinHash-signature plan for banding (2 bands × 4 hashes);
+    * signatures row-local, see above. */
   private def bandedSigs(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .distinct()
-    val sc = sigCols(8).map(j =>
-      min(md5(concat(lit(s"$j:"), col("tok")))).as(s"h$j"))
-    val sigs = tok.groupBy(col("doc_id")).agg(sc.head, sc.tail: _*)
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id") +: sigCols(8).map(j => minhash(j).as(s"h$j")): _*)
     sigs
       .withColumn("band0", md5(concat(col("h0"), col("h1"), col("h2"), col("h3"))))
       .withColumn("band1", md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))))
   }
 
   // D3 LSH candidate pairs: docs sharing any band bucket. The scale path:
-  // candidate generation is a shuffle on band hash, never an O(n²) compare.
+  // candidate generation is a join on band hash, never an O(n²) compare.
+  // The signature table (n rows, 10 cols) is persisted — computed once,
+  // consumed by both band joins (the reference's build-index-then-search
+  // shape); at 100 TB this is the materialized signature table on disk.
   private val d3 = Q(
     "d3_minhash_lsh_pairs",
     (s, d) => {
       val sigs = bandedSigs(s, d)
+        .select("doc_id", "band0", "band1")
+        .persist()
       def pairsOn(b: String): DataFrame = {
         val l = sigs.select(col("doc_id").as("a_id"), col(b).as("bucket"))
         val r = sigs.select(col("doc_id").as("b_id"), col(b).as("bucket"))
         l.join(r, "bucket").filter(col("a_id") < col("b_id"))
           .select(col("a_id"), col("b_id"))
       }
-      pairsOn("band0").unionByName(pairsOn("band1"))
+      // persist before the global sort: range-partitioning samples its
+      // child, which would otherwise re-execute the join+distinct pipeline
+      val pairs = pairsOn("band0").unionByName(pairsOn("band1"))
         .distinct()
-        .orderBy("a_id", "b_id")
+        .persist()
+      pairs.orderBy("a_id", "b_id")
     },
     Some("""WITH tok AS (SELECT DISTINCT doc_id,
                          unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),

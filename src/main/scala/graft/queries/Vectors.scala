@@ -50,14 +50,21 @@ object Vectors {
   private val d5 = Q(
     "d5_embedding_neardup",
     (s, d) => {
-      val a = Tables.embeddings(s, d)
-        .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("label"))
-      val b = Tables.embeddings(s, d)
-        .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("label"))
+      // L2 norms hoisted out of the pair join: computed once per VECTOR
+      // (n rows) instead of once per PAIR (~n²/labels) — identical doubles
+      // to cosine() (same sqrt(dot) arithmetic), so the oracle still
+      // hash-matches. The join itself stays a shuffle on label.
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("a_id"),
+        Search.asDouble(col("embedding")).as("a_emb"), col("label"))
+        .withColumn("a_n", Search.l2Norm(col("a_emb")))
+      val b = e.select(col("vec_id").as("b_id"),
+        Search.asDouble(col("embedding")).as("b_emb"), col("label"))
+        .withColumn("b_n", Search.l2Norm(col("b_emb")))
       a.join(b, Seq("label"))
         .filter(col("a_id") < col("b_id"))
         .withColumn("score",
-          round(Search.cosine(Search.asDouble(col("a_emb")), Search.asDouble(col("b_emb"))), 5) + 0.0)
+          round(Search.dot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n")), 5) + 0.0)
         .filter(col("score") >= 0.9)
         .select(col("a_id"), col("b_id"), col("score"))
         .orderBy("a_id", "b_id")

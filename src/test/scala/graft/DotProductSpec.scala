@@ -1,0 +1,39 @@
+package graft
+
+import graft.search.Search
+import org.apache.spark.sql.functions._
+
+/** Native codegen DotProduct vs the built-in HOF composition: identical
+  * results (same left-to-right accumulation order), null-array → null. */
+class DotProductSpec extends SparkSpec {
+
+  test("native dot matches HOF dot on random vectors incl. nulls") {
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    val rows = Seq.tabulate(200) { i =>
+      val dim = 1 + r.nextInt(80)
+      (i.toLong,
+        if (i == 13) null else Array.fill(dim)(r.nextDouble() * 4 - 2),
+        Array.fill(dim)(r.nextDouble() * 4 - 2))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val out = df.select(
+      col("id"),
+      Search.dot(col("a"), col("b")).as("native"),
+      Search.dotHof(col("a"), col("b")).as("hof"))
+      .collect()
+    out.foreach { row =>
+      if (row.isNullAt(1) || row.isNullAt(2))
+        assert(row.isNullAt(1) && row.isNullAt(2), s"null mismatch id=${row.getLong(0)}")
+      else
+        assert(row.getDouble(1) == row.getDouble(2), s"id=${row.getLong(0)}")
+    }
+  }
+
+  test("native dot participates in whole-stage codegen top-k plan") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val plan = Search.fusedTopK(emb, "embedding", "vec_id",
+      Array.fill(64)(0.5), 5).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+}
