@@ -1,0 +1,178 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) columns as opaque `binary` payloads with
+  * typed metadata — the Spark-side plumbing is real (schemas, mapPartitions
+  * batching, deterministic partition-local processing); the actual codec
+  * calls are STUBBED behind [[Codec]] with a deterministic fake (the
+  * image/audio libraries are not in this container). A production build
+  * swaps [[Codec.default]] for a JNI/javacv-backed implementation with the
+  * same signature — nothing else changes.
+  *
+  * Design for 100 TB: every operator here is a narrow mapPartitions (no
+  * shuffle); payloads stay off-heap in Tungsten rows until the partition
+  * iterator touches them; metadata columns are plain columns so predicate
+  * pushdown (e.g. `width > 64`) prunes parquet row groups WITHOUT reading
+  * payload bytes.
+  */
+object Multimodal {
+
+  /** Metadata schema carried next to each payload. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("pixels", BinaryType)))
+
+  /** Pluggable codec boundary. `decode` parses a payload into (w, h, raw
+    * pixels); `resize` rescales; `embed` produces a feature vector. */
+  trait Codec extends Serializable {
+    def decode(payload: Array[Byte]): (Int, Int, Array[Byte])
+    def resize(pixels: Array[Byte], w: Int, h: Int, newW: Int, newH: Int): Array[Byte]
+    def embedDim: Int
+    def embed(pixels: Array[Byte]): Array[Float]
+  }
+
+  /** Deterministic fake codec: "decodes" by reading a 8-byte fake header
+    * (w, h as big-endian ints) and treating the rest as pixels; resize =
+    * deterministic stride sampling; embed = byte-histogram projection.
+    * Platform-stable — results are identical across partitionings.
+    */
+  object default extends Codec {
+    def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(payload.length >= 8, "payload too short for header")
+      val bb = java.nio.ByteBuffer.wrap(payload)
+      val w = bb.getInt(); val h = bb.getInt()
+      (w, h, payload.drop(8))
+    }
+    def resize(pixels: Array[Byte], w: Int, h: Int, newW: Int, newH: Int): Array[Byte] = {
+      val out = new Array[Byte](math.max(newW * newH, 0))
+      var i = 0
+      while (i < out.length) {
+        val src = ((i.toLong * math.max(pixels.length, 1)) / math.max(out.length, 1)).toInt
+        out(i) = if (pixels.isEmpty) 0 else pixels(math.min(src, pixels.length - 1))
+        i += 1
+      }
+      out
+    }
+    val embedDim = 16
+    def embed(pixels: Array[Byte]): Array[Float] = {
+      val v = new Array[Float](embedDim)
+      var i = 0
+      while (i < pixels.length) { v((pixels(i) & 0xff) % embedDim) += 1f; i += 1 }
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (n == 0) v else v.map(x => (x / n).toFloat)
+    }
+  }
+
+  /** Build a fake payload (header + pixels) — test/fixture helper. */
+  def fakePayload(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + w * h)
+    bb.putInt(w); bb.putInt(h)
+    val r = new scala.util.Random(seed)
+    val px = new Array[Byte](w * h); r.nextBytes(px)
+    bb.put(px); bb.array()
+  }
+
+  /** Decode payloadCol → struct(width, height, pixels). Partition-local
+    * batch iteration via mapPartitions (the Scala twin of mapInPandas:
+    * per-partition setup cost — codec init — is paid once per batch).
+    */
+  def decode(df: DataFrame, payloadCol: String, outCol: String = "decoded",
+             codec: Codec = default): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = df.schema.add(outCol, decodedSchema)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      // codec initialized once per partition (mirrors heavyweight model
+      // loading in the production implementation)
+      val c = codec
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val decoded = if (payload == null) null else {
+          val (w, h, px) = c.decode(payload)
+          Row(w, h, px)
+        }
+        Row.fromSeq(r.toSeq :+ decoded)
+      }
+    }(enc)
+  }
+
+  /** Feature-extract payloadCol → ArrayType(Float) embedding column; the
+    * output slots directly into the fused-vector TextBlock/ANN paths. */
+  def embed(df: DataFrame, payloadCol: String, outCol: String = "media_vec",
+            codec: Codec = default): DataFrame = {
+    val outSchema = df.schema.add(outCol, ArrayType(FloatType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      val c = codec
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val vec = if (payload == null) null else {
+          val (_, _, px) = c.decode(payload)
+          c.embed(px).toSeq
+        }
+        Row.fromSeq(r.toSeq :+ vec)
+      }
+    }(enc)
+  }
+
+  /** Resize: decode → stride-resample → re-encode payload with new header. */
+  def resize(df: DataFrame, payloadCol: String, newW: Int, newH: Int,
+             outCol: String = "resized", codec: Codec = default): DataFrame = {
+    val outSchema = df.schema.add(outCol, BinaryType)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      val c = codec
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val out = if (payload == null) null else {
+          val (w, h, px) = c.decode(payload)
+          val bb = java.nio.ByteBuffer.allocate(8 + newW * newH)
+          bb.putInt(newW); bb.putInt(newH); bb.put(c.resize(px, w, h, newW, newH))
+          bb.array()
+        }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
+  /** Frame-sample a "video" payload (concatenated fixed-size frames after
+    * the header): emit every `stride`-th frame as its own row — the one
+    * row-expanding (generator-shaped) multimodal op. */
+  def sampleFrames(df: DataFrame, payloadCol: String, frameBytes: Int,
+                   stride: Int, idCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val base = StructType(idCols.map(df.schema(_)))
+    val outSchema = base.add("frame_idx", IntegerType).add("frame", BinaryType)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = idCols.map(df.schema.fieldIndex)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](pIdx)
+        if (payload == null || payload.length <= 8) Iterator.empty
+        else {
+          val body = payload.drop(8)
+          val nFrames = body.length / math.max(frameBytes, 1)
+          (0 until nFrames by stride).iterator.map { f =>
+            Row.fromSeq(idIdx.map(r.get) ++
+              Seq(f, body.slice(f * frameBytes, (f + 1) * frameBytes)))
+          }
+        }
+      }
+    }(enc)
+  }
+}

@@ -138,7 +138,90 @@ object TextDedup {
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             ORDER BY a_id, b_id"""))
 
+  // D6 SimHash: 16-bit signature. Bit j = majority vote over distinct
+  // tokens of the j-th md5 nibble's high bit. Row-local (no shuffle);
+  // md5-based so the oracle computes identical signatures.
+  private val d6 = Q(
+    "d6_simhash",
+    (s, d) => {
+      val dtoks = array_distinct(tokens(col("text")))
+      val highs = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+      val bits = (0 until 16).map { j =>
+        val nHigh = size(filter(dtoks, t => substring(md5(t), j + 1, 1).isin(highs: _*)))
+        when(nHigh * 2 > size(dtoks), lit(1L << j)).otherwise(lit(0L))
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val bits = (0 until 16).map { j =>
+        s"""CASE WHEN 2 * len(list_filter(dtoks, t ->
+           | substr(md5(t), ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f')))
+           | > len(dtoks) THEN ${1L << j} ELSE 0 END""".stripMargin.replace("\n", " ")
+      }.mkString(" + ")
+      s"""SELECT doc_id, ($bits)::BIGINT AS simhash
+          FROM (SELECT doc_id,
+                list_distinct(string_split_regex(trim(text), '\\s+')) AS dtoks
+                FROM documents)
+          ORDER BY doc_id"""
+    })
+
   // ---- text analysis ----
+
+  // X3 language-ID: marker-word scores with a deterministic priority
+  // argmax (en > de > es > fr on ties).
+  private val langMarkers = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "los", "las", "una", "y"),
+    "fr" -> Seq("le", "les", "et", "dans", "une"))
+
+  private val x3 = Q(
+    "x3_language_id",
+    (s, d) => {
+      val toks = tokens(lower(col("text")))
+      val scores = langMarkers.map { case (l, ms) =>
+        l -> size(filter(toks, t => t.isin(ms: _*)))
+      }
+      val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+      val pick = scores.foldRight(lit("und")) { case ((l, sc), acc) =>
+        when(sc === best && best > 0, lit(l)).otherwise(acc)
+      }
+      // foldRight puts earlier langs OUTERMOST so en wins ties
+      Tables.documents(s, d)
+        .select(col("doc_id"), pick.as("lang_pred"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val exprs = langMarkers.map { case (l, ms) =>
+        l -> s"len(list_filter(toks, t -> t IN (${ms.map("'" + _ + "'").mkString(",")})))"
+      }
+      val best = s"greatest(${exprs.map(_._2).mkString(", ")})"
+      val chain = exprs.map { case (l, e) =>
+        s"WHEN $e = $best AND $best > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""SELECT doc_id, CASE $chain ELSE 'und' END AS lang_pred
+          FROM (SELECT doc_id,
+                string_split_regex(trim(lower(text)), '\\s+') AS toks
+                FROM documents)
+          ORDER BY doc_id"""
+    })
+
+  // X5 BPE-ish regex token count (letter runs / digit runs / punct runs,
+  // optionally space-prefixed — a GPT-2-style pre-tokenizer shape).
+  private val x5 = Q(
+    "x5_bpe_token_count",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")),
+          lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"), lit(0)))
+          .cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+            len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+', 0))
+              AS n_bpe_tokens
+            FROM documents ORDER BY doc_id"""))
 
   // X1 token counting (whitespace tokenization).
   private val x1 = Q(
@@ -204,5 +287,5 @@ object TextDedup {
             round(sum(value::DECIMAL(28,6))::DOUBLE, 4) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
 
-  val qs: Seq[Q] = Seq(d1, d2, d3, d4, x1, x2, x4, st1)
+  val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, x1, x2, x3, x4, x5, st1)
 }

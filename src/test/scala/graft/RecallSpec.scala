@@ -1,0 +1,62 @@
+package graft
+
+import graft.encode._
+import graft.eval.Eval
+import graft.profile.Profiler
+import graft.query._
+import graft.queries.Vectors
+import org.apache.spark.sql.functions._
+
+/** The reference's figure of merit (SURVEY.md §5): recall of the fused-
+  * vector top-k against the hard-filter oracle top-k, asserted ≥ threshold
+  * and non-decreasing in the harmonic count K (the property the paper's
+  * sweeps establish; reference src/eval/evaluate.py).
+  */
+class RecallSpec extends SparkSpec {
+
+  test("fused top-k recall vs hard-filter oracle; monotone in K") {
+    val d = sf("sf0.001")
+    val docs = Tables.documents(spark, d)
+    val emb = Tables.embeddings(spark, d)
+    val items = Embedders.precomputed(docs, emb, "doc_id", "vec_id", "embedding")
+      .persist()
+    val profs = Profiler.profile(items, Seq("lang", "n_chars"))
+    val filters = Map[String, Filter](
+      "lang" -> SparseFilter("lang", Seq("en")),
+      "n_chars" -> DenseIntervalFilter("n_chars", 150.0, 350.0))
+    // oracle: hard filter + text-score top-k
+    val oracle = Eval.hardFilterTopK(items, "doc_id", "embedding", Vectors.QVEC,
+      Seq(filters("lang"), filters("n_chars")), k = 20)
+    assert(oracle.nonEmpty)
+
+    def recallAtK(k: Int): Double = {
+      val params = EncoderParams(numHarmonics = k)
+      val layout = VectorLayout(Seq(
+        TextBlock("embedding", 64),
+        SparseBlock("lang", profs("lang").distinctSorted),
+        DenseBlock("n_chars", profs("n_chars").min, profs("n_chars").max, params)))
+      // boost aux weights: the fused blocks must compete with text sim
+      val q = QueryEncoder.encode(layout,
+        Map(
+          "lang" -> SparseFilter("lang", Seq("en"), weight = 2.0),
+          "n_chars" -> DenseIntervalFilter("n_chars", 150.0, 350.0, weight = 2.0)),
+        textVec = Vectors.QVEC)
+      val subject = Eval.fusedTopK(ProductEncoder.encode(items, layout),
+        "doc_id", "fused_vec", q, k = 60)
+      Eval.recall(oracle, subject)
+    }
+
+    val r8 = recallAtK(8)
+    val r64 = recallAtK(64)
+    assert(r64 >= 0.5, s"recall@K=64 too low: $r64 (r8=$r8)")
+    assert(r64 >= r8 - 0.10, s"recall not ~monotone: K=8 → $r8, K=64 → $r64")
+    items.unpersist()
+  }
+
+  test("recall/rPrecision metric semantics (reference evaluate.py:92-110)") {
+    assert(Eval.recall(Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)) == 2.0 / 3)
+    assert(Eval.recall(Seq.empty, Seq(1L)) == 0.0)
+    assert(Eval.rPrecision(Seq(1L, 2L), Seq(2L, 9L, 1L)) == 0.5) // L2[:2] = {2,9}
+    assert(Eval.rPrecision(Seq(1L, 2L), Seq(2L, 1L)) == 1.0)
+  }
+}

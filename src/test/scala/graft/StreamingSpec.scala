@@ -1,0 +1,87 @@
+package graft
+
+import graft.encode._
+import graft.streaming.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming pipelines driven through MemoryStream: incremental encode
+  * appends vectors identical to the batch encoder; windowed aggregation
+  * respects event-time windows; stateful per-user aggregates accumulate
+  * across micro-batches.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private val params = EncoderParams(numHarmonics = 4)
+
+  test("incremental encode: streamed fused vectors == batch encoder output") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val layout = VectorLayout(Seq(DenseBlock("price", 0.0, 100.0, params)))
+
+    val mem = MemoryStream[(Long, Double)]
+    val stream = mem.toDF().toDF("id", "price")
+    val q = Streaming.incrementalEncode(stream, layout)
+      .select("id", "fused_vec")
+      .writeStream.format("memory").queryName("enc_out").outputMode("append")
+      .start()
+    mem.addData((1L, 10.0), (2L, 55.0), (3L, 99.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("enc_out").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val batch = ProductEncoder.encode(
+        Seq((1L, 10.0), (2L, 55.0), (3L, 99.0)).toDF("id", "price"), layout)
+      .select("id", "fused_vec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(streamed.keySet == Set(1L, 2L, 3L))
+    streamed.foreach { case (id, v) =>
+      v.zip(batch(id)).foreach { case (a, b) => assert(a == b, s"id=$id") }
+    }
+  }
+
+  test("hourly windowed aggregation with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("ts", "event_type", "value")
+    val q = Streaming.hourlyEventCounts(stream)
+      .writeStream.format("memory").queryName("win_out").outputMode("update")
+      .start()
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    mem.addData((ts(10, 5), "click", 1.0), (ts(10, 40), "click", 2.0),
+      (ts(11, 10), "click", 4.0), (ts(10, 50), "view", 8.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_out")
+      .select(date_format(col("hour"), "HH").as("h"), col("event_type"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(rows(("10", "click")) == (2L, 3.0))
+    assert(rows(("11", "click")) == (1L, 4.0))
+    assert(rows(("10", "view")) == (1L, 8.0))
+  }
+
+  test("stateful running user aggregates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val mem = MemoryStream[(Long, Double)]
+    val stream = mem.toDF().toDF("user_id", "value")
+    val q = Streaming.runningUserAggregates(stream)
+      .writeStream.format("memory").queryName("user_out").outputMode("update")
+      .start()
+    mem.addData((1L, 2.0), (1L, 3.0), (2L, 10.0))
+    q.processAllAvailable()
+    mem.addData((1L, 5.0))
+    q.processAllAvailable()
+    q.stop()
+    // last update per user wins
+    val latest = spark.table("user_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._2) }
+    assert(latest(1L) == (1L, 3L, 10.0)) // 2+3+5 over two batches
+    assert(latest(2L) == (2L, 1L, 10.0))
+  }
+}
