@@ -1,0 +1,147 @@
+package graft
+
+import graft.encode._
+import graft.profile.{ColumnProfile, ModalityKind, Profiler}
+import graft.query._
+import graft.rerank.Rerank
+import graft.search.Search
+import graft.transform.{FittedTransform, Transforms}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The user-facing engine — the reference's end-to-end lifecycle
+  * (src/app.py + src/encode.py) as a library:
+  *
+  * {{{
+  * val engine = FuseRankEngine.index(items, FuseRankConfig(
+  *   idCol = "row_id",
+  *   textCols = Map("name" -> 0.4, "description" -> 0.6),
+  *   auxCols = Seq("city", "price"),
+  *   geoCols = Map("location" -> ("lon", "lat"))))
+  * val hits  = engine.search("cheap italian food",
+  *   Seq(SparseFilter("city", Seq("Agra")),
+  *       DenseIntervalFilter("price", 100, 400)), k = 10)
+  * val hits2 = engine.search(..., method = SearchMethod.Reranking)
+  * }}}
+  *
+  * Index build (reference §3.2): ONE profile aggregation + optional
+  * transform fit + a narrow encode projection, persisted. Search
+  * (reference §3.1): driver-built query vector → scan + top-k
+  * (TakeOrderedAndProject — per-partition heaps, no shuffle) → broadcast
+  * gather join.
+  */
+sealed trait SearchMethod
+object SearchMethod {
+  /** Fused-vector retrieval: aux blocks inside the index vector. */
+  case object Retrieval extends SearchMethod
+  /** Text-only retrieval + rank-based re-ranking of the top-k. */
+  case object Reranking extends SearchMethod
+}
+
+final case class FuseRankConfig(
+    idCol: String,
+    textCols: Map[String, Double],
+    auxCols: Seq[String],
+    geoCols: Map[String, (String, String)] = Map.empty,
+    embedder: Embedder = HashingEmbedder(64),
+    params: EncoderParams = EncoderParams(),
+    /** fit + apply best normalizing transforms to dense columns
+      * (reference create_schemas, src/load.py:16-19) */
+    fitTransforms: Boolean = false)
+
+final class FuseRankEngine private (
+    val items: DataFrame,
+    val config: FuseRankConfig,
+    val profiles: Map[String, ColumnProfile],
+    val transforms: Map[String, FittedTransform],
+    val layout: VectorLayout,
+    val indexed: DataFrame) {
+
+  import config._
+
+  /** One search (reference do_search, src/app.py:73-89). Returns the top-k
+    * item rows with a `relevance` column, sorted descending. */
+  def search(queryText: String, filters: Seq[Filter], k: Int = 10,
+             method: SearchMethod = SearchMethod.Retrieval): DataFrame = {
+    val textVec = embedder.embed(queryText)
+    val fmap = filters.map(f => f.column -> f).toMap
+    method match {
+      case SearchMethod.Retrieval =>
+        val q = QueryEncoder.encode(layout, fmap, textVec = textVec,
+          transforms = transforms,
+          farthest = QueryEncoder.sparkFarthest(items, geoCols),
+          params = QueryEncoder.Params(params.intervalEpsilon, params.rangeEpsilon))
+        val top = Search.fusedTopK(indexed, "fused_vec", idCol, q, k)
+          .withColumnRenamed("score", "relevance")
+        top.join(broadcast(items).hint("broadcast"), Seq(idCol))
+          .orderBy(col("relevance").desc, col(idCol))
+      case SearchMethod.Reranking =>
+        // text-only retrieval (aux blocks skipped: reference gates encode on
+        // method, src/encode.py:68,132), then window re-rank of the k rows
+        val top = Search.fusedTopK(indexed, "text_vec", idCol, textVec, k)
+          .withColumnRenamed("score", "relevance")
+        val gathered = top.join(broadcast(itemsTransformed), Seq(idCol))
+        val minMax = profiles.map { case (c, p) => c -> (p.min, p.max) }
+        Rerank.rerank(gathered, filters, minMax, geoCols)
+          .orderBy(col("relevance").desc, col(idCol))
+    }
+  }
+
+  /** Items with fitted transforms applied (reference transformed_df,
+    * src/load.py:37-42) — what re-ranking ranks against. */
+  lazy val itemsTransformed: DataFrame =
+    transforms.foldLeft(items) { case (df, (c, t)) => df.withColumn(c, t(col(c))) }
+
+  /** Persist the vector table as the durable index (S3/S4 sink). */
+  def writeIndex(path: String): Unit =
+    indexed.write.mode("overwrite").parquet(path)
+}
+
+object FuseRankEngine {
+
+  /** Build the index: profile pass → (optional) transform fit → encode
+    * projection → persist. */
+  def index(rawItems: DataFrame, config: FuseRankConfig): FuseRankEngine = {
+    import config._
+    val items = rawItems
+    // 1. transforms (fit on raw data, applied before profiling/encoding —
+    //    reference fits in create_schemas then encodes transformed_df)
+    val transforms: Map[String, FittedTransform] =
+      if (!fitTransforms) Map.empty
+      else auxCols.flatMap { c =>
+        items.schema(c).dataType match {
+          case _: org.apache.spark.sql.types.NumericType =>
+            Transforms.bestTransform(items, c).map(c -> _)
+          case _ => None
+        }
+      }.toMap
+    val transformed = transforms.foldLeft(items) { case (df, (c, t)) =>
+      df.withColumn(c, t(col(c)))
+    }
+    // 2. ONE profile aggregation over all aux columns
+    val profiles = Profiler.profile(transformed, auxCols.filterNot(geoCols.contains))
+    // 3. layout: text block + per-modality aux blocks (schema order)
+    val textBlock = TextBlock("text_vec", embedder.dim)
+    val auxBlocks: Seq[Block] = auxCols.map { c =>
+      if (geoCols.contains(c)) {
+        val (lon, lat) = geoCols(c)
+        GeoBlock(c, lon, lat)
+      } else {
+        val p = profiles(c)
+        p.kind match {
+          case ModalityKind.Binary =>
+            val (v0, v1) = p.binaryValues
+            BinaryBlock(c, v0, v1)
+          case ModalityKind.Sparse => SparseBlock(c, p.distinctSorted)
+          case _ => DenseBlock(c, p.min, p.max, params)
+        }
+      }
+    }
+    val layout = VectorLayout(textBlock +: auxBlocks)
+    // 4. narrow encode projection: weighted text fusion (partition-local
+    //    compiled embedder) + modality blocks
+    val withText = Embedders.fuseInto(transformed, embedder, textCols, "text_vec")
+    val indexed = ProductEncoder.encode(withText, layout).persist()
+    new FuseRankEngine(items, config, profiles, transforms, layout, indexed)
+  }
+}

@@ -93,7 +93,10 @@ object Embedders {
     items.join(emb.select(col(embId).as(itemId), col(embCol)), Seq(itemId), "left")
 
   /** E2 weighted multi-column embedding fusion + L2 norm (reference
-    * src/encode.py:286-304): Σ wᵢ·emb(colᵢ), then normalize. */
+    * src/encode.py:286-304): Σ wᵢ·emb(colᵢ), then normalize.
+    * Column-expression form — O(text·dim) interpreted per row; use only on
+    * small data / for cross-checking [[fuseInto]].
+    */
   def fuseColumns(e: Embedder, weights: Map[String, Double]): Column = {
     val parts = weights.toSeq.map { case (c, w) =>
       transform(e.embedColumn(col(c)), x => x * w)
@@ -101,5 +104,37 @@ object Embedders {
     val summed = parts.reduce((a, b) => zip_with(a, b, (x, y) => x + y))
     val nrm = sqrt(aggregate(summed, lit(0.0), (a, x) => a + x * x))
     when(nrm === 0.0, summed).otherwise(transform(summed, x => x / nrm))
+  }
+
+  /** E2 at scale: the same weighted fusion as a partition-local
+    * mapPartitions over the compiled embedder (reference batches rows
+    * through the model the same way, src/encode.py:289-305). O(text)
+    * per row, no interpreted lambdas; null text treated as "".
+    */
+  def fuseInto(df: DataFrame, e: Embedder, weights: Map[String, Double],
+               outCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    val outSchema = df.schema.add(outCol, ArrayType(DoubleType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val cols = weights.toSeq.map { case (c, w) => (df.schema.fieldIndex(c), w) }
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val dim = e.dim
+        val acc = new Array[Double](dim)
+        cols.foreach { case (idx, w) =>
+          val t = if (r.isNullAt(idx)) "" else r.get(idx).toString
+          val v = e.embed(t)
+          var i = 0
+          while (i < dim) { acc(i) += w * v(i); i += 1 }
+        }
+        var n = 0.0; var i = 0
+        while (i < dim) { n += acc(i) * acc(i); i += 1 }
+        if (n > 0) { val s = 1.0 / math.sqrt(n); i = 0
+          while (i < dim) { acc(i) *= s; i += 1 } }
+        Row.fromSeq(r.toSeq :+ (acc.toSeq: Seq[Double]))
+      }
+    }(enc)
   }
 }

@@ -77,4 +77,40 @@ object Eval {
         case _ => None
       }
     }
+
+  final case class SweepPoint(numModalities: Int, repetition: Int, seed: Int,
+                              modalities: Seq[String], recall: Double)
+
+  /** A11 experiment sweep (reference src/eval/evaluate.py:156-242):
+    * modality-count m = 1..N × `repetitions`, seed = int("<m><i>") —
+    * the reference's exact seeding discipline — sample one row, choose m
+    * random modalities, synthesize filters, run oracle (hard filter) and
+    * subject (fused) top-k, score recall. `encodeAndSearch` is injected so
+    * the sweep drives any engine configuration.
+    */
+  def sweep(items: DataFrame, idCol: String, textVecCol: String,
+            qText: Array[Double],
+            candidateCols: Seq[String], profiles: Map[String, ColumnProfile],
+            encodeAndSearch: (Seq[Filter], Int) => Seq[Long],
+            k: Int = 10, repetitions: Int = 3): Seq[SweepPoint] = {
+    val n = candidateCols.size
+    (1 to n).flatMap { m =>
+      (0 until repetitions).map { i =>
+        val seed = s"$m$i".toInt
+        val rng = new scala.util.Random(seed)
+        // seeded row sample: deterministic hash order (distributed twin of
+        // pandas df.sample(random_state=seed), reference evaluate.py:176)
+        val sampled = items
+          .withColumn("__h", md5(concat_ws(":", col(idCol), lit(seed))))
+          .orderBy("__h").limit(1)
+          .select(candidateCols.map(col): _*).head()
+        val row = candidateCols.zipWithIndex.map { case (c, j) => c -> sampled.get(j) }.toMap
+        val mods = rng.shuffle(candidateCols).take(m)
+        val filters = experimentFilters(row.filter(kv => mods.contains(kv._1)), profiles)
+        val oracle = hardFilterTopK(items, idCol, textVecCol, qText, filters, k)
+        val subject = encodeAndSearch(filters, k)
+        SweepPoint(m, i, seed, mods, recall(oracle, subject))
+      }
+    }
+  }
 }

@@ -92,36 +92,47 @@ object Search {
       .select(col(qIdCol), col(idCol), col("score"), col("rk"))
   }
 
-  /** Random-hyperplane LSH bucketing: deterministic hyperplanes derived from
-    * a seed; vectors sharing a `nBits`-bit sign signature land in one bucket.
-    * The scale path for ANN: candidate generation becomes a shuffle on
-    * bucket id instead of an O(n²) cross join.
+  /** Random-hyperplane LSH bucketing: deterministic hyperplanes derived
+    * from a seed; one row per (vector, table) with the table's `nBits`-bit
+    * sign signature. Multi-table OR-construction — the standard recall
+    * lever (single-table single-probe LSH recall collapses on high-dim
+    * data). The scale path for ANN: candidate generation becomes a shuffle
+    * on (table, signature), never an O(n²) cross join; nTables linearly
+    * trades shuffle volume for recall.
     */
   def lshBuckets(vectors: DataFrame, vecCol: String, dim: Int,
-                 nBits: Int, seed: Long = 42L): DataFrame = {
+                 nBits: Int, nTables: Int = 8, seed: Long = 42L): DataFrame = {
     val rng = new scala.util.Random(seed)
-    val planes: Seq[Array[Double]] =
-      Seq.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      when(dot(asDouble(col(vecCol)), typedLit(p)) >= 0.0, lit(1L << i))
-        .otherwise(lit(0L))
+    val tables = (0 until nTables).map { t =>
+      val planes = Seq.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
+      val bits = planes.zipWithIndex.map { case (p, i) =>
+        when(dot(asDouble(col(vecCol)), typedLit(p)) >= 0.0, lit(1L << i))
+          .otherwise(lit(0L))
+      }
+      struct(lit(t).as("tbl"), bits.reduce(_ + _).as("sig"))
     }
-    vectors.withColumn("bucket", bits.reduce(_ + _))
+    vectors.withColumn("bucket", explode(array(tables: _*)))
   }
 
-  /** ANN top-k via LSH buckets: search only within the query's bucket
-    * (single-probe). Recall measured against knnBruteForce in tests. */
+  /** ANN top-k via multi-table LSH: candidates = vectors sharing ANY
+    * table's bucket with the query (deduplicated), then exact cosine on the
+    * candidate set only. Recall vs knnBruteForce asserted in tests. */
   def knnLsh(vectors: DataFrame, queries: DataFrame, vecCol: String,
              idCol: String, qVecCol: String, qIdCol: String,
-             dim: Int, nBits: Int, k: Int, seed: Long = 42L): DataFrame = {
-    val vb = lshBuckets(vectors, vecCol, dim, nBits, seed)
-    val qb = lshBuckets(queries, qVecCol, dim, nBits, seed)
+             dim: Int, nBits: Int, k: Int, nTables: Int = 8,
+             seed: Long = 42L): DataFrame = {
+    val vb = lshBuckets(vectors, vecCol, dim, nBits, nTables, seed)
+    val qb = lshBuckets(queries, qVecCol, dim, nBits, nTables, seed)
       .withColumnRenamed("bucket", "q_bucket")
+    val candidates = vb.join(broadcast(qb), col("bucket") === col("q_bucket"))
+      .filter(col(qIdCol) =!= col(idCol))
+      .select(col(qIdCol), col(idCol), col(qVecCol), col(vecCol))
+      .dropDuplicates(qIdCol, idCol)
     val w = Window.partitionBy(col(qIdCol))
       .orderBy(col("score").desc, col(idCol))
-    vb.join(broadcast(qb), col("bucket") === col("q_bucket"))
-      .filter(col(qIdCol) =!= col(idCol))
-      .withColumn("score", round(cosine(asDouble(col(qVecCol)), asDouble(col(vecCol))), 5) + 0.0)
+    candidates
+      .withColumn("score",
+        round(cosine(asDouble(col(qVecCol)), asDouble(col(vecCol))), 5) + 0.0)
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col(qIdCol), col(idCol), col("score"), col("rk"))

@@ -1,0 +1,84 @@
+package graft
+
+import graft.prep.Prep
+import graft.query._
+import org.apache.spark.sql.functions._
+
+/** End-to-end engine lifecycle on the reference's real restaurants data
+  * (reference §3.1/§3.2): index → fused search → re-ranked search, with the
+  * soft-filter semantics sanity-checked against the hard-filtered subset.
+  */
+class EngineSpec extends SparkSpec {
+
+  private lazy val engine: FuseRankEngine = {
+    val items = Prep.withRowId(
+      Prep.restaurants(Tables.restaurants(spark)),
+      Seq(col("Restaurant Name"), col("Location.lon"), col("Location.lat"),
+        col("Votes")))
+    FuseRankEngine.index(items, FuseRankConfig(
+      idCol = "row_id",
+      textCols = Map("Restaurant Name" -> 0.4, "Cuisines" -> 0.6),
+      auxCols = Seq("City", "Has Table booking", "Average Cost for two"),
+      params = graft.encode.EncoderParams(numHarmonics = 16)))
+  }
+
+  test("index build: layout covers text + sparse + binary + dense") {
+    val kinds = engine.layout.blocks.map(_.getClass.getSimpleName).toSet
+    assert(kinds == Set("TextBlock", "SparseBlock", "BinaryBlock", "DenseBlock"))
+    assert(engine.indexed.select("fused_vec").head().getSeq[Double](0).size ==
+      engine.layout.dim)
+  }
+
+  test("fused retrieval: city filter pushes matching rows to the top") {
+    val hits = engine.search("north indian mughlai",
+      Seq(SparseFilter("City", Seq("Agra"), weight = 3.0),
+        DenseIntervalFilter("Average Cost for two", 200, 800, weight = 1.5)),
+      k = 10)
+    val rows = hits.select("City", "relevance").collect()
+    assert(rows.length == 10)
+    val agraShare = rows.count(_.getString(0) == "Agra") / 10.0
+    assert(agraShare >= 0.8, s"only ${agraShare * 10}/10 hits in Agra")
+    // relevance sorted descending
+    val rel = rows.map(_.getDouble(1))
+    assert(rel.zip(rel.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("re-ranking: text-only retrieval reordered by modality ranks") {
+    val base = engine.search("pizza", Seq.empty, k = 20)
+    val rr = engine.search("pizza",
+      Seq(BinaryFilter("Has Table booking", "Yes", weight = 2.0)),
+      k = 20, method = SearchMethod.Reranking)
+    val baseIds = base.select("row_id").collect().map(_.getInt(0)).toSet
+    val rrRows = rr.select("row_id", "Has Table booking", "relevance").collect()
+    // re-ranking permutes the SAME result set (reference mode 2 semantics)
+    assert(rrRows.map(_.getInt(0)).toSet == baseIds)
+    // booked rows must outrank unbooked within the re-ranked list
+    val (booked, unbooked) = rrRows.partition(_.getString(1) == "Yes")
+    if (booked.nonEmpty && unbooked.nonEmpty) {
+      assert(booked.map(_.getDouble(2)).min > unbooked.map(_.getDouble(2)).max)
+    }
+  }
+
+  test("geo modality end-to-end: nearby restaurants outrank far ones") {
+    val items = Prep.withRowId(
+      Prep.restaurants(Tables.restaurants(spark)),
+      Seq(col("Restaurant Name"), col("Location.lon"), col("Location.lat"),
+        col("Votes")))
+      .withColumn("lon", col("Location.lon"))
+      .withColumn("lat", col("Location.lat"))
+    val eng = FuseRankEngine.index(items, FuseRankConfig(
+      idCol = "row_id",
+      textCols = Map("Cuisines" -> 1.0),
+      auxCols = Seq("Location"),
+      geoCols = Map("Location" -> ("lon", "lat")),
+      params = graft.encode.EncoderParams(numHarmonics = 8)))
+    // New Delhi center; heavy weight so geo dominates text
+    val hits = eng.search("restaurant",
+      Seq(GeoFilter("Location", 77.2090, 28.6139, weight = 5.0)), k = 15)
+    val dists = hits.select("lon", "lat").collect().map { r =>
+      graft.encode.FourierMath.haversineKm(r.getDouble(0), r.getDouble(1), 77.2090, 28.6139)
+    }
+    // top hits should be within metro distance, not across the country
+    assert(dists.count(_ < 100) >= 12, s"distances: ${dists.map(_.round).mkString(",")}")
+  }
+}

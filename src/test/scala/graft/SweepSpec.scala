@@ -1,0 +1,77 @@
+package graft
+
+import graft.encode._
+import graft.eval.Eval
+import graft.profile.Profiler
+import graft.query._
+import graft.queries.Vectors
+import graft.search.Search
+
+/** A11 differential sweep on the documents/embeddings tables: the
+  * reference's seeded repetition harness, asserting it runs reproducibly
+  * and yields sane recall. Plus LSH-kNN recall vs brute force.
+  */
+class SweepSpec extends SparkSpec {
+
+  test("seeded sweep is reproducible and recall is sane") {
+    val d = sf("sf0.001")
+    val items = Embedders.precomputed(
+      Tables.documents(spark, d), Tables.embeddings(spark, d),
+      "doc_id", "vec_id", "embedding").persist()
+    val cands = Seq("lang", "n_chars")
+    val profs = Profiler.profile(items, cands)
+    val params = EncoderParams(numHarmonics = 16)
+    val layout = ProductEncoder.layoutFor(
+      cands.map(profs), params, textBlock = Some(TextBlock("embedding", 64)))
+    val indexed = ProductEncoder.encode(items, layout).persist()
+
+    def run(): Seq[Eval.SweepPoint] = Eval.sweep(
+      items, "doc_id", "embedding", Vectors.QVEC, cands, profs,
+      encodeAndSearch = (filters, k) => {
+        val q = QueryEncoder.encode(layout,
+          filters.map(f => f.column -> withWeight(f, 2.0)).toMap,
+          textVec = Vectors.QVEC)
+        Eval.fusedTopK(indexed, "doc_id", "fused_vec", q, k * 3)
+      },
+      k = 10, repetitions = 2)
+
+    val a = run(); val b = run()
+    assert(a == b, "sweep not reproducible")
+    assert(a.size == 4) // m ∈ {1,2} × 2 reps
+    val mean = a.map(_.recall).sum / a.size
+    assert(mean >= 0.4, s"mean sweep recall too low: $mean (${a.map(_.recall)})")
+    items.unpersist(); indexed.unpersist()
+  }
+
+  private def withWeight(f: Filter, w: Double): Filter = f match {
+    case x: SparseFilter => x.copy(weight = w)
+    case x: BinaryFilter => x.copy(weight = w)
+    case x: DenseIntervalFilter => x.copy(weight = w)
+    case x: DensePointFilter => x.copy(weight = w)
+    case x: GeoFilter => x.copy(weight = w)
+    case x: NoFilter => x.copy(weight = w)
+  }
+
+  test("multi-table LSH kNN recall vs brute force; more selective bits lower recall") {
+    val d = sf("sf0.001")
+    val emb = Tables.embeddings(spark, d).persist()
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("q_id"),
+        org.apache.spark.sql.functions.col("embedding").as("q_emb"))
+    val exact = Search.knnBruteForce(emb, q, "embedding", "vec_id", "q_emb", "q_id", 10)
+      .select("q_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    def lshRecall(bits: Int): Double = {
+      val approx = Search.knnLsh(emb, q, "embedding", "vec_id", "q_emb", "q_id",
+          dim = 64, nBits = bits, k = 10)
+        .select("q_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+      val rs = exact.keys.map(k => Eval.recall(exact(k), approx.getOrElse(k, Seq.empty)))
+      rs.sum / rs.size
+    }
+    val r4 = lshRecall(4); val r8 = lshRecall(8)
+    assert(r4 >= 0.5, s"LSH recall@4bits×8tables = $r4")
+    assert(r4 >= r8, s"recall should rise as buckets coarsen: 4b=$r4 8b=$r8")
+    emb.unpersist()
+  }
+}
