@@ -28,6 +28,12 @@ object Bench {
     // Cluster deployments of this library SHOULD enable AQE (skew joins,
     // partition coalescing) — this is harness config, not library config.
     builder.config("spark.sql.adaptive.enabled", "false")
+    // SF-sized inputs are single-digit-MB parquet files — at the default
+    // 128 MB split size every scan is ONE task and narrow pipelines run on
+    // one core. 2 MB splits spread the scan across the local[32] cores.
+    // (At real scale files exceed the split size and the default is right —
+    // per-deployment knob, not library behavior.)
+    builder.config("spark.sql.files.maxPartitionBytes", "2m")
     // ad-hoc config experiments: "k1=v1,k2=v2"
     sys.env.get("SPARK_GRAFT_BENCH_CONF").foreach(_.split(",").filter(_.contains("="))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })

@@ -65,27 +65,14 @@ final case class GeoBlock(name: String, lonCol: String, latCol: String) extends 
 final case class DenseBlock(name: String, min: Double, max: Double,
                             params: EncoderParams) extends Block {
   val dim: Int = 2 * params.numHarmonics + 5
+  /** Scaled input x̂ = (1−range_ε)·scale(x); the whole 2K+5 block is then
+    * emitted by the native codegen DenseFourierBlock expression (one
+    * primitive loop — the HOF formulation costs ~190 µs/row at K=200). */
   def encode: Column = {
-    val k = params.numHarmonics
     val c = col(name).cast("double")
     val x = lit(1 - params.rangeEpsilon) *
       (lit(2.0) * (c - min) / (max - min) - 1.0)
-    val isN = c.isNull
-    val half = array(
-      when(isN, 0.0).otherwise(sin(lit(math.Pi / 2) * x)),
-      when(isN, 0.0).otherwise(cos(lit(math.Pi / 2) * x)))
-    // σ as a per-harmonic literal array (driver-computed constants; the
-    // executor-side expression is then pure sin/cos — codegen-friendly)
-    val sigmas = typedLit((1 to k).map(j => FourierMath.sigmaVec(j, k)).toArray)
-    val full = flatten(transform(sequence(lit(1), lit(k)), j => {
-      val sig = element_at(sigmas, j)
-      val ang = j.cast("double") * lit(math.Pi) * x
-      array(
-        when(isN, 0.0).otherwise(sin(ang) * sig),
-        when(isN, 0.0).otherwise(cos(ang) * sig))
-    }))
-    concat(half, array(lit(1.0)), full, array(lit(1.0)),
-      array(when(isN, -1.0).otherwise(0.0)))
+    org.apache.spark.sql.graft.DenseFourierBlock.block(x, params.numHarmonics)
   }
 }
 
