@@ -276,5 +276,47 @@ object FuseRank {
             FROM scored
             ORDER BY score DESC, doc_id LIMIT 20"""))
 
-  val qs: Seq[Q] = Seq(fr1, fr2, fr3, fr4, fr5, fr6)
+  // fr7: NEGATED sparse + negated centroid — the sign-flip paths
+  // (reference src/encode.py:142-143,173-174).
+  private val fr7 = Q(
+    "fr7_negated_score",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+      val profs = Profiler.profile(cust, Seq("c_mktsegment", "c_acctbal"))
+      val layout = VectorLayout(Seq(
+        SparseBlock("c_mktsegment", profs("c_mktsegment").distinctSorted),
+        DenseBlock("c_acctbal", profs("c_acctbal").min, profs("c_acctbal").max, params)))
+      val q = QueryEncoder.encode(layout,
+        Map(
+          "c_mktsegment" -> SparseFilter("c_mktsegment", Seq("AUTOMOBILE"), negated = true),
+          "c_acctbal" -> DensePointFilter("c_acctbal", 0.0, negated = true, weight = 0.7)))
+      ProductEncoder.encode(cust, layout)
+        .withColumn("score", round(Search.dot(col("fused_vec"), typedLit(q)), 5) + 0.0)
+        .select(col("c_custkey"), col("score"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH mm AS (SELECT min(c_acctbal) AS mn, max(c_acctbal) AS mx FROM customer),
+            prm AS (SELECT 2 * ((0.0 - mn) / (mx - mn)) - 1 AS vhat, mn, mx FROM mm),
+            enc AS (SELECT vhat, mn, mx,
+                      CASE WHEN vhat < 0 THEN 1.0 ELSE -1.0 END AS fv FROM prm),
+            sc AS (SELECT vhat, mn, mx,
+                     2 / (1 - (sin(pi()/2*vhat)*sin(pi()/2*fv) + cos(pi()/2*vhat)*cos(pi()/2*fv))) AS s
+                   FROM enc),
+            fin AS (SELECT vhat, mn, mx, s,
+                      1 - s * (sin(pi()/2*vhat)*sin(pi()/2*vhat) +
+                               cos(pi()/2*vhat)*cos(pi()/2*vhat)) AS shift FROM sc)
+            SELECT c_custkey,
+              round(
+                -- negated sparse: sign-flipped membership
+                (CASE WHEN c_mktsegment IS NULL THEN 0.0
+                      WHEN c_mktsegment = 'AUTOMOBILE' THEN -1.0 ELSE 1.0 END)
+                -- negated centroid: the 3 encoded dims flip, the null-ind
+                -- weight dim does NOT (appended after negation); product
+                -- shift dims multiply flipped query dims
+                + 0.7 * (CASE WHEN c_acctbal IS NULL THEN -shift - 1.0
+                         ELSE -(s * cos(pi()/2 * (0.99 * (2*((c_acctbal - mn)/(mx - mn)) - 1) - vhat))
+                                + shift) END), 5) + 0.0 AS score
+            FROM customer, fin ORDER BY c_custkey"""))
+
+  val qs: Seq[Q] = Seq(fr1, fr2, fr3, fr4, fr5, fr6, fr7)
 }

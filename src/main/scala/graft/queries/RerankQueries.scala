@@ -100,5 +100,47 @@ object RerankQueries {
                     + 0.0 AS ks
              FROM f"""))
 
-  val qs: Seq[Q] = Seq(rr1, t4, t5)
+  // t6: best-transform selection by KS argmin over {log2p1, sqrt,
+  // reciprocal} (reference get_best_transform, src/transform.py:86-102;
+  // the YJ candidate is excluded — its MLE fit is not SQL-expressible, so
+  // it is covered by TransformSpec instead). Ties: first candidate wins
+  // (strict < in the reference).
+  private def ksSqlFor(xExpr: String): String =
+    s"""(WITH t AS (SELECT $xExpr AS x FROM lineitem WHERE l_quantity IS NOT NULL),
+        st AS (SELECT avg(x) AS m, sqrt(avg(x*x) - avg(x)*avg(x)) AS sd,
+                      count(*) AS n FROM t),
+        r AS (SELECT x, row_number() OVER (ORDER BY x) AS i FROM t),
+        f AS (SELECT i, n, (1 + ($erfSql)) / 2 AS cdf
+              FROM (SELECT i, n, (x - m) / (sd * sqrt(2)) AS z FROM r, st))
+        SELECT max(greatest(i / n::DOUBLE - cdf, cdf - (i - 1) / n::DOUBLE)) FROM f)"""
+
+  private val t6 = Q(
+    "t6_best_transform",
+    (s, d) => {
+      import org.apache.spark.sql.SparkSession
+      val li = Tables.lineitem(s, d)
+      val cands = Seq(
+        "log2p1" -> log(2.0, col("l_quantity") + 1),
+        "sqrt" -> sqrt(col("l_quantity")),
+        "reciprocal" -> (lit(1.0) / (col("l_quantity") + 1e-10)))
+      val stats = cands.map { case (n, c) =>
+        n -> Transforms.ksStatistic(li, c).head().getDouble(0)
+      }
+      val best = stats.minBy(_._2) // stable: first of equal minima
+      import s.implicits._
+      Seq((best._1, BigDecimal(best._2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("best_transform", "ks")
+    },
+    Some(s"""WITH ks AS (SELECT
+               ${ksSqlFor("log2(l_quantity + 1)")} AS k_log,
+               ${ksSqlFor("sqrt(l_quantity)")} AS k_sqrt,
+               ${ksSqlFor("1.0 / (l_quantity + 1e-10)")} AS k_inv)
+             SELECT CASE
+                 WHEN k_log <= k_sqrt AND k_log <= k_inv THEN 'log2p1'
+                 WHEN k_sqrt <= k_inv THEN 'sqrt'
+                 ELSE 'reciprocal' END AS best_transform,
+               round(least(k_log, k_sqrt, k_inv), 6) + 0.0 AS ks
+             FROM ks"""))
+
+  val qs: Seq[Q] = Seq(rr1, t4, t5, t6)
 }

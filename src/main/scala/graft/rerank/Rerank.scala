@@ -65,11 +65,13 @@ object Rerank {
         Some(normRank(key, ascending = negated, n))
       // R3 geolocation (reference src/encode.py:232-246): farthest point
       // WITHIN the result set; key = dot(row cartesian+shift, query enc);
-      // descending unless negated.
+      // is_ascending = NOT negated (reference :234) — closest rows get the
+      // highest dot → highest rank → boosted.
       case GeoFilter(column, lon, lat, negated, _) =>
         val (lonCol, latCol) = geoCols(column)
         val d = Geo.haversine(col(lonCol), col(latCol), lit(lon), lit(lat))
-        val far = max_by(struct(col(lonCol).cast("double"), col(latCol).cast("double")), d)
+        val far = max_by(struct(col(lonCol).cast("double").as("lon"),
+            col(latCol).cast("double").as("lat")), d)
           .over(Window.partitionBy())
         // farthest varies per result set; resolve via window then compute
         // the scale-and-shift dot in closed form:
@@ -88,7 +90,7 @@ object Rerank {
           (coalesce(Geo.cartesianX(col(lonCol), col(latCol)), lit(0.0)) * qx(0) +
             coalesce(Geo.cartesianY(col(lonCol), col(latCol)), lit(0.0)) * qx(1) +
             coalesce(Geo.cartesianZ(col(lonCol), col(latCol)), lit(0.0)) * qx(2)) * scale + shiftDim
-        Some(normRank(key, ascending = negated, n))
+        Some(normRank(key, ascending = !negated, n))
       // R4 binary (reference src/encode.py:247-254): match → smallest
       // sentinel, null → next smallest, rank DESCENDING — replicated
       // faithfully incl. the inverted-looking effect (SURVEY.md §7.4.5).

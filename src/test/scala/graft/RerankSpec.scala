@@ -59,6 +59,30 @@ class RerankSpec extends SparkSpec {
     assert(hi(3L).isNaN)
   }
 
+  test("R3 geolocation rerank matches pandas golden (farthest-in-result-set)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("relevance", DoubleType),
+      StructField("lon", DoubleType),
+      StructField("lat", DoubleType)))
+    val pts = Seq((10.0, 50.0), (-120.0, -30.0), (77.0, 20.0),
+      (0.0, 0.0), (10.5, 49.0), (100.0, 60.0))
+    val rel0 = Seq(0.6, 0.5, 0.4, 0.3, 0.2, 0.1)
+    val rows = pts.zip(rel0).zipWithIndex.map { case (((lon, lat), r), i) =>
+      Row(i.toLong, r, lon, lat)
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val out = Rerank.rerank(df,
+        Seq(GeoFilter("loc", 11.0, 49.5, weight = 1.5)),
+        minMax = Map.empty, geoCols = Map("loc" -> ("lon", "lat")))
+      .select("id", "relevance").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val golden = Map(0L -> 1.5, 1L -> -1.0, 2L -> -0.5, 3L -> 0.0, 4L -> 1.7, 5L -> 0.4)
+    golden.foreach { case (id, g) =>
+      assert(math.abs(out(id) - g) < 1e-9, s"id=$id got ${out(id)} want $g")
+    }
+  }
+
   test("R5 sparse modality skipped when no selected value present") {
     val out = Rerank.rerank(resultDf, Seq(SparseFilter("city", Seq("nowhere"))),
         Map.empty)
