@@ -19,6 +19,14 @@ object Tables {
     dfCache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
       spark.read.parquet(s"$dir/$name.parquet"))
 
+  /** Spread a (possibly single-row-group, therefore single-task) scan
+    * across the cluster before per-row-heavy narrow work. Round-robin
+    * shuffle; callers re-establish output order downstream. */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p / 2) df.repartition(p) else df
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")

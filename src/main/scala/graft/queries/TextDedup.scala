@@ -45,7 +45,7 @@ object TextDedup {
   // D2 MinHash signatures (8 hashes).
   private val d2 = Q(
     "d2_minhash_sig",
-    (s, d) => Tables.documents(s, d)
+    (s, d) => Tables.spread(Tables.documents(s, d))
       .select(col("doc_id") +: sigCols(8).map(j => minhash(j).as(s"h$j")): _*)
       .orderBy("doc_id"),
     Some(s"""SELECT doc_id,
@@ -57,7 +57,7 @@ object TextDedup {
   /** Shared MinHash-signature plan for banding (2 bands × 4 hashes);
     * signatures row-local, see above. */
   private def bandedSigs(s: SparkSession, d: String): DataFrame = {
-    val sigs = Tables.documents(s, d)
+    val sigs = Tables.spread(Tables.documents(s, d))
       .select(col("doc_id") +: sigCols(8).map(j => minhash(j).as(s"h$j")): _*)
     sigs
       .withColumn("band0", md5(concat(col("h0"), col("h1"), col("h2"), col("h3"))))
@@ -150,7 +150,7 @@ object TextDedup {
         val nHigh = size(filter(dtoks, t => substring(md5(t), j + 1, 1).isin(highs: _*)))
         when(nHigh * 2 > size(dtoks), lit(1L << j)).otherwise(lit(0L))
       }
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
         .orderBy("doc_id")
     },

@@ -102,5 +102,21 @@ object Vectors {
             max(CASE WHEN l_returnflag = 'Z' THEN 1 ELSE 0 END) = 1 AS has_z
             FROM lineitem"""))
 
-  val qs: Seq[Q] = Seq(k1, sim1, d5, a5, a6)
+  // sim2: multi-table LSH ANN — the scale path (candidate generation via
+  // bucket join, not O(n²)). Random hyperplanes are not reproducible in
+  // SQL → rows-only driver check; recall vs brute force is asserted in
+  // SweepSpec instead.
+  private val sim2 = Q(
+    "sim2_knn_lsh",
+    (s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+      Search.knnLsh(e, q, "embedding", "vec_id", "q_embedding", "q_id",
+          dim = 64, nBits = 4, k = 5)
+        .orderBy("q_id", "rk")
+    },
+    None)
+
+  val qs: Seq[Q] = Seq(k1, sim1, sim2, d5, a5, a6)
 }
