@@ -17,9 +17,21 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // coalesce(1) concatenates sorted shuffle partitions in partition
+        // order, which is NOT guaranteed to preserve a global sort (AQE
+        // coalescing, sample-skewed ranges). Re-apply the query's own
+        // top-level ORDER BY inside the single output partition so the
+        // written row order always matches the oracle's.
+        val sorted = df.queryExecution.analyzed match {
+          case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global =>
+            df.coalesce(1).sortWithinPartitions(
+              s.order.map(org.apache.spark.sql.graft.Bridge.column): _*)
+          case _ => df.coalesce(1)
+        }
+        sorted.write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -55,12 +55,12 @@ object FuseRank {
       ProductEncoder.encode(li, layout)
         .withColumn("score", round(Search.dot(col("fused_vec"), typedLit(q)), 6) + 0.0)
         .select(col("l_orderkey"), col("l_linenumber"), col("score"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "score")
     },
     Some("""SELECT l_orderkey, l_linenumber,
             round((CASE WHEN l_linestatus IS NULL THEN 0.0
                        WHEN l_linestatus = 'O' THEN 1.0 ELSE -1.0 END)::DOUBLE, 6) + 0.0 AS score
-            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+            FROM lineitem ORDER BY l_orderkey, l_linenumber, score"""))
 
   // fr3: geolocation dot — scale-and-shift against the data-dependent
   // farthest point (one max_by aggregate), then pure trig per row.
@@ -125,7 +125,7 @@ object FuseRank {
       ProductEncoder.encode(li, layout)
         .withColumn("score", round(Search.dot(col("fused_vec"), typedLit(q)), 6) + 0.0)
         .select(col("l_orderkey"), col("l_linenumber"), col("score"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "score")
     },
     Some("""WITH mm AS (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx FROM lineitem),
             prm AS (
@@ -144,7 +144,7 @@ object FuseRank {
               round(CASE WHEN l_quantity IS NULL THEN shift - 1.0
                     ELSE s * cos(pi()/2 * (0.99 * (2*((l_quantity - mn)/(mx - mn)) - 1) - vhat))
                          + shift END, 6) + 0.0 AS score
-            FROM lineitem, fin ORDER BY l_orderkey, l_linenumber"""))
+            FROM lineitem, fin ORDER BY l_orderkey, l_linenumber, score"""))
 
   // fr5: dense interval dot — the σ-damped Fourier partial sum, computed by
   // the REAL encoded vectors in Spark and by the analytic series in DuckDB:
@@ -164,7 +164,7 @@ object FuseRank {
       ProductEncoder.encode(li, layout)
         .withColumn("score", round(Search.dot(col("fused_vec"), typedLit(q)), 5) + 0.0)
         .select(col("l_orderkey"), col("l_linenumber"), col("score"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "score")
     },
     Some(s"""WITH mm AS (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx FROM lineitem),
             ab AS (
@@ -207,7 +207,7 @@ object FuseRank {
                       (sin(b*pi()*k) - sin(a*pi()*k)) / ((b - a) * (b - a) * pi() * k) *
                       cos(k * pi() * pout)))) AS ii_out
               FROM lineitem, iv)
-            ORDER BY l_orderkey, l_linenumber"""))
+            ORDER BY l_orderkey, l_linenumber, score"""))
 
   // fr6: fused multimodal top-k — text block (precomputed embeddings) +
   // sparse lang + dense n_chars, one exact inner-product top-k.

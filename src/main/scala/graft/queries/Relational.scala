@@ -82,13 +82,15 @@ object Relational {
         !col("l_orderkey").isin(100L, 200L))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_linestatus"), col("l_quantity"))
-      .orderBy("l_orderkey", "l_linenumber"),
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        "l_linestatus"),
     Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity
             FROM lineitem
             WHERE l_returnflag IN ('R','A') AND l_linestatus != 'F'
               AND l_quantity <= 30 AND l_shipdate IS NOT NULL
               AND l_orderkey NOT IN (100, 200)
-            ORDER BY l_orderkey, l_linenumber"""))
+            ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag,
+              l_linestatus"""))
 
   // T1 LogTransform log2(x+1) (reference src/transform.py:57-63)
   private val t1 = Q(
@@ -96,9 +98,9 @@ object Relational {
     (s, d) => Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"),
         round(log(2.0, col("l_quantity") + 1), 6).as("v"))
-      .orderBy("l_orderkey", "l_linenumber"),
+      .orderBy("l_orderkey", "l_linenumber", "v"),
     Some("""SELECT l_orderkey, l_linenumber, round(log2(l_quantity + 1), 6) AS v
-            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+            FROM lineitem ORDER BY l_orderkey, l_linenumber, v"""))
 
   // T2 SqrtTransform (reference src/transform.py:66-72)
   private val t2 = Q(
@@ -106,9 +108,9 @@ object Relational {
     (s, d) => Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"),
         round(sqrt(col("l_extendedprice")), 6).as("v"))
-      .orderBy("l_orderkey", "l_linenumber"),
+      .orderBy("l_orderkey", "l_linenumber", "v"),
     Some("""SELECT l_orderkey, l_linenumber, round(sqrt(l_extendedprice), 6) AS v
-            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+            FROM lineitem ORDER BY l_orderkey, l_linenumber, v"""))
 
   // T3 InverseTransform 1/(x+1e-10) (reference src/transform.py:48-54)
   private val t3 = Q(
@@ -116,10 +118,10 @@ object Relational {
     (s, d) => Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"),
         round(lit(1.0) / (col("l_quantity") + 1e-10), 6).as("v"))
-      .orderBy("l_orderkey", "l_linenumber"),
+      .orderBy("l_orderkey", "l_linenumber", "v"),
     Some("""SELECT l_orderkey, l_linenumber,
             round(1.0 / (l_quantity + 1e-10), 6) AS v
-            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+            FROM lineitem ORDER BY l_orderkey, l_linenumber, v"""))
 
   // A1 min/max profile pass (reference src/encode.py:358-359, src/app.py:230-231)
   private val a1 = Q(
@@ -326,7 +328,8 @@ object Relational {
     "r6_rank_norm",
     (s, d) => {
       val top = Tables.lineitem(s, d)
-        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"))
         .limit(50)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       val wRn = Window.orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
@@ -337,10 +340,11 @@ object Relational {
         .withColumn("n", count(lit(1)).over(Window.partitionBy()))
         .select(col("l_orderkey"), col("l_linenumber"),
           round(lit(2.0) * (col("avg_rank") - 1) / (col("n") - 1) - 1, 6).as("col_rank"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "col_rank")
     },
     Some("""WITH top AS (SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-                         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 50),
+                         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber,
+                           l_quantity LIMIT 50),
                  r AS (SELECT *,
                        row_number() OVER (ORDER BY l_quantity, l_orderkey, l_linenumber)::DOUBLE AS rn
                        FROM top),
@@ -348,7 +352,7 @@ object Relational {
                         count(*) OVER () AS n FROM r)
             SELECT l_orderkey, l_linenumber,
                    round(2.0 * (avg_rank - 1) / (n - 1) - 1, 6) AS col_rank
-            FROM ar ORDER BY l_orderkey, l_linenumber"""))
+            FROM ar ORDER BY l_orderkey, l_linenumber, col_rank"""))
 
   val qs: Seq[Q] = Seq(p1, p2, p3, p7, p10, t1, t2, t3,
     a1, a2, a3, a4, k2, k3, k6, a9, a9b, a10, a7, a8, r6)

@@ -16,8 +16,12 @@ object RerankQueries {
   private val rr1 = Q(
     "rr1_rerank_pipeline",
     (s, d) => {
+      // lineitem (orderkey, linenumber) is NOT unique in the testdata —
+      // the top-50 cut and all downstream ranks need a total order
       val top = Tables.lineitem(s, d)
-        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_linestatus"),
+          col("l_returnflag"))
         .limit(50)
         .withColumn("relevance", lit(0.0))
       val filters = Seq[Filter](
@@ -28,12 +32,13 @@ object RerankQueries {
       Rerank.rerank(top, filters, minMax = Map("l_quantity" -> (1.0, 50.0)))
         .select(col("l_orderkey"), col("l_linenumber"),
           (round(col("relevance"), 6) + 0.0).as("relevance"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "relevance")
     },
     Some("""WITH top AS (
               SELECT l_orderkey, l_linenumber, l_quantity, l_linestatus, l_returnflag
               FROM lineitem
-              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 50),
+              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber,
+                l_quantity, l_linestatus, l_returnflag LIMIT 50),
             k AS (SELECT *,
               abs(30.0 - l_quantity) AS k1,
               CASE WHEN l_quantity BETWEEN 10 AND 40 THEN -1e308 ELSE l_quantity END AS k2,
@@ -58,7 +63,7 @@ object RerankQueries {
                     CASE WHEN (SELECT count(*) FROM top
                                WHERE l_returnflag IN ('A','R')) > 0
                          THEN (2*(r5-1)/49 - 1) * 2.0 ELSE 0.0 END, 6) + 0.0 AS relevance
-            FROM r ORDER BY l_orderkey, l_linenumber"""))
+            FROM r ORDER BY l_orderkey, l_linenumber, relevance"""))
 
   // t4: Yeo-Johnson APPLY with fixed λ (the fit is tested in ScalaTest; the
   // piecewise formula is oracle-checkable). events.value exercises both
