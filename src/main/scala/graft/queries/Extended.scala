@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.queries.Q.dsum
+
+/** Capability-growth operators the reference lacks but Spark provides for
+  * free (SURVEY.md §2.10 "Spark gives all of them free if capabilities
+  * grow"): rollup aggregation, analytic window functions, relational set
+  * ops. Oracle-checked like everything else.
+  */
+object Extended {
+
+  // e1: ROLLUP aggregation (grouping-sets family).
+  private val e1 = Q(
+    "e1_rollup_agg",
+    (s, d) => Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(dsum(col("l_quantity")), 4).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy("rf", "ls"),
+    Some("""SELECT coalesce(l_returnflag, '<all>') AS rf,
+            coalesce(l_linestatus, '<all>') AS ls,
+            round(sum(l_quantity::DECIMAL(28,6))::DOUBLE, 4) AS sum_qty,
+            count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY rf, ls"""))
+
+  // e2: analytic window suite — lag / lead / ntile / running sum over a
+  // per-customer event-ordered frame.
+  private val e2 = Q(
+    "e2_window_analytics",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)).as("prev_price"),
+          coalesce(lead(col("o_totalprice"), 1).over(w), lit(0.0)).as("next_price"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(sum(col("o_totalprice")).over(wRun), 4).as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+            coalesce(lag(o_totalprice, 1) OVER w, 0.0) AS prev_price,
+            coalesce(lead(o_totalprice, 1) OVER w, 0.0) AS next_price,
+            ntile(4) OVER w AS quartile,
+            round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+            FROM orders WHERE o_custkey < 100
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_custkey, o_orderkey"""))
+
+  // e3: INTERSECT / EXCEPT on relations (the reference only intersects id
+  // lists driver-side, A7/A8).
+  private val e3 = Q(
+    "e3_set_ops",
+    (s, d) => {
+      val a = Tables.lineitem(s, d).filter(col("l_quantity") <= 10)
+        .select(col("l_partkey"))
+      val b = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_partkey"))
+      a.intersect(b).withColumn("op", lit("both"))
+        .unionByName(a.except(b).withColumn("op", lit("only_lowqty")))
+        .orderBy("op", "l_partkey")
+    },
+    Some("""SELECT l_partkey, 'both' AS op FROM
+              (SELECT l_partkey FROM lineitem WHERE l_quantity <= 10
+               INTERSECT
+               SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+            UNION ALL
+            SELECT l_partkey, 'only_lowqty' AS op FROM
+              (SELECT l_partkey FROM lineitem WHERE l_quantity <= 10
+               EXCEPT
+               SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+            ORDER BY op, l_partkey"""))
+
+  // e4: P12 zip-to-struct (reference src/load_restaurants.py:15) surfaced
+  // as an oracle query — struct column round-trips through parquet on both
+  // engines.
+  private val e4 = Q(
+    "e4_zip_struct",
+    (s, d) => Tables.customer(s, d)
+      .select(col("c_custkey"),
+        struct((col("c_custkey") % 360 - 180).cast("double").as("lon"),
+          (col("c_custkey") * 7 % 160 - 80).cast("double").as("lat")).as("location"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey,
+            {'lon': ((c_custkey % 360) - 180)::DOUBLE,
+             'lat': (((c_custkey * 7) % 160) - 80)::DOUBLE} AS location
+            FROM customer ORDER BY c_custkey"""))
+
+  val qs: Seq[Q] = Seq(e1, e2, e3, e4)
+}

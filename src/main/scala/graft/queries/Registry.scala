@@ -6,7 +6,7 @@ package graft.queries
 object Registry {
   def all: Seq[Q] =
     Relational.qs ++ Vectors.qs ++ TextDedup.qs ++ GeoQueries.qs ++
-      FuseRank.qs ++ RerankQueries.qs
+      FuseRank.qs ++ RerankQueries.qs ++ Extended.qs
 
   def duplicateNames: Seq[String] =
     all.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }.toSeq
