@@ -99,10 +99,14 @@ object Multimodal {
       val c = codec
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](idx)
-        val decoded = if (payload == null) null else {
-          val (w, h, px) = c.decode(payload)
-          Row(w, h, px)
-        }
+        // malformed payloads (undecodable media) yield null, not a task
+        // failure — at 100 TB a single corrupt blob must not kill the job
+        val decoded =
+          if (payload == null) null
+          else scala.util.Try {
+            val (w, h, px) = c.decode(payload)
+            Row(w, h, px)
+          }.getOrElse(null)
         Row.fromSeq(r.toSeq :+ decoded)
       }
     }(enc)
@@ -119,10 +123,12 @@ object Multimodal {
       val c = codec
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](idx)
-        val vec = if (payload == null) null else {
-          val (_, _, px) = c.decode(payload)
-          c.embed(px).toSeq
-        }
+        val vec =
+          if (payload == null) null
+          else scala.util.Try {
+            val (_, _, px) = c.decode(payload)
+            c.embed(px).toSeq
+          }.getOrElse(null)
         Row.fromSeq(r.toSeq :+ vec)
       }
     }(enc)
@@ -138,12 +144,14 @@ object Multimodal {
       val c = codec
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](idx)
-        val out = if (payload == null) null else {
-          val (w, h, px) = c.decode(payload)
-          val bb = java.nio.ByteBuffer.allocate(8 + newW * newH)
-          bb.putInt(newW); bb.putInt(newH); bb.put(c.resize(px, w, h, newW, newH))
-          bb.array()
-        }
+        val out =
+          if (payload == null) null
+          else scala.util.Try {
+            val (w, h, px) = c.decode(payload)
+            val bb = java.nio.ByteBuffer.allocate(8 + newW * newH)
+            bb.putInt(newW); bb.putInt(newH); bb.put(c.resize(px, w, h, newW, newH))
+            bb.array()
+          }.getOrElse(null)
         Row.fromSeq(r.toSeq :+ out)
       }
     }(enc)

@@ -117,16 +117,16 @@ object Search {
     */
   def lshBuckets(vectors: DataFrame, vecCol: String, dim: Int,
                  nBits: Int, nTables: Int = 8, seed: Long = 42L): DataFrame = {
-    val rng = new scala.util.Random(seed)
-    val tables = (0 until nTables).map { t =>
-      val planes = Seq.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
-      val bits = planes.zipWithIndex.map { case (p, i) =>
-        when(dot(asDouble(col(vecCol)), typedLit(p)) >= 0.0, lit(1L << i))
-          .otherwise(lit(0L))
-      }
-      struct(lit(t).as("tbl"), bits.reduce(_ + _).as("sig"))
-    }
-    vectors.withColumn("bucket", explode(array(tables: _*)))
+    import org.apache.spark.sql.graft.LshSignatures
+    // all signatures in ONE expression (plane matrix as a reference
+    // object) — nTables×nBits separate dot columns bloat codegen and
+    // re-scan the vector per plane
+    val planes = LshSignatures.planesFor(dim, nBits, nTables, seed)
+    val sigs = LshSignatures.signatures(asDouble(col(vecCol)), planes, nTables, nBits)
+    vectors
+      .select(col("*"), posexplode(sigs).as(Seq("__tbl", "__sig")))
+      .withColumn("bucket", struct(col("__tbl").as("tbl"), col("__sig").as("sig")))
+      .drop("__tbl", "__sig")
   }
 
   /** ANN top-k via multi-table LSH: candidates = vectors sharing ANY
