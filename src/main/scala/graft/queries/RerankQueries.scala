@@ -147,5 +147,55 @@ object RerankQueries {
                round(least(k_log, k_sqrt, k_inv), 6) + 0.0 AS ks
              FROM ks"""))
 
-  val qs: Seq[Q] = Seq(rr1, t4, t5, t6)
+  // rr2: R3 geolocation re-rank — farthest point WITHIN the result set
+  // (window max_by), closed-form scale-and-shift key, avg-tie rank
+  // ascending (reference src/encode.py:232-246).
+  private val rr2 = Q(
+    "rr2_geo_rerank",
+    (s, d) => {
+      val top = Tables.customer(s, d)
+        .withColumn("lon", (col("c_custkey") % 360 - 180).cast("double"))
+        .withColumn("lat", (col("c_custkey") * 7 % 160 - 80).cast("double"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .limit(50)
+        .withColumn("relevance", lit(0.0))
+      Rerank.rerank(top, Seq(GeoFilter("loc", 10.0, 50.0, weight = 1.0)),
+          minMax = Map.empty, geoCols = Map("loc" -> ("lon", "lat")))
+        .select(col("c_custkey"), (round(col("relevance"), 6) + 0.0).as("relevance"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH top AS (
+              SELECT c_custkey,
+                     ((c_custkey % 360) - 180)::DOUBLE AS lon,
+                     (((c_custkey * 7) % 160) - 80)::DOUBLE AS lat
+              FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 50),
+            far AS (
+              SELECT lon AS flon, lat AS flat FROM top
+              ORDER BY 2.0 * 6371.0 * asin(sqrt(
+                  pow(sin(radians(50.0 - lat) / 2), 2) +
+                  cos(radians(lat)) * cos(radians(50.0)) *
+                  pow(sin(radians(10.0 - lon) / 2), 2))) DESC,
+                lon DESC, lat DESC
+              LIMIT 1),
+            prm AS (
+              SELECT 2 / (1 - (cos(radians(50.0))*cos(radians(10.0))*cos(radians(flat))*cos(radians(flon)) +
+                               cos(radians(50.0))*sin(radians(10.0))*cos(radians(flat))*sin(radians(flon)) +
+                               sin(radians(50.0))*sin(radians(flat)))) AS s
+              FROM far),
+            keyed AS (
+              SELECT c_custkey,
+                (cos(radians(lat))*cos(radians(lon))*cos(radians(50.0))*cos(radians(10.0)) +
+                 cos(radians(lat))*sin(radians(lon))*cos(radians(50.0))*sin(radians(10.0)) +
+                 sin(radians(lat))*sin(radians(50.0))) * s
+                + (1 - s * (pow(cos(radians(50.0))*cos(radians(10.0)), 2) +
+                            pow(cos(radians(50.0))*sin(radians(10.0)), 2) +
+                            pow(sin(radians(50.0)), 2))) AS key
+              FROM top, prm),
+            rn AS (SELECT *, row_number() OVER (ORDER BY key ASC, c_custkey) AS r
+                   FROM keyed),
+            ar AS (SELECT *, avg(r) OVER (PARTITION BY key) AS ar FROM rn)
+            SELECT c_custkey, round(2.0 * (ar - 1) / 49 - 1, 6) + 0.0 AS relevance
+            FROM ar ORDER BY c_custkey"""))
+
+  val qs: Seq[Q] = Seq(rr1, rr2, t4, t5, t6)
 }

@@ -70,8 +70,11 @@ object Rerank {
       case GeoFilter(column, lon, lat, negated, _) =>
         val (lonCol, latCol) = geoCols(column)
         val d = Geo.haversine(col(lonCol), col(latCol), lit(lon), lit(lat))
+        // lexicographic (dist, lon, lat) max — deterministic under
+        // distance ties (duplicate coordinates in the result set)
         val far = max_by(struct(col(lonCol).cast("double").as("lon"),
-            col(latCol).cast("double").as("lat")), d)
+            col(latCol).cast("double").as("lat")),
+            struct(d, col(lonCol).cast("double"), col(latCol).cast("double")))
           .over(Window.partitionBy())
         // farthest varies per result set; resolve via window then compute
         // the scale-and-shift dot in closed form:
