@@ -59,6 +59,31 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("fitTransforms: best transform fitted and applied to filter bounds") {
+    val items = Prep.withRowId(
+      Prep.restaurants(Tables.restaurants(spark)),
+      Seq(col("Restaurant Name"), col("Location.lon"), col("Location.lat"),
+        col("Votes")))
+    val eng = FuseRankEngine.index(items, FuseRankConfig(
+      idCol = "row_id",
+      textCols = Map("Cuisines" -> 1.0),
+      auxCols = Seq("Votes"),
+      params = graft.encode.EncoderParams(numHarmonics = 8),
+      fitTransforms = true))
+    // Votes is heavily right-skewed — a normalizing transform must win
+    assert(eng.transforms.contains("Votes"), s"transforms: ${eng.transforms}")
+    // profile is computed on TRANSFORMED data (reference transformed_df)
+    val t = eng.transforms("Votes")
+    assert(math.abs(eng.profiles("Votes").max - t.applyScalar(10934.0)) < 1e-6 ||
+      eng.profiles("Votes").max <= t.applyScalar(10934.0) + 1e-6)
+    // interval filter bounds pass through the SAME fitted transform; the
+    // search must still return k rows with descending relevance
+    val hits = eng.search("north indian",
+      Seq(DenseIntervalFilter("Votes", 100.0, 2000.0, weight = 2.0)), k = 10)
+    val rel = hits.select("relevance").collect().map(_.getDouble(0))
+    assert(rel.length == 10 && rel.zip(rel.tail).forall { case (a, b) => a >= b })
+  }
+
   test("geo modality end-to-end: nearby restaurants outrank far ones") {
     val items = Prep.withRowId(
       Prep.restaurants(Tables.restaurants(spark)),
