@@ -36,4 +36,26 @@ class DotProductSpec extends SparkSpec {
       Array.fill(64)(0.5), 5).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
   }
+
+  test("plan regression: filters pushed to parquet, columns pruned") {
+    val df = Tables.lineitem(spark, sf("sf0.001"))
+      .filter(col("l_returnflag") === "A" && col("l_quantity") <= 25)
+      .select("l_orderkey", "l_extendedprice")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(l_returnflag,A)"), plan.take(800))
+    // pruned read schema: only the 4 referenced columns reach the scan
+    val readSchema = "ReadSchema: struct<" +
+      plan.split("ReadSchema: struct<")(1).split(">")(0) + ">"
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_tax"),
+      readSchema)
+  }
+
+  test("plan regression: dimension join broadcasts") {
+    val plan = Tables.orders(spark, sf("sf0.001"))
+      .join(broadcast(Tables.customer(spark, sf("sf0.001"))),
+        col("o_custkey") === col("c_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
 }
