@@ -63,6 +63,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows(("10", "view")) == (1L, 8.0))
   }
 
+  test("incremental index end-to-end: streamed items become searchable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val layout = VectorLayout(Seq(DenseBlock("price", 0.0, 100.0, params)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_idx").toString
+
+    val mem = MemoryStream[(Long, Double)]
+    val q = Streaming.writeIndex(
+      Streaming.incrementalEncode(mem.toDF().toDF("id", "price"), layout)
+        .select("id", "price", "fused_vec"),
+      s"$dir/index", s"$dir/ckpt").start()
+    mem.addData((1L, 20.0), (2L, 50.0))
+    q.processAllAvailable()
+    mem.addData((3L, 52.0)) // arrives in a later micro-batch
+    q.processAllAvailable()
+    q.stop()
+
+    // a search over the durable index sees ALL streamed items; the row
+    // whose price matches the query centroid wins
+    val idx = spark.read.parquet(s"$dir/index")
+    assert(idx.count() == 3)
+    val qv = graft.query.QueryEncoder.encode(layout,
+      Map("price" -> graft.query.DensePointFilter("price", 51.0)))
+    val top = graft.search.Search.fusedTopK(idx, "fused_vec", "id", qv, 3)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(top.head == 3L || top.head == 2L, s"top=$top") // 52 and 50 bracket 51
+    assert(top.last == 1L, s"top=$top")                   // 20 is farthest
+  }
+
   test("stateful running user aggregates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
