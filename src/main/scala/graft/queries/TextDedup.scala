@@ -75,18 +75,24 @@ object TextDedup {
       val sigs = bandedSigs(s, d)
         .select("doc_id", "band0", "band1")
         .persist()
+      // each candidate pair rides the union/distinct/sort pipeline as ONE
+      // packed long (a_id·1e9 + b_id): halves shuffle width, and the
+      // packed order equals (a_id, b_id) lexicographic order
+      val P = 1000000000L
       def pairsOn(b: String): DataFrame = {
         val l = sigs.select(col("doc_id").as("a_id"), col(b).as("bucket"))
         val r = sigs.select(col("doc_id").as("b_id"), col(b).as("bucket"))
         l.join(r, "bucket").filter(col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"))
+          .select((col("a_id") * P + col("b_id")).as("pair"))
       }
       // persist before the global sort: range-partitioning samples its
       // child, which would otherwise re-execute the join+distinct pipeline
       val pairs = pairsOn("band0").unionByName(pairsOn("band1"))
         .distinct()
         .persist()
-      pairs.orderBy("a_id", "b_id")
+      pairs.orderBy("pair")
+        .select(expr(s"pair div $P").as("a_id"),
+          pmod(col("pair"), lit(P)).cast("long").as("b_id"))
     },
     Some("""WITH tok AS (SELECT DISTINCT doc_id,
                          unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
