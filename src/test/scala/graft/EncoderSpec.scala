@@ -135,6 +135,25 @@ class EncoderSpec extends SparkSpec {
     assert(FourierMath.dot(vecs(3L), qNo) == -1.0)
   }
 
+  test("fuseInto (mapPartitions) == fuseColumns (Column expr) weighted fusion") {
+    import spark.implicits._
+    val e = HashingEmbedder(16)
+    val df = Seq((1L, "alpha beta", "gamma"), (2L, "delta", ""),
+      (3L, "", "")).toDF("id", "t1", "t2")
+    val w = Map("t1" -> 0.4, "t2" -> 0.6)
+    val viaCol = df.select(org.apache.spark.sql.functions.col("id"),
+        Embedders.fuseColumns(e, w).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val viaMp = Embedders.fuseInto(df, e, w, "v")
+      .select("id", "v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    viaCol.foreach { case (id, v) =>
+      v.zip(viaMp(id)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-12, s"id=$id")
+      }
+    }
+  }
+
   test("HashingEmbedder: driver and column paths agree; deterministic") {
     val e = HashingEmbedder(32)
     import spark.implicits._
