@@ -7,11 +7,15 @@ import scala.collection.concurrent.TrieMap
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line with total wall seconds and
   * per-query seconds.
   *
-  * Queries run CONCURRENTLY on a bounded pool — Spark's scheduler
-  * multiplexes independent jobs across the local[32] cores exactly as a
-  * multi-tenant cluster would; "total" is the wall-clock of the whole
-  * workload. Per-query numbers are each query's own wall time under that
-  * concurrency.
+  * Queries run SEQUENTIALLY by default so every per-query number is the
+  * query's own solo wall time — comparable run-to-run and against the
+  * DuckDB oracle timing of the same SQL. Set SPARK_GRAFT_BENCH_THREADS>1
+  * to measure multi-tenant throughput instead (per-query numbers then
+  * include scheduler contention and are NOT regression-comparable).
+  *
+  * A query that throws is recorded with a negative elapsed time and named
+  * in an "errors" list — a broken query can never masquerade as a fast
+  * successful one.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -41,35 +45,63 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/JIT + scheduler warmup (not query work).
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // Full-codepath JIT warmup: run every query once against the SMALLEST
+    // scale factor (different directory — no page-cache or result reuse on
+    // the measured data). This compiles the parquet reader, Tungsten
+    // codegen, shuffle and window paths once, so the measured pass reports
+    // steady-state per-query times instead of first-hit JIT noise.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") == "1" &&
+        new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+    }
 
+    val threads = sys.env.getOrElse("SPARK_GRAFT_BENCH_THREADS", "1").toInt
     val results = TrieMap.empty[String, Double]
-    val pool = Executors.newFixedThreadPool(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_THREADS", "8").toInt)
-    // longest-processing-time-first submission order shrinks the makespan:
-    // the known-heavy queries start immediately instead of trailing
-    val heavy = Seq("d3_minhash_lsh_pairs", "d5_embedding_neardup",
-      "sim1_knn_cosine", "sim2_knn_lsh", "a7_recall", "fr5_dense_interval_score",
-      "fr6_fused_topk", "k6_seeded_sample", "d1_exact_dedup", "st1_event_window")
-    val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) =>
-      val i = heavy.indexOf(n); if (i < 0) heavy.size else i
+    val errors = TrieMap.empty[String, String]
+
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val q0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        results.put(name, (System.nanoTime() - q0) / 1e9)
+      } catch {
+        case t: Throwable =>
+          // negative sentinel: elapsed-until-failure, negated
+          results.put(name, -((System.nanoTime() - q0) / 1e9))
+          errors.put(name, t.toString.take(200).replaceAll("[\"\\\\\n]", " "))
+          System.err.println(s"BENCH FAILURE $name: $t")
+      }
     }
+
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val t0 = System.nanoTime()
-    ordered.foreach { case (name, fn) =>
-      pool.submit(new Runnable {
-        def run(): Unit = {
-          val q0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-          results.put(name, (System.nanoTime() - q0) / 1e9)
-        }
-      })
+    if (threads <= 1) {
+      ordered.foreach { case (name, fn) => runOne(name, fn) }
+    } else {
+      // longest-processing-time-first submission order shrinks the makespan
+      val heavy = Seq("d3_minhash_lsh_pairs", "d5_embedding_neardup",
+        "sim1_knn_cosine", "sim2_knn_lsh", "a7_recall", "fr5_dense_interval_score",
+        "fr6_fused_topk", "k6_seeded_sample", "d1_exact_dedup", "st1_event_window")
+      val lpt = ordered.sortBy { case (n, _) =>
+        val i = heavy.indexOf(n); if (i < 0) heavy.size else i
+      }
+      val pool = Executors.newFixedThreadPool(threads)
+      lpt.foreach { case (name, fn) =>
+        pool.submit(new Runnable { def run(): Unit = runOne(name, fn) })
+      }
+      pool.shutdown()
+      pool.awaitTermination(2, TimeUnit.HOURS)
     }
-    pool.shutdown()
-    pool.awaitTermination(2, TimeUnit.HOURS)
     val total = (System.nanoTime() - t0) / 1e9
 
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

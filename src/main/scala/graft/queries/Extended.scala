@@ -84,19 +84,29 @@ object Extended {
             ORDER BY op, l_partkey"""))
 
   // e4: P12 zip-to-struct (reference src/load_restaurants.py:15) surfaced
-  // as an oracle query — struct column round-trips through parquet on both
-  // engines.
+  // as an oracle query. The struct is built and then field-accessed (the
+  // P12 semantics under test); the ORACLE-FACING projection is scalar
+  // lon/lat because the driver's pandas comparator cannot sort struct/dict
+  // cells (round-1 `unhashable type: 'dict'` failure).
   private val e4 = Q(
     "e4_zip_struct",
     (s, d) => Tables.customer(s, d)
       .select(col("c_custkey"),
         struct((col("c_custkey") % 360 - 180).cast("double").as("lon"),
           (col("c_custkey") * 7 % 160 - 80).cast("double").as("lat")).as("location"))
+      .select(col("c_custkey"),
+        col("location.lon").as("loc_lon"),
+        col("location.lat").as("loc_lat"))
       .orderBy("c_custkey"),
-    Some("""SELECT c_custkey,
-            {'lon': ((c_custkey % 360) - 180)::DOUBLE,
-             'lat': (((c_custkey * 7) % 160) - 80)::DOUBLE} AS location
-            FROM customer ORDER BY c_custkey"""))
+    Some("""WITH zipped AS (
+              SELECT c_custkey,
+                {'lon': ((c_custkey % 360) - 180)::DOUBLE,
+                 'lat': (((c_custkey * 7) % 160) - 80)::DOUBLE} AS location
+              FROM customer)
+            SELECT c_custkey,
+              location.lon AS loc_lon,
+              location.lat AS loc_lat
+            FROM zipped ORDER BY c_custkey"""))
 
   val qs: Seq[Q] = Seq(e1, e2, e3, e4)
 }

@@ -122,15 +122,14 @@ object RerankQueries {
   private val t6 = Q(
     "t6_best_transform",
     (s, d) => {
-      import org.apache.spark.sql.SparkSession
       val li = Tables.lineitem(s, d)
       val cands = Seq(
         "log2p1" -> log(2.0, col("l_quantity") + 1),
         "sqrt" -> sqrt(col("l_quantity")),
         "reciprocal" -> (lit(1.0) / (col("l_quantity") + 1e-10)))
-      val stats = cands.map { case (n, c) =>
-        n -> Transforms.ksStatistic(li, c).head().getDouble(0)
-      }
+      // all candidates scored in ONE job (tag-exploded scan; Transforms.ksStatistics)
+      val ks = Transforms.ksStatistics(li, cands)
+      val stats = cands.map { case (n, _) => n -> ks(n) }
       val best = stats.minBy(_._2) // stable: first of equal minima
       import s.implicits._
       Seq((best._1, BigDecimal(best._2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))

@@ -130,36 +130,124 @@ object Transforms {
   def normCdf(x: Column, mean: Column, std: Column): Column =
     (lit(1.0) + erfApprox((x - mean) / (std * math.sqrt(2.0)))) / 2.0
 
-  /** One-sample Kolmogorov-Smirnov statistic of `valueCol` against
-    * Normal(mean, std_pop) of the same data (reference
-    * stats.kstest(data, "norm", args=(mean, np.std)), src/transform.py:94-98;
-    * np.std is population std, ddof=0).
+  /** One-sample Kolmogorov-Smirnov statistics of several candidate
+    * transforms at once, against Normal(mean, std_pop) of each transformed
+    * column (reference stats.kstest(data, "norm", args=(mean, np.std)),
+    * src/transform.py:94-98; np.std is population std, ddof=0).
     *
-    * D = max over sorted x_i of max(i/n − F(x_i), F(x_i) − (i−1)/n).
-    * One shuffle (global sort window) — fit-time only, never query-time.
+    * For tied values the per-row deviations
+    *   D = max over sorted x_i of max(i/n − F(x_i), F(x_i) − (i−1)/n)
+    * attain their extremes at the first and last index of each tie group, so
+    * D = max over DISTINCT x of max(c(x)/n − F(x), F(x) − p(x)/n) with
+    * c(x) = #rows ≤ x and p(x) = c(x) − count(x) — identical doubles to the
+    * row-indexed form.
+    *
+    * Scale-safe plan (no global single-partition sort):
+    *   1. ONE scan tag-explodes every candidate → groupBy(tag, x) count —
+    *      map-side partial agg, shuffle keyed by (tag, value).
+    *   2. Distinct values are range-bucketed by per-tag approx quantiles
+    *      (driver collects only #tags × #buckets metadata rows).
+    *   3. Cumulative counts = bucket-partitioned window + broadcast-joined
+    *      exclusive bucket offsets — every window partition holds
+    *      ~d/buckets distinct values, never the whole column.
+    * Fit-time only, never query-time.
     */
+  def ksStatistics(df: DataFrame, cands: Seq[(String, Column)],
+                   buckets: Int = 32): Map[String, Double] = {
+    require(cands.nonEmpty)
+    val spark = df.sparkSession
+    val tags = cands.map(_._1)
+    val pairs = cands.flatMap { case (t, c) => Seq(lit(t), c.cast("double")) }
+    val grouped = df
+      .select(explode(map(pairs: _*)).as(Seq("tag", "x")))
+      .filter(col("x").isNotNull)
+      .groupBy("tag", "x").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Per-tag moments (n, Σx·cnt, Σx²·cnt ≡ raw-row sums) + quantile
+      // boundaries over the DISTINCT values (balances window partitions).
+      val probs = (1 until buckets).map(_.toDouble / buckets)
+      val meta = grouped.groupBy("tag").agg(
+        sum(col("cnt")).as("n"),
+        count(lit(1)).as("d"),
+        sum(col("x") * col("cnt")).as("sx"),
+        sum(col("x") * col("x") * col("cnt")).as("sx2"),
+        percentile_approx(col("x"), array(probs.map(lit(_)): _*),
+          lit(10000)).as("bounds")).collect()
+      val statByTag = meta.map { r =>
+        val n = r.getAs[Long]("n").toDouble
+        val m = r.getAs[Double]("sx") / n
+        val s = math.sqrt(math.max(r.getAs[Double]("sx2") / n - m * m, 0.0))
+        val bounds = r.getSeq[Double](r.fieldIndex("bounds")).distinct.sorted
+        r.getAs[String]("tag") -> ((n, m, s, bounds))
+      }.toMap
+      val maxDistinct = meta.map(_.getAs[Long]("d")).max
+
+      // Fast path: when every tag's DISTINCT-value count is modest, a single
+      // per-tag window partition (over distinct values, not raw rows) is
+      // cheap — skip the bucket-offset job entirely. The bucketed slow path
+      // below is the unbounded-cardinality scale path.
+      val smallCardinality = maxDistinct <= 65536
+
+      val bucketCol =
+        if (smallCardinality) lit(0)
+        else {
+          def bucketChain(bounds: Seq[Double]): Column =
+            bounds.foldLeft(lit(0)) { (acc, b) =>
+              acc + when(col("x") > b, 1).otherwise(0)
+            }
+          tags.foldRight(lit(-1): Column) { (t, els) =>
+            when(col("tag") === t, bucketChain(statByTag(t)._4)).otherwise(els)
+          }
+        }
+      val bucketed = grouped.withColumn("b", bucketCol)
+
+      // Exclusive prefix offsets per (tag, bucket) — #tags × #buckets rows.
+      val offRows =
+        if (smallCardinality) tags.map(t => (t, 0, 0L))
+        else {
+          val totals = bucketed.groupBy("tag", "b").agg(sum("cnt").as("bn")).collect()
+          totals.groupBy(_.getAs[String]("tag")).toSeq.flatMap {
+            case (t, rows) =>
+              var acc = 0L
+              rows.sortBy(_.getAs[Int]("b")).map { r =>
+                val off = acc; acc += r.getAs[Long]("bn")
+                (t, r.getAs[Int]("b"), off)
+              }
+          }
+        }
+      val offDf = spark.createDataFrame(offRows).toDF("tag", "b", "off")
+      val statDf = spark.createDataFrame(
+        statByTag.toSeq.map { case (t, (n, m, s, _)) => (t, n, m, s) })
+        .toDF("tag", "n", "m", "s")
+
+      val w = Window.partitionBy("tag", "b").orderBy("x")
+      val cdf = normCdf(col("x"), col("m"), col("s"))
+      bucketed
+        .join(broadcast(offDf), Seq("tag", "b"))
+        .join(broadcast(statDf), Seq("tag"))
+        .withColumn("c", (col("off") + sum(col("cnt")).over(w)).cast("double"))
+        .select(col("tag"), greatest(
+          col("c") / col("n") - cdf,
+          cdf - (col("c") - col("cnt")) / col("n")).as("dev"))
+        .groupBy("tag").agg(max(col("dev")).as("ks"))
+        .collect()
+        .map(r => r.getAs[String]("tag") -> r.getAs[Double]("ks")).toMap
+    } finally grouped.unpersist()
+  }
+
+  /** Single-candidate KS statistic as a 1-row DataFrame (column `ks`). */
   def ksStatistic(df: DataFrame, valueCol: Column): DataFrame = {
-    val v = valueCol.cast("double")
-    val stats = df.filter(v.isNotNull).agg(
-      avg(v).as("m"),
-      sqrt(avg(v * v) - avg(v) * avg(v)).as("s"),
-      count(lit(1)).as("n"))
-    val w = Window.orderBy(v)
-    df.filter(v.isNotNull)
-      .select(v.as("x"))
-      .withColumn("i", row_number().over(Window.orderBy(col("x"))).cast("double"))
-      .crossJoin(broadcast(stats))
-      .select(greatest(
-        col("i") / col("n") - normCdf(col("x"), col("m"), col("s")),
-        normCdf(col("x"), col("m"), col("s")) - (col("i") - 1) / col("n")).as("dev"))
-      .agg(max(col("dev")).as("ks"))
+    val ks = ksStatistics(df, Seq("v" -> valueCol))("v")
+    df.sparkSession.range(1).select(lit(ks).as("ks"))
   }
 
   /** Best-transform selection (reference get_best_transform,
     * src/transform.py:86-102): fit every candidate, score by KS statistic,
     * pick the minimum if it beats 1.0; candidates that reject the data
     * (negative input) are skipped. Candidate order matches the reference's
-    * reflection order (alphabetical by class name).
+    * reflection order (alphabetical by class name). All candidate KS
+    * statistics are computed in ONE pass (ksStatistics).
     */
   def bestTransform(df: DataFrame, colName: String,
                     fitYj: Boolean = true): Option[FittedTransform] = {
@@ -169,10 +257,11 @@ object Transforms {
       Seq(Reciprocal()) ++
         (if (hasNegative) Seq.empty else Seq(Log2p1, SqrtT)) ++
         (if (fitYj) Seq(YeoJohnson(YeoJohnson.fit(df, colName))) else Seq.empty)
+    val stats = ksStatistics(df, candidates.map(t => t.name -> t(c)))
     var best: Option[FittedTransform] = None
     var bestStat = 1.0
     candidates.foreach { t =>
-      val stat = ksStatistic(df, t(c)).head().getDouble(0)
+      val stat = stats(t.name)
       if (stat < bestStat) { bestStat = stat; best = Some(t) }
     }
     best
