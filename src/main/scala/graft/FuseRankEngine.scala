@@ -82,7 +82,26 @@ final class FuseRankEngine private (
           .withColumnRenamed("score", "relevance")
         val gathered = top.join(broadcast(itemsTransformed), Seq(idCol))
         val minMax = profiles.map { case (c, p) => c -> (p.min, p.max) }
-        Rerank.rerank(gathered, filters, minMax, geoCols)
+        // Dense filter values arrive in ORIGINAL units; the gathered columns
+        // and profile min/max are in TRANSFORMED scale — map the bounds
+        // through the fitted transform first, exactly as the reference
+        // transforms bounds before encode_query AND encode_result
+        // (src/app.py:274-290). Without this, abs(v−col)/between(lo,hi)
+        // and the min/max "Lowest"/"Highest" detection compare raw vs
+        // transformed values.
+        val scaledFilters = filters.map {
+          case f: DensePointFilter if transforms.contains(f.column) =>
+            f.copy(value = transforms(f.column).applyScalar(f.value))
+          case f: DenseIntervalFilter if transforms.contains(f.column) =>
+            val t = transforms(f.column)
+            // bounds transformed IN PLACE, no reorder — a decreasing
+            // transform (Reciprocal) inverts the interval, exactly as the
+            // reference does (src/app.py:273-276 transforms lower/upper
+            // without swapping; QueryEncoder matches)
+            f.copy(lo = t.applyScalar(f.lo), hi = t.applyScalar(f.hi))
+          case f => f
+        }
+        Rerank.rerank(gathered, scaledFilters, minMax, geoCols)
           .orderBy(col("relevance").desc, col(idCol))
     }
   }

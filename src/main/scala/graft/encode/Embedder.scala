@@ -26,6 +26,14 @@ trait Embedder extends Serializable {
   * hash; signed hashing (sign from the hash's next bit) keeps E[dot] ≈ 0
   * for unrelated texts; final L2 normalization.
   *
+  * Both paths normalize input to ASCII FIRST (strip non-ASCII code units),
+  * THEN lowercase: on pure-ASCII text, Spark's `lower()` (UTF8String ASCII
+  * fast path), `ascii()` and driver `toLowerCase(Locale.ROOT)`/`charAt`
+  * agree exactly — so `embed` and `embedColumn` produce identical vectors
+  * for ANY input, non-ASCII included (it contributes nothing on either
+  * side). Without the strip, `ascii()` (first UTF-8 byte) and `charAt`
+  * (UTF-16 unit) diverge on non-ASCII text.
+  *
   * Weighted multi-column fusion (reference Σ wᵢ·embᵢ then normalize,
   * src/encode.py:286-304) = embedColumns with a weight map.
   */
@@ -33,7 +41,12 @@ final case class HashingEmbedder(dim: Int = 64) extends Embedder {
 
   def embed(text: String): Array[Double] = {
     val v = new Array[Double](dim)
-    val t = text.toLowerCase
+    val sb = new java.lang.StringBuilder(text.length)
+    var p = 0
+    while (p < text.length) {
+      val ch = text.charAt(p); if (ch < 128) sb.append(ch); p += 1
+    }
+    val t = sb.toString.toLowerCase(java.util.Locale.ROOT)
     var i = 0
     while (i + 3 <= t.length) {
       var h = 17
@@ -58,7 +71,7 @@ final case class HashingEmbedder(dim: Int = 64) extends Embedder {
     * whole-stage codegen (no UDF).
     */
   def embedColumn(c: Column): Column = {
-    val t = lower(c)
+    val t = lower(regexp_replace(c, "[^\\x00-\\x7F]", ""))
     // positions 1..len-2; per position compute bucket + sign and build the
     // dim-vector by aggregating one-hot contributions.
     // sequence(1, n) counts DOWN when n < 1 — guard short strings explicitly

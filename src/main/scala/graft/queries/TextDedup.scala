@@ -77,13 +77,20 @@ object TextDedup {
         .persist()
       // each candidate pair rides the union/distinct/sort pipeline as ONE
       // packed long (a_id·1e9 + b_id): halves shuffle width, and the
-      // packed order equals (a_id, b_id) lexicographic order
+      // packed order equals (a_id, b_id) lexicographic order.
+      // Packing is only sound for ids < P — the inline assert_true fails the
+      // query on the first violating row (a_id < b_id, so guarding b_id
+      // covers both) instead of silently corrupting pairs at 1e9+ ids.
       val P = 1000000000L
       def pairsOn(b: String): DataFrame = {
         val l = sigs.select(col("doc_id").as("a_id"), col(b).as("bucket"))
         val r = sigs.select(col("doc_id").as("b_id"), col(b).as("bucket"))
+        val guard = coalesce(
+          assert_true(col("b_id") < P,
+            lit(s"doc_id >= $P overflows the packed pair long")).cast("long"),
+          lit(0L))
         l.join(r, "bucket").filter(col("a_id") < col("b_id"))
-          .select((col("a_id") * P + col("b_id")).as("pair"))
+          .select((col("a_id") * P + col("b_id") + guard).as("pair"))
       }
       // persist before the global sort: range-partitioning samples its
       // child, which would otherwise re-execute the join+distinct pipeline

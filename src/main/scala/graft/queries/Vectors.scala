@@ -103,9 +103,23 @@ object Vectors {
             FROM lineitem"""))
 
   // sim2: multi-table LSH ANN — the scale path (candidate generation via
-  // bucket join, not O(n²)). Random hyperplanes are not reproducible in
-  // SQL → rows-only driver check; recall vs brute force is asserted in
-  // SweepSpec instead.
+  // bucket join, not O(n²)). The seed-42 hyperplanes are deterministic
+  // (java.util.Random's algorithms are specified exactly), so they are
+  // rendered as DOUBLE[] literals into the DuckDB oracle (Double.toString
+  // round-trips the exact double) — the WHOLE ANN path is hash-checked:
+  // signatures → bucket join → dedup → exact cosine top-k.
+  private val Sim2Dim = 64
+  private val Sim2Bits = 4
+  private val Sim2Tables = 8
+
+  private def sim2PlanesSql: String = {
+    import org.apache.spark.sql.graft.LshSignatures
+    val planes = LshSignatures.planesFor(Sim2Dim, Sim2Bits, Sim2Tables, 42L)
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(${i / Sim2Bits}, ${i % Sim2Bits}, [${p.mkString(",")}]::DOUBLE[])"
+    }.mkString(", ")
+  }
+
   private val sim2 = Q(
     "sim2_knn_lsh",
     (s, d) => {
@@ -113,10 +127,32 @@ object Vectors {
       val q = e.filter(col("vec_id").isin(0L, 1L, 2L))
         .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
       Search.knnLsh(e, q, "embedding", "vec_id", "q_embedding", "q_id",
-          dim = 64, nBits = 4, k = 5)
+          dim = Sim2Dim, nBits = Sim2Bits, k = 5)
         .orderBy("q_id", "rk")
     },
-    None)
+    Some(s"""WITH planes(tbl, bit, p) AS (VALUES $sim2PlanesSql),
+             sigs AS (
+               SELECT e.vec_id, pl.tbl,
+                 sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) >= 0
+                          THEN 1 << pl.bit ELSE 0 END)::BIGINT AS sig
+               FROM embeddings e, planes pl
+               GROUP BY e.vec_id, pl.tbl),
+             qs AS (SELECT * FROM sigs WHERE vec_id IN (0, 1, 2)),
+             cand AS (
+               SELECT DISTINCT q.vec_id AS q_id, v.vec_id AS vec_id
+               FROM qs q JOIN sigs v ON q.tbl = v.tbl AND q.sig = v.sig
+               WHERE v.vec_id != q.vec_id),
+             scored AS (
+               SELECT c.q_id, c.vec_id,
+                 round(list_cosine_similarity(qe.embedding::DOUBLE[],
+                   ve.embedding::DOUBLE[]), 5) + 0.0 AS score
+               FROM cand c
+               JOIN embeddings qe ON qe.vec_id = c.q_id
+               JOIN embeddings ve ON ve.vec_id = c.vec_id),
+             ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY score DESC, vec_id) AS rk FROM scored)
+             SELECT q_id, vec_id, score, rk FROM ranked
+             WHERE rk <= 5 ORDER BY q_id, rk"""))
 
   val qs: Seq[Q] = Seq(k1, sim1, sim2, d5, a5, a6)
 }

@@ -80,10 +80,19 @@ object Rerank {
         // the scale-and-shift dot in closed form:
         //   enc = scaleAndShift(cart(q), cart(far)); key = dot([cart(row),1], enc)
         val qx = FourierMath.cartesian(lon, lat)
-        val dotMin = // dot(cart(q), cart(far)) via trig on the window-resolved far point
+        // Reference edge case (src/encode.py:235-236): plain np.argmax over
+        // distances with NaN returns the first NaN index, so ANY null
+        // location in the result set makes the "farthest point" a null
+        // point → zero cartesian → dot(q, far) = 0. Every null row yields
+        // the same zero vector, so this replication is deterministic even
+        // though the reference's pick of WHICH null row is positional.
+        val anyNull = max(when(col(lonCol).isNull || col(latCol).isNull, 1)
+          .otherwise(0)).over(Window.partitionBy())
+        val dotMinFar = // dot(cart(q), cart(far)) via trig on the window-resolved far point
           cos(radians(far.getField("lat"))) * cos(radians(far.getField("lon"))) * qx(0) +
             cos(radians(far.getField("lat"))) * sin(radians(far.getField("lon"))) * qx(1) +
             sin(radians(far.getField("lat"))) * qx(2)
+        val dotMin = when(anyNull === 1, lit(0.0)).otherwise(dotMinFar)
         val scale = lit(2.0) / (lit(1.0) - dotMin)
         val dotMax = scale * lit(qx.map(v => v * v).sum)
         val shiftDim = lit(1.0) - dotMax

@@ -157,7 +157,11 @@ class EncoderSpec extends SparkSpec {
   test("HashingEmbedder: driver and column paths agree; deterministic") {
     val e = HashingEmbedder(32)
     import spark.implicits._
-    val texts = Seq("the quick brown fox", "pack my box", "")
+    // non-ASCII inputs exercise the ASCII-normalization contract: ascii()
+    // (UTF-8 byte) vs charAt (UTF-16 unit) diverge unless both sides strip
+    // non-ASCII before hashing
+    val texts = Seq("the quick brown fox", "pack my box", "",
+      "Café São Paulo İstanbul kebap", "日本語テキスト mixed ascii tail")
     val fromCol = texts.toDF("t")
       .select(e.embedColumn(org.apache.spark.sql.functions.col("t")))
       .collect().map(_.getSeq[Double](0).toArray)

@@ -84,6 +84,41 @@ class EngineSpec extends SparkSpec {
     assert(rel.length == 10 && rel.zip(rel.tail).forall { case (a, b) => a >= b })
   }
 
+  test("re-ranking with fitTransforms: raw-unit interval bounds rank transformed columns") {
+    val items = Prep.withRowId(
+      Prep.restaurants(Tables.restaurants(spark)),
+      Seq(col("Restaurant Name"), col("Location.lon"), col("Location.lat"),
+        col("Votes")))
+    val eng = FuseRankEngine.index(items, FuseRankConfig(
+      idCol = "row_id",
+      textCols = Map("Cuisines" -> 1.0),
+      auxCols = Seq("Votes"),
+      params = graft.encode.EncoderParams(numHarmonics = 8),
+      fitTransforms = true))
+    val t = eng.transforms("Votes")
+    // filter carries ORIGINAL units; gathered columns are transformed —
+    // the engine must map the bounds through the fitted transform
+    // (reference transforms bounds before encode_result, src/app.py:273-276)
+    val hits = eng.search("north indian",
+      Seq(DenseIntervalFilter("Votes", 100.0, 2000.0, weight = 5.0)),
+      k = 30, method = SearchMethod.Reranking)
+    val rows = hits.select("Votes", "relevance").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val (lo, hi) = (t.applyScalar(100.0), t.applyScalar(2000.0))
+    val (inRange, rest) = rows.partition { case (v, _) => v >= lo && v <= hi }
+    // reference quirk (replicated): the in-interval sentinel is the smallest
+    // POSITIVE double (sys.float_info.min, src/encode.py:228), so rows whose
+    // transformed value is ≤ 0 (Votes=0 → log2p1=0) sort BELOW the sentinel
+    // and outrank in-interval rows — exclude them from the dominance check
+    val outRange = rest.filter(_._1 > 0)
+    assert(inRange.nonEmpty && outRange.nonEmpty,
+      s"need both groups in top-30: in=${inRange.length} out=${outRange.length}")
+    // weight 5 dominates text scores (≤1): every in-interval row must
+    // outrank every positive out-of-interval row
+    assert(inRange.map(_._2).min > outRange.map(_._2).max,
+      s"in-range min ${inRange.map(_._2).min} vs out max ${outRange.map(_._2).max}")
+  }
+
   test("geo modality end-to-end: nearby restaurants outrank far ones") {
     val items = Prep.withRowId(
       Prep.restaurants(Tables.restaurants(spark)),

@@ -83,6 +83,37 @@ class RerankSpec extends SparkSpec {
     }
   }
 
+  test("R3 null location: farthest collapses to zero cartesian (reference argmax-NaN)") {
+    // Reference src/encode.py:235-236 uses plain np.argmax: a NaN distance
+    // (null location) wins, making the farthest point the null point → zero
+    // cartesian → dot(q, far) = 0 → scale = 2, shift = 1 − 2·|q|² = −1.
+    // The null row itself keys like a dot=0 row (coalesced zero cartesian).
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("relevance", DoubleType),
+      StructField("lon", DoubleType),
+      StructField("lat", DoubleType)))
+    val rows = Seq(
+      Row(0L, 0.0, 11.0, 49.5),   // = query point → dot 1 → key 2·1−1 = 1
+      Row(1L, 0.0, null, null),   // null → key = shift = −1
+      Row(2L, 0.0, -169.0, -49.5) // antipode → dot −1 → key −3
+    )
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val out = Rerank.rerank(df,
+        Seq(GeoFilter("loc", 11.0, 49.5, weight = 1.0)),
+        minMax = Map.empty, geoCols = Map("loc" -> ("lon", "lat")))
+      .select("id", "relevance").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // ascending keys (−3, −1, 1) → ranks (1, 2, 3) → norms (−1, 0, +1).
+    // Without the argmax-NaN replication, farthest = the antipode row and
+    // scale = 2/(1−(−1)) = 1 — ranks are unchanged (monotone map) but the
+    // query must not degenerate (old max_by path never picks null rows,
+    // which breaks scale when far == q, dot = 1).
+    assert(math.abs(out(0L) - 1.0) < 1e-9, s"got ${out(0L)}")
+    assert(math.abs(out(1L) - 0.0) < 1e-9, s"got ${out(1L)}")
+    assert(math.abs(out(2L) - (-1.0)) < 1e-9, s"got ${out(2L)}")
+  }
+
   test("R5 sparse modality skipped when no selected value present") {
     val out = Rerank.rerank(resultDf, Seq(SparseFilter("city", Seq("nowhere"))),
         Map.empty)
