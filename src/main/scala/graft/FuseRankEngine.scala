@@ -128,9 +128,20 @@ object FuseRankEngine {
 
   /** Build the index: profile pass → (optional) transform fit → encode
     * projection → persist. */
-  def index(rawItems: DataFrame, config: FuseRankConfig): FuseRankEngine = {
-    import config._
+  def index(rawItems: DataFrame, config0: FuseRankConfig): FuseRankEngine = {
     val items = rawItems
+    // Geolocation inference from the schema (reference infers geolocation
+    // from tuple-valued object columns, src/app.py:46-50): any aux column
+    // typed struct(numeric, numeric, ...) is a geo modality with (lon, lat)
+    // = its first two fields. Explicit geoCols entries are an OVERRIDE, not
+    // a requirement.
+    val inferredGeo = config0.auxCols
+      .filterNot(config0.geoCols.contains)
+      .filter(c => graft.profile.Profiler.isGeoStruct(items.schema(c).dataType))
+      .map(c => c -> graft.profile.Profiler.geoFieldPaths(items, c))
+      .toMap
+    val config = config0.copy(geoCols = config0.geoCols ++ inferredGeo)
+    import config._
     // 1. transforms (fit on raw data, applied before profiling/encoding —
     //    reference fits in create_schemas then encodes transformed_df)
     val transforms: Map[String, FittedTransform] =

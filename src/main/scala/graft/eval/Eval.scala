@@ -81,6 +81,15 @@ object Eval {
   final case class SweepPoint(numModalities: Int, repetition: Int, seed: Int,
                               modalities: Seq[String], recall: Double)
 
+  /** The reference's exact seeding discipline (src/eval/evaluate.py:174-181):
+    * seed = int("<m><i>"), then a seeded shuffle picks the m modalities.
+    * Shared by the sweep driver and the a11 oracle-SQL builder so both
+    * sides choose identical subsets. */
+  def modalitiesFor(candidateCols: Seq[String], m: Int, i: Int): (Int, Seq[String]) = {
+    val seed = s"$m$i".toInt
+    (seed, new scala.util.Random(seed).shuffle(candidateCols).take(m))
+  }
+
   /** A11 experiment sweep (reference src/eval/evaluate.py:156-242):
     * modality-count m = 1..N × `repetitions`, seed = int("<m><i>") —
     * the reference's exact seeding discipline — sample one row, choose m
@@ -96,8 +105,7 @@ object Eval {
     val n = candidateCols.size
     (1 to n).flatMap { m =>
       (0 until repetitions).map { i =>
-        val seed = s"$m$i".toInt
-        val rng = new scala.util.Random(seed)
+        val (seed, mods) = modalitiesFor(candidateCols, m, i)
         // seeded row sample: deterministic hash order (distributed twin of
         // pandas df.sample(random_state=seed), reference evaluate.py:176)
         val sampled = items
@@ -105,7 +113,6 @@ object Eval {
           .orderBy("__h").limit(1)
           .select(candidateCols.map(col): _*).head()
         val row = candidateCols.zipWithIndex.map { case (c, j) => c -> sampled.get(j) }.toMap
-        val mods = rng.shuffle(candidateCols).take(m)
         val filters = experimentFilters(row.filter(kv => mods.contains(kv._1)), profiles)
         val oracle = hardFilterTopK(items, idCol, textVecCol, qText, filters, k)
         val subject = encodeAndSearch(filters, k)
@@ -113,4 +120,39 @@ object Eval {
       }
     }
   }
+
+  final case class SweepResult(num_harmonics: Int, interval_epsilon: Double,
+                               num_modalities: Int, repetition: Int, seed: Int,
+                               recall: Double)
+
+  /** Full A11 sweep (reference src/eval/evaluate.py:156-242): the modality
+    * sweep of [[sweep]] repeated over the `num_harmonics` ×
+    * `interval_epsilon` grid (reference config.yaml:7-8). `engineFor`
+    * rebuilds the subject engine per grid point (the reference re-encodes
+    * products per parameterization the same way, evaluate.py:186-189).
+    */
+  def fullSweep(items: DataFrame, idCol: String, textVecCol: String,
+                qText: Array[Double],
+                candidateCols: Seq[String], profiles: Map[String, ColumnProfile],
+                engineFor: (Int, Double) => (Seq[Filter], Int) => Seq[Long],
+                harmonicsSweep: Seq[Int], epsilonSweep: Seq[Double],
+                k: Int = 10, repetitions: Int = 3): Seq[SweepResult] =
+    for {
+      kh <- harmonicsSweep
+      eps <- epsilonSweep
+      p <- sweep(items, idCol, textVecCol, qText, candidateCols, profiles,
+        engineFor(kh, eps), k, repetitions)
+    } yield SweepResult(kh, eps, p.numModalities, p.repetition, p.seed, p.recall)
+
+  /** A9-shaped aggregation of sweep results (reference groupby-mean,
+    * src/eval/evaluate.py:119-129): mean recall per
+    * (num_harmonics, interval_epsilon, num_modalities). */
+  def aggregateResults(spark: SparkSession, rs: Seq[SweepResult]): DataFrame =
+    spark.createDataFrame(rs)
+      .groupBy(
+        col("num_harmonics").cast("long").as("num_harmonics"),
+        col("interval_epsilon"),
+        col("num_modalities").cast("long").as("num_modalities"))
+      .agg((round(avg(col("recall")), 6) + 0.0).as("avg_recall"))
+      .orderBy("num_harmonics", "interval_epsilon", "num_modalities")
 }

@@ -57,6 +57,23 @@ object Profiler {
     case _ => false
   }
 
+  /** Geolocation detection from the TYPE: a struct whose first two fields
+    * are numeric — the typed analogue of the reference's duck-typed
+    * "object column whose values are tuples" check (src/app.py:46-50).
+    * Field order follows the reference's (lon, lat) tuple convention
+    * (src/load_restaurants.py:15). */
+  def isGeoStruct(dt: DataType): Boolean = dt match {
+    case st: StructType => st.fields.length >= 2 &&
+      st.fields.take(2).forall(f => isNumeric(f.dataType))
+    case _ => false
+  }
+
+  /** (lon, lat) accessor paths for a detected geo struct column. */
+  def geoFieldPaths(df: DataFrame, c: String): (String, String) = {
+    val st = df.schema(c).dataType.asInstanceOf[StructType]
+    (s"$c.${st.fields(0).name}", s"$c.${st.fields(1).name}")
+  }
+
   /** One-pass profile of the given columns. Geolocation columns are passed
     * as "lon,lat" pairs via `geoCols` and profiled for nulls only.
     */
@@ -65,14 +82,16 @@ object Profiler {
     val schema = df.schema
     val aggs: Seq[Column] = cols.flatMap { c =>
       val numeric = isNumeric(schema(c).dataType)
+      val geo = isGeoStruct(schema(c).dataType)
       Seq(
         count(lit(1)).as(s"${c}__n"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
         countDistinct(col(c)).as(s"${c}__nd"),
         (if (numeric) min(col(c)).cast("double") else lit(null).cast("double")).as(s"${c}__min"),
         (if (numeric) max(col(c)).cast("double") else lit(null).cast("double")).as(s"${c}__max"),
-        // vocabulary only for non-numeric columns (sorted; see class doc)
-        (if (!numeric)
+        // vocabulary only for non-numeric scalar columns (sorted; see class
+        // doc); geo structs carry no vocabulary
+        (if (!numeric && !geo)
           sort_array(collect_set(col(c).cast("string")))
         else array().cast("array<string>")).as(s"${c}__vals"))
     }
@@ -84,7 +103,8 @@ object Profiler {
       require(numeric || vals.size <= MaxVocab,
         s"column $c has ${vals.size} distinct values — above MaxVocab=$MaxVocab")
       val kind =
-        if (nd == 2) ModalityKind.Binary
+        if (isGeoStruct(schema(c).dataType)) ModalityKind.Geolocation
+        else if (nd == 2) ModalityKind.Binary
         else if (!numeric) ModalityKind.Sparse
         else ModalityKind.Dense
       c -> ColumnProfile(

@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.Tables
+import graft.encode._
+import graft.eval.Eval
+import graft.profile.Profiler
+import graft.query._
+import graft.search.Search
+import org.apache.spark.sql.functions._
+
+/** A11 experiment-sweep driver as a driver-checked oracle query (reference
+  * src/eval/evaluate.py:156-242 + the groupby-mean aggregation :119-129):
+  * the FULL sweep grid — num_harmonics × interval_epsilon × modality-count
+  * × seeded repetitions — runs differentially (hard-filter oracle vs fused
+  * subject) on BOTH engines, and the a9-shaped mean-recall aggregation of
+  * the sweep results table is hash-compared.
+  *
+  * The query text is zero (like rest1) so every score is closed-form: the
+  * hard-filter ranking degenerates to doc_id order and the fused ranking is
+  * the modality dot products — DuckDB re-derives the whole experiment:
+  * seeded row sample (md5 order), seeded modality choice (inlined by the
+  * shared Eval.modalitiesFor), filter synthesis, both top-k lists, recall,
+  * group-by mean.
+  */
+object EvalQueries {
+
+  private val Cands = Seq("n_chars", "lang")
+  private val HarmonicsSweep = Seq(2, 4)
+  private val EpsilonSweep = Seq(0.0, 0.01)
+  private val Reps = 2
+  private val TopK = 10
+
+  /** σ-damped interval-encoding Fourier partial sum I(pos) at K harmonics
+    * (fr5 template, qualified against the per-point iv CTE alias `v`). */
+  private def series(kh: Int, pos: String): String =
+    s"""list_sum(list_transform(range(1, ${kh + 1}), k ->
+       (sin(pi()*k/$kh)/(pi()*k/$kh)) * (
+         (CASE WHEN k = 1 THEN 1.0 ELSE sin(pi()*k/$kh)/(pi()*k/$kh) END) *
+           (cos(v.a*pi()*k) - cos(v.b*pi()*k)) / ((v.b - v.a) * (v.b - v.a) * pi() * k) *
+           sin(k * pi() * ($pos)) +
+         (CASE WHEN k = 1 THEN 1.0 ELSE sin(pi()*k/$kh)/(pi()*k/$kh) END) *
+           (sin(v.b*pi()*k) - sin(v.a*pi()*k)) / ((v.b - v.a) * (v.b - v.a) * pi() * k) *
+           cos(k * pi() * ($pos)))))"""
+
+  /** One sweep point's CTE chain; returns (cteSql, recCteName). */
+  private def pointSql(kh: Int, epsIdx: Int, eps: Double, m: Int, i: Int): (String, String) = {
+    val (seed, mods) = Eval.modalitiesFor(Cands, m, i)
+    val dense = mods.contains("n_chars")
+    val sparse = mods.contains("lang")
+    val id = s"${kh}_${epsIdx}_${m}_$i"
+    val preds = Seq(
+      if (dense) Some("(s.n_chars IS NULL OR d.n_chars <= s.n_chars)") else None,
+      if (sparse) Some("(s.lang IS NULL OR d.lang = s.lang)") else None
+    ).flatten.mkString(" AND ")
+    val sparseTerm =
+      if (!sparse) "0.0"
+      else """(CASE WHEN rlang IS NULL THEN 0.0 WHEN lang IS NULL THEN 0.0
+              WHEN lang = rlang THEN 1.0 ELSE -1.0 END)"""
+    val fus =
+      if (dense)
+        s"""fus_$id AS (
+           SELECT doc_id, round($sparseTerm +
+             (CASE WHEN rv IS NULL THEN 0.0
+                   WHEN nch IS NULL THEN -(2/(ii_in - ii_out)) * ((ii_in + ii_out)/2) - 1.0
+                   ELSE (2/(ii_in - ii_out)) * ii_x
+                        - (2/(ii_in - ii_out)) * ((ii_in + ii_out)/2) END), 5) + 0.0 AS score
+           FROM (
+             SELECT d.doc_id, d.lang, d.n_chars AS nch, v.rv, v.rlang,
+               ${series(kh, "0.99 * (2*((d.n_chars - v.mn)/(v.mx - v.mn)) - 1)")} AS ii_x,
+               ${series(kh, "(v.a + v.b)/2")} AS ii_in,
+               ${series(kh,
+                 "CASE WHEN abs(v.a + 1) > abs(1 - v.b) THEN (v.a - 1)/2 ELSE (v.b + 1)/2 END")} AS ii_out
+             FROM documents d, iv_$id v))"""
+      else
+        s"""fus_$id AS (
+           SELECT d.doc_id, round($sparseTerm, 5) + 0.0 AS score
+           FROM (SELECT doc_id, lang, rlang FROM documents, iv_$id) d)"""
+    val cte =
+      s"""samp_$id AS (SELECT doc_id, n_chars, lang FROM documents
+            ORDER BY md5(doc_id::VARCHAR || ':' || '$seed') LIMIT 1),
+          iv_$id AS (SELECT 0.99*(-1 - $eps) AS a,
+            0.99*((2*((s.n_chars - mn)/(mx - mn)) - 1) + $eps) AS b, mn, mx,
+            s.n_chars AS rv, s.lang AS rlang FROM samp_$id s, mm),
+          hard_$id AS (SELECT d.doc_id FROM documents d, samp_$id s
+            WHERE $preds ORDER BY d.doc_id LIMIT $TopK),
+          $fus,
+          fustop_$id AS (SELECT doc_id FROM fus_$id ORDER BY score DESC, doc_id LIMIT $TopK),
+          rec_$id AS (SELECT $kh::BIGINT AS num_harmonics,
+            $eps::DOUBLE AS interval_epsilon, $m::BIGINT AS num_modalities,
+            CASE WHEN (SELECT count(*) FROM hard_$id) = 0 THEN 0.0
+                 ELSE (SELECT count(*) FROM hard_$id h
+                       WHERE h.doc_id IN (SELECT doc_id FROM fustop_$id))::DOUBLE
+                      / (SELECT count(*) FROM hard_$id) END AS recall)"""
+    (cte, s"rec_$id")
+  }
+
+  private def a11Sql: String = {
+    val points = for {
+      kh <- HarmonicsSweep
+      (eps, epsIdx) <- EpsilonSweep.zipWithIndex
+      m <- 1 to Cands.size
+      i <- 0 until Reps
+    } yield pointSql(kh, epsIdx, eps, m, i)
+    val ctes = ("mm AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents)"
+      +: points.map(_._1)).mkString(",\n")
+    val union = points.map(p => s"SELECT * FROM ${p._2}").mkString(" UNION ALL ")
+    s"""WITH $ctes
+        SELECT num_harmonics, interval_epsilon, num_modalities,
+               round(avg(recall), 6) + 0.0 AS avg_recall
+        FROM ($union)
+        GROUP BY num_harmonics, interval_epsilon, num_modalities
+        ORDER BY num_harmonics, interval_epsilon, num_modalities"""
+  }
+
+  private val a11 = Q(
+    "a11_sweep_agg",
+    (s, d) => {
+      val items = Embedders.precomputed(
+        Tables.documents(s, d), Tables.embeddings(s, d),
+        "doc_id", "vec_id", "embedding").persist()
+      val profs = Profiler.profile(items, Cands)
+      val zeroText = new Array[Double](64)
+      def engineFor(kh: Int, eps: Double): (Seq[Filter], Int) => Seq[Long] = {
+        val params = EncoderParams(numHarmonics = kh, intervalEpsilon = eps)
+        val layout = ProductEncoder.layoutFor(Cands.map(profs), params)
+        (filters, k) => {
+          val q = QueryEncoder.encode(layout, filters.map(f => f.column -> f).toMap,
+            params = QueryEncoder.Params(eps, params.rangeEpsilon))
+          Eval.fusedTopK(ProductEncoder.encode(items, layout), "doc_id", "fused_vec", q, k)
+        }
+      }
+      val rs = Eval.fullSweep(items, "doc_id", "embedding", zeroText,
+        Cands, profs, engineFor, HarmonicsSweep, EpsilonSweep,
+        k = TopK, repetitions = Reps)
+      items.unpersist()
+      Eval.aggregateResults(s, rs)
+    },
+    Some(a11Sql))
+
+  val qs: Seq[Q] = Seq(a11)
+}

@@ -119,6 +119,37 @@ class EngineSpec extends SparkSpec {
       s"in-range min ${inRange.map(_._2).min} vs out max ${outRange.map(_._2).max}")
   }
 
+  test("geo kind inferred from an UNDECLARED struct(lon,lat) column") {
+    val items = Prep.withRowId(
+      Prep.restaurants(Tables.restaurants(spark)),
+      Seq(col("Restaurant Name"), col("Location.lon"), col("Location.lat"),
+        col("Votes")))
+    // Location is a struct(lon: double, lat: double) — NOT declared in
+    // geoCols; the engine must infer the geolocation modality from the type
+    // (reference duck-types tuple-valued columns, src/app.py:46-50)
+    val eng = FuseRankEngine.index(items, FuseRankConfig(
+      idCol = "row_id",
+      textCols = Map("Cuisines" -> 1.0),
+      auxCols = Seq("Location"),
+      params = graft.encode.EncoderParams(numHarmonics = 8)))
+    assert(eng.config.geoCols == Map("Location" -> ("Location.lon", "Location.lat")))
+    assert(eng.layout.blocks.map(_.getClass.getSimpleName).contains("GeoBlock"))
+    // and the inferred modality searches end-to-end
+    val hits = eng.search("restaurant",
+      Seq(GeoFilter("Location", 77.2090, 28.6139, weight = 5.0)), k = 15)
+    val dists = hits.select(col("Location.lon"), col("Location.lat")).collect().map { r =>
+      graft.encode.FourierMath.haversineKm(r.getDouble(0), r.getDouble(1), 77.2090, 28.6139)
+    }
+    assert(dists.count(_ < 100) >= 12, s"distances: ${dists.map(_.round).mkString(",")}")
+  }
+
+  test("Profiler.profile yields Geolocation for struct(lon,lat) columns") {
+    val items = Prep.restaurants(Tables.restaurants(spark))
+    val p = graft.profile.Profiler.profile(items, Seq("Location", "City"))
+    assert(p("Location").kind == graft.profile.ModalityKind.Geolocation)
+    assert(p("City").kind == graft.profile.ModalityKind.Sparse)
+  }
+
   test("geo modality end-to-end: nearby restaurants outrank far ones") {
     val items = Prep.withRowId(
       Prep.restaurants(Tables.restaurants(spark)),

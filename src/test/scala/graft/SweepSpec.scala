@@ -43,6 +43,48 @@ class SweepSpec extends SparkSpec {
     items.unpersist(); indexed.unpersist()
   }
 
+  test("full A11 sweep: harmonics × epsilon grid with K-monotone mean recall") {
+    val d = sf("sf0.001")
+    val items = Embedders.precomputed(
+      Tables.documents(spark, d), Tables.embeddings(spark, d),
+      "doc_id", "vec_id", "embedding").persist()
+    val cands = Seq("lang", "n_chars")
+    val profs = Profiler.profile(items, cands)
+    val cached = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.DataFrame]
+    def engineFor(kh: Int, eps: Double): (Seq[Filter], Int) => Seq[Long] = {
+      val params = EncoderParams(numHarmonics = kh, intervalEpsilon = eps)
+      val layout = ProductEncoder.layoutFor(cands.map(profs), params,
+        textBlock = Some(TextBlock("embedding", 64)))
+      val indexed = ProductEncoder.encode(items, layout).persist()
+      cached += indexed
+      (filters, k) => {
+        val q = QueryEncoder.encode(layout,
+          filters.map(f => f.column -> withWeight(f, 2.0)).toMap,
+          textVec = Vectors.QVEC, params = QueryEncoder.Params(eps, 0.01))
+        Eval.fusedTopK(indexed, "doc_id", "fused_vec", q, k * 3)
+      }
+    }
+    // the reference's full grid shape (config.yaml:7-8, scaled down):
+    // num_harmonics × interval_epsilon × modality-count × repetitions
+    val rs = Eval.fullSweep(items, "doc_id", "embedding", Vectors.QVEC,
+      cands, profs, engineFor, harmonicsSweep = Seq(4, 8, 16),
+      epsilonSweep = Seq(0.0, 0.01, 0.03), k = 10, repetitions = 2)
+    assert(rs.size == 3 * 3 * 2 * 2, s"got ${rs.size} sweep points")
+    // a9-shaped aggregation: one mean-recall row per grid cell
+    val agg = Eval.aggregateResults(spark, rs)
+    assert(agg.count() == 3 * 3 * 2)
+    assert(agg.columns.toSeq ==
+      Seq("num_harmonics", "interval_epsilon", "num_modalities", "avg_recall"))
+    // more harmonics → better interval resolution → recall must not degrade
+    // (the paper's figure-of-merit; small-sample slack 0.05)
+    val meanByK = rs.groupBy(_.num_harmonics).view
+      .mapValues(ps => ps.map(_.recall).sum / ps.size).toMap
+    assert(meanByK(4) <= meanByK(16) + 0.05, s"recall not K-monotone: $meanByK")
+    assert(meanByK.values.forall(r => r >= 0.0 && r <= 1.0))
+    cached.foreach(_.unpersist())
+    items.unpersist()
+  }
+
   private def withWeight(f: Filter, w: Double): Filter = f match {
     case x: SparseFilter => x.copy(weight = w)
     case x: BinaryFilter => x.copy(weight = w)
