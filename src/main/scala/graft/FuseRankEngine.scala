@@ -180,11 +180,7 @@ object FuseRankEngine {
     //    compiled embedder) + modality blocks. Single-row-group inputs give
     //    parquet scans ONE task — spread the one-time index build across
     //    the cluster before the per-row-heavy encode work.
-    val spark = items.sparkSession
-    val spread =
-      if (transformed.rdd.getNumPartitions < spark.sparkContext.defaultParallelism / 2)
-        transformed.repartition(spark.sparkContext.defaultParallelism)
-      else transformed
+    val spread = Tables.spread(transformed)
     val withText = Embedders.fuseInto(spread, embedder, textCols, "text_vec")
     val indexed = ProductEncoder.encode(withText, layout).persist()
     new FuseRankEngine(items, config, profiles, transforms, layout, indexed)

@@ -21,10 +21,13 @@ object Tables {
 
   /** Spread a (possibly single-row-group, therefore single-task) scan
     * across the cluster before per-row-heavy narrow work. Round-robin
-    * shuffle; callers re-establish output order downstream. */
+    * shuffle; callers re-establish output order downstream.
+    * The few-files check reads only the already-resolved file listing — no
+    * plan→RDD conversion, no job, and AQE stays in charge of the plan. */
   def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p / 2) df.repartition(p) else df
+    val files = scala.util.Try(df.inputFiles.length).getOrElse(p)
+    if (files < p / 2) df.repartition(p) else df
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")

@@ -130,19 +130,47 @@ object Eval {
     * `interval_epsilon` grid (reference config.yaml:7-8). `engineFor`
     * rebuilds the subject engine per grid point (the reference re-encodes
     * products per parameterization the same way, evaluate.py:186-189).
+    *
+    * Unlike the reference's fully nested loops, the row sample and the
+    * hard-filter oracle list are computed ONCE per (m, i) — they do not
+    * depend on the harmonics/ε parameterization — and the per-config
+    * subject searches are submitted concurrently (Spark multiplexes
+    * independent jobs). Results are identical to the nested-loop order.
     */
   def fullSweep(items: DataFrame, idCol: String, textVecCol: String,
                 qText: Array[Double],
                 candidateCols: Seq[String], profiles: Map[String, ColumnProfile],
                 engineFor: (Int, Double) => (Seq[Filter], Int) => Seq[Long],
                 harmonicsSweep: Seq[Int], epsilonSweep: Seq[Double],
-                k: Int = 10, repetitions: Int = 3): Seq[SweepResult] =
-    for {
+                k: Int = 10, repetitions: Int = 3): Seq[SweepResult] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val n = candidateCols.size
+    val pointKeys = for { m <- 1 to n; i <- 0 until repetitions } yield (m, i)
+    // config-independent work, once per (m, i)
+    val perPoint = pointKeys.map { case (m, i) =>
+      val (seed, mods) = modalitiesFor(candidateCols, m, i)
+      val sampled = items
+        .withColumn("__h", md5(concat_ws(":", col(idCol), lit(seed))))
+        .orderBy("__h").limit(1)
+        .select(candidateCols.map(col): _*).head()
+      val row = candidateCols.zipWithIndex.map { case (c, j) => c -> sampled.get(j) }.toMap
+      val filters = experimentFilters(row.filter(kv => mods.contains(kv._1)), profiles)
+      val oracle = hardFilterTopK(items, idCol, textVecCol, qText, filters, k)
+      (m, i) -> ((seed, filters, oracle))
+    }.toMap
+    val tasks = for {
       kh <- harmonicsSweep
       eps <- epsilonSweep
-      p <- sweep(items, idCol, textVecCol, qText, candidateCols, profiles,
-        engineFor(kh, eps), k, repetitions)
-    } yield SweepResult(kh, eps, p.numModalities, p.repetition, p.seed, p.recall)
+      search = engineFor(kh, eps)
+      (m, i) <- pointKeys
+    } yield Future {
+      val (seed, filters, oracle) = perPoint((m, i))
+      SweepResult(kh, eps, m, i, seed, recall(oracle, search(filters, k)))
+    }
+    Await.result(Future.sequence(tasks), Duration.Inf)
+  }
 
   /** A9-shaped aggregation of sweep results (reference groupby-mean,
     * src/eval/evaluate.py:119-129): mean recall per

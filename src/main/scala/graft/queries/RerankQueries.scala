@@ -110,8 +110,8 @@ object RerankQueries {
   // the YJ candidate is excluded — its MLE fit is not SQL-expressible, so
   // it is covered by TransformSpec instead). Ties: first candidate wins
   // (strict < in the reference).
-  private def ksSqlFor(xExpr: String): String =
-    s"""(WITH t AS (SELECT $xExpr AS x FROM lineitem WHERE l_quantity IS NOT NULL),
+  private def ksSqlFor(xExpr: String, from: String = "lineitem"): String =
+    s"""(WITH t AS (SELECT $xExpr AS x FROM $from WHERE l_quantity IS NOT NULL),
         st AS (SELECT avg(x) AS m, sqrt(avg(x*x) - avg(x)*avg(x)) AS sd,
                       count(*) AS n FROM t),
         r AS (SELECT x, row_number() OVER (ORDER BY x) AS i FROM t),
@@ -145,6 +145,85 @@ object RerankQueries {
                  ELSE 'reciprocal' END AS best_transform,
                round(least(k_log, k_sqrt, k_inv), 6) + 0.0 AS ks
              FROM ks"""))
+
+  // t7: best-transform selection over ALL FOUR candidates including the
+  // MLE-fitted Yeo-Johnson (reference get_best_transform + scipy
+  // yeojohnson fit, src/transform.py:32-45,86-102). The oracle re-runs the
+  // ENTIRE golden-section λ search as a DuckDB recursive CTE — identical
+  // doubles at every iteration (same φ, same llf arithmetic), verified
+  // bit-identical λ — then scores all candidates with the shared KS SQL.
+  // Candidate order = the reference's reflection order (alphabetical:
+  // Inverse, Log, Sqrt, YeoJohnson); first of equal minima wins.
+  /** Row-level Yeo-Johnson of column/expr `v` with λ expression `l`
+    * (reference piecewise formula, src/transform.py:36-44). */
+  private def yjOfSql(v: String, l: String): String =
+    s"""(CASE WHEN $v >= 0 THEN
+          CASE WHEN abs($l) < 1e-12 THEN ln($v + 1)
+               ELSE (pow($v + 1, $l) - 1) / ($l) END
+        ELSE
+          CASE WHEN abs(($l) - 2) < 1e-12 THEN -ln(-($v) + 1)
+               ELSE -(pow(-($v) + 1, 2 - ($l)) - 1) / (2 - ($l)) END END)"""
+
+  private def yjSql(l: String): String = yjOfSql("x", l)
+
+  private def llfSql(l: String): String =
+    s"""(SELECT -any_value(cnt)/2.0 * ln(greatest(avg(t*t) - avg(t)*avg(t), 1e-300))
+          + (($l) - 1.0) * any_value(slog)
+        FROM (SELECT ${yjSql(l)} AS t FROM vals), base)"""
+
+  private val phiSql = "((sqrt(5) - 1)/2)"
+
+  private val t7 = Q(
+    "t7_best_transform_yj",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val lam = graft.transform.YeoJohnson.fit(li, "l_quantity")
+      val cands = Seq(
+        "reciprocal" -> (lit(1.0) / (col("l_quantity") + 1e-10)),
+        "log2p1" -> log(2.0, col("l_quantity") + 1),
+        "sqrt" -> sqrt(col("l_quantity")),
+        "yeojohnson" -> YeoJohnson.expr(col("l_quantity"), lam))
+      val ks = Transforms.ksStatistics(li, cands)
+      val best = cands.map { case (n, _) => n -> ks(n) }.minBy(_._2)
+      import s.implicits._
+      Seq((best._1,
+        BigDecimal(lam).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(best._2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("best_transform", "lambda", "ks")
+    },
+    Some(s"""WITH RECURSIVE
+        vals AS (SELECT l_quantity::DOUBLE AS x FROM lineitem
+                 WHERE l_quantity IS NOT NULL),
+        base AS (SELECT count(*)::DOUBLE AS cnt,
+                        sum(sign(x) * ln(abs(x) + 1)) AS slog FROM vals),
+        gs(iter, a, b, c1, c2, f1, f2) AS (
+          SELECT 0, -2.0::DOUBLE, 2.0::DOUBLE,
+            2.0 - $phiSql * 4.0, -2.0 + $phiSql * 4.0,
+            ${llfSql(s"2.0 - $phiSql * 4.0")},
+            ${llfSql(s"-2.0 + $phiSql * 4.0")}
+          UNION ALL
+          SELECT iter + 1,
+            CASE WHEN f1 > f2 THEN a  ELSE c1 END,
+            CASE WHEN f1 > f2 THEN c2 ELSE b  END,
+            CASE WHEN f1 > f2 THEN c2 - $phiSql * (c2 - a) ELSE c2 END,
+            CASE WHEN f1 > f2 THEN c1 ELSE c1 + $phiSql * (b - c1) END,
+            CASE WHEN f1 > f2 THEN ${llfSql(s"c2 - $phiSql * (c2 - a)")} ELSE f2 END,
+            CASE WHEN f1 > f2 THEN f1 ELSE ${llfSql(s"c1 + $phiSql * (b - c1)")} END
+          FROM gs WHERE b - a > 1e-4),
+        lam AS (SELECT (a + b)/2 AS lambda FROM gs ORDER BY iter DESC LIMIT 1),
+        ks AS (SELECT
+          ${ksSqlFor("1.0 / (l_quantity + 1e-10)")} AS k_inv,
+          ${ksSqlFor("log2(l_quantity + 1)")} AS k_log,
+          ${ksSqlFor("sqrt(l_quantity)")} AS k_sqrt,
+          ${ksSqlFor(yjOfSql("l_quantity", "(SELECT lambda FROM lam)"))} AS k_yj)
+        SELECT CASE
+            WHEN k_inv <= k_log AND k_inv <= k_sqrt AND k_inv <= k_yj THEN 'reciprocal'
+            WHEN k_log <= k_sqrt AND k_log <= k_yj THEN 'log2p1'
+            WHEN k_sqrt <= k_yj THEN 'sqrt'
+            ELSE 'yeojohnson' END AS best_transform,
+          round((SELECT lambda FROM lam), 6) + 0.0 AS lambda,
+          round(least(k_inv, k_log, k_sqrt, k_yj), 6) + 0.0 AS ks
+        FROM ks"""))
 
   // rr2: R3 geolocation re-rank — farthest point WITHIN the result set
   // (window max_by), closed-form scale-and-shift key, avg-tie rank
@@ -196,5 +275,5 @@ object RerankQueries {
             SELECT c_custkey, round(2.0 * (ar - 1) / 49 - 1, 6) + 0.0 AS relevance
             FROM ar ORDER BY c_custkey"""))
 
-  val qs: Seq[Q] = Seq(rr1, rr2, t4, t5, t6)
+  val qs: Seq[Q] = Seq(rr1, rr2, t4, t5, t6, t7)
 }

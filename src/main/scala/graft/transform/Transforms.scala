@@ -76,30 +76,59 @@ object YeoJohnson {
       else -(math.pow(-x + 1, 2 - l) - 1) / (2 - l)
     }
 
+  /** Distinct-value histograms above this size fall back to per-λ
+    * aggregation jobs (a billion-distinct column cannot be collected). */
+  val MaxFitHistogram = 200000
+
   /** MLE λ fit by golden-section search over the Yeo-Johnson log-likelihood
     * (scipy's approach, Brent over [-2, 2]):
     *   llf(λ) = −n/2·log(var(ψ(x,λ))) + (λ−1)·Σ sign(x)·log(|x|+1)
-    * Each candidate λ costs ONE aggregation job over the column; the search
-    * runs ~25 iterations — bounded, cluster-friendly driver loop (no
-    * collect of the data). The Σ sign·log term is λ-free and computed once.
+    *
+    * Fast path: collect the (value, count) histogram in ONE job and run the
+    * whole search driver-side — ~25 sequential llf evaluations over the
+    * histogram instead of ~25 cluster jobs. Sorted ascending for
+    * deterministic summation. Falls back to one aggregation job per λ when
+    * the distinct-value count exceeds [[MaxFitHistogram]] (the
+    * unbounded-cardinality scale path; the search stays a bounded driver
+    * loop either way — never a collect of the raw data).
     */
   def fit(df: DataFrame, colName: String, lo: Double = -2.0, hi: Double = 2.0,
           tol: Double = 1e-4): Double = {
     val c = col(colName).cast("double")
-    val base = df.filter(c.isNotNull)
-      .agg(count(lit(1)).as("n"),
-        sum(signum(c) * log(abs(c) + 1)).as("slog"))
-      .head()
-    val n = base.getAs[Long]("n").toDouble
-    val slog = base.getAs[Double]("slog")
+    val hist = df.filter(c.isNotNull)
+      .groupBy(c.as("x")).agg(count(lit(1)).as("cnt"))
+      .limit(MaxFitHistogram + 1)
+      .collect()
 
-    def llf(l: Double): Double = {
-      val t = YeoJohnson.expr(c, l)
-      val r = df.filter(c.isNotNull)
-        .agg(avg(t).as("m"), avg(t * t).as("m2")).head()
-      val v = r.getAs[Double]("m2") - math.pow(r.getAs[Double]("m"), 2)
-      -n / 2 * math.log(math.max(v, 1e-300)) + (l - 1) * slog
-    }
+    val llf: Double => Double =
+      if (hist.length <= MaxFitHistogram) {
+        val xs = hist.map(r => (r.getDouble(0), r.getLong(1).toDouble)).sortBy(_._1)
+        val n = xs.map(_._2).sum
+        val slog = xs.map { case (x, w) => math.signum(x) * math.log(math.abs(x) + 1) * w }.sum
+        (l: Double) => {
+          var s = 0.0; var s2 = 0.0
+          xs.foreach { case (x, w) =>
+            val t = YeoJohnson.scalar(x, l); s += t * w; s2 += t * t * w
+          }
+          val m = s / n
+          val v = s2 / n - m * m
+          -n / 2 * math.log(math.max(v, 1e-300)) + (l - 1) * slog
+        }
+      } else {
+        val base = df.filter(c.isNotNull)
+          .agg(count(lit(1)).as("n"),
+            sum(signum(c) * log(abs(c) + 1)).as("slog"))
+          .head()
+        val n = base.getAs[Long]("n").toDouble
+        val slog = base.getAs[Double]("slog")
+        (l: Double) => {
+          val t = YeoJohnson.expr(c, l)
+          val r = df.filter(c.isNotNull)
+            .agg(avg(t).as("m"), avg(t * t).as("m2")).head()
+          val v = r.getAs[Double]("m2") - math.pow(r.getAs[Double]("m"), 2)
+          -n / 2 * math.log(math.max(v, 1e-300)) + (l - 1) * slog
+        }
+      }
 
     val phi = (math.sqrt(5) - 1) / 2
     var (a, b) = (lo, hi)
