@@ -300,5 +300,39 @@ object TextDedup {
             round(sum(value::DECIMAL(28,6))::DOUBLE, 4) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
 
-  val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, x1, x2, x3, x4, x5, st1)
+  // ST2 event-time SESSIONIZATION (batch twin of Streaming.sessionize —
+  // Spark session_window semantics: events with gaps < 30 min merge, the
+  // session ends 30 min after its last event). DuckDB twin: gaps-and-
+  // islands — a new-session flag on gap >= 30 min, cumulative-sum session
+  // ids, then per-session aggregation.
+  private val st2 = Q(
+    "st2_sessionization",
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+        round(Q.dsum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n"), col("sum_value"))
+      .orderBy("user_id", "session_start"),
+    Some("""WITH o AS (SELECT user_id, ts, value,
+              CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                   THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                  FROM o)
+            SELECT user_id,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+              count(*) AS n,
+              round(sum(value::DECIMAL(28,6))::DOUBLE, 4) AS sum_value
+            FROM s GROUP BY user_id, sid
+            ORDER BY user_id, session_start"""))
+
+  val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, x1, x2, x3, x4, x5, st1, st2)
 }

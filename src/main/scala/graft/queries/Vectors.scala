@@ -154,5 +154,64 @@ object Vectors {
              SELECT q_id, vec_id, score, rk FROM ranked
              WHERE rk <= 5 ORDER BY q_id, rk"""))
 
-  val qs: Seq[Q] = Seq(k1, sim1, sim2, d5, a5, a6)
+  // d7: LSH-BLOCKED embedding near-dup pairs — the 100 TB shape of d5
+  // (which blocks by `label`; fine only while the blocking key stays
+  // high-cardinality). Here blocking = the multi-table LSH buckets, so
+  // candidate generation is a shuffle on (table, signature) — never an
+  // O(n²) cross join — and the exact cosine runs on candidates only. Same
+  // seed-42 hyperplanes as sim2 → same SQL-literal trick, whole path
+  // hash-checked: signatures → bucket-join pairs → dedup → cosine ≥ τ.
+  private val D7Tau = 0.40
+
+  private val d7 = Q(
+    "d7_lsh_neardup_pairs",
+    (s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val b = Search.lshBuckets(e, "embedding", Sim2Dim, Sim2Bits, Sim2Tables)
+        .select(col("vec_id"), col("bucket"))
+      val l = b.withColumnRenamed("vec_id", "a_id")
+      val r = b.withColumnRenamed("vec_id", "b_id")
+      // candidate pairs ride the distinct as ONE packed long (d3's trick —
+      // halves shuffle width); guarded against id overflow like d3
+      val P = 1000000000L
+      val guard = coalesce(
+        assert_true(col("b_id") < P,
+          lit(s"vec_id >= $P overflows the packed pair long")).cast("long"),
+        lit(0L))
+      val cand = l.join(r, "bucket").filter(col("a_id") < col("b_id"))
+        .select((col("a_id") * P + col("b_id") + guard).as("pair")).distinct()
+        .select(expr(s"pair div $P").as("a_id"),
+          pmod(col("pair"), lit(P)).cast("long").as("b_id"))
+      val ea = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val eb = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      cand.join(ea, "a_id").join(eb, "b_id")
+        .withColumn("cosine",
+          round(Search.cosine(Search.asDouble(col("a_emb")),
+            Search.asDouble(col("b_emb"))), 5) + 0.0)
+        .filter(col("cosine") >= D7Tau)
+        .select(col("a_id"), col("b_id"), col("cosine"))
+        .orderBy("a_id", "b_id")
+    },
+    Some(s"""WITH planes(tbl, bit, p) AS (VALUES $sim2PlanesSql),
+             sigs AS (
+               SELECT e.vec_id, pl.tbl,
+                 sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) >= 0
+                          THEN 1 << pl.bit ELSE 0 END)::BIGINT AS sig
+               FROM embeddings e, planes pl
+               GROUP BY e.vec_id, pl.tbl),
+             cand AS (
+               SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+               FROM sigs a JOIN sigs b
+                 ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id),
+             scored AS (
+               SELECT c.a_id, c.b_id,
+                 round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                   eb.embedding::DOUBLE[]), 5) + 0.0 AS cosine
+               FROM cand c
+               JOIN embeddings ea ON ea.vec_id = c.a_id
+               JOIN embeddings eb ON eb.vec_id = c.b_id)
+             SELECT a_id, b_id, cosine FROM scored
+             WHERE cosine >= $D7Tau ORDER BY a_id, b_id"""))
+
+  val qs: Seq[Q] = Seq(k1, sim1, sim2, d5, d7, a5, a6)
 }

@@ -36,6 +36,24 @@ object Streaming {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Event-time SESSION windows per user: events closer than `gap` merge
+    * into one session; the window closes `gap` after the last event
+    * (Spark session_window semantics — `end = last event + gap`). Works
+    * identically over a stream (with the watermark bounding state) and a
+    * batch DataFrame; the batch oracle twin is `st2_sessionization`
+    * (gaps-and-islands SQL). State is per (user, open session) — bounded
+    * by the watermark, the scale-correct shape for unbounded event logs.
+    */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(events.withWatermark("ts", _))
+    src
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n"), col("sum_value"))
+  }
+
   /** Per-user running aggregate via mapGroupsWithState: maintains
     * (count, sum, max_ts) per user with a processing-time timeout —
     * the custom-state slot (KeyValueGroupedDataset) the prompt's streaming

@@ -42,6 +42,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("session windows: streamed sessionization matches the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val data = Seq(
+      (ts(10, 0), 1L, 1.0), (ts(10, 10), 1L, 2.0), // user 1, one session
+      (ts(11, 0), 1L, 4.0),                        // gap 50m ≥ 30m → new session
+      (ts(10, 5), 2L, 8.0))                        // user 2
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val q = Streaming.sessionize(
+        mem.toDF().toDF("ts", "user_id", "value"), "30 minutes",
+        watermark = Some("1 hour"))
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_out")
+      .select("user_id", "session_start", "session_end", "n", "sum_value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)) ->
+        ((r.getTimestamp(2), r.getLong(3), r.getDouble(4)))).toMap
+    val batch = Streaming.sessionize(data.toDF("ts", "user_id", "value"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)) ->
+        ((r.getTimestamp(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed.keySet == Set((1L, ts(10, 0)), (1L, ts(11, 0)), (2L, ts(10, 5))))
+    // session end = last event + gap (Spark session_window semantics)
+    assert(streamed((1L, ts(10, 0)))._1 == ts(10, 40))
+    assert(streamed((1L, ts(10, 0)))._2 == 2L)
+  }
+
   test("hourly windowed aggregation with watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
