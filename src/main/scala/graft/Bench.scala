@@ -51,8 +51,11 @@ object Bench {
     // codegen, shuffle and window paths once, so the measured pass reports
     // steady-state per-query times instead of first-hit JIT noise.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    // canonical-path compare: a trailing slash or symlink alias must not
+    // defeat the "never warm on the measured data" guarantee
+    def canon(p: String) = scala.util.Try(new java.io.File(p).getCanonicalPath).getOrElse(p)
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") == "1" &&
-        new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+        new java.io.File(warmDir).isDirectory && canon(warmDir) != canon(sfDir)) {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
@@ -69,9 +72,13 @@ object Bench {
         results.put(name, (System.nanoTime() - q0) / 1e9)
       } catch {
         case t: Throwable =>
-          // negative sentinel: elapsed-until-failure, negated
+          // negative sentinel: elapsed-until-failure, negated. Message is
+          // scrubbed of EVERY char that would break the one-line JSON
+          // (quotes, backslashes, all control chars — Spark exceptions
+          // embed \t/\r plan fragments).
           results.put(name, -((System.nanoTime() - q0) / 1e9))
-          errors.put(name, t.toString.take(200).replaceAll("[\"\\\\\n]", " "))
+          errors.put(name, t.toString.take(200)
+            .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c))
           System.err.println(s"BENCH FAILURE $name: $t")
       }
     }

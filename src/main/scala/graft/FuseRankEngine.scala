@@ -111,6 +111,10 @@ final class FuseRankEngine private (
   lazy val itemsTransformed: DataFrame =
     transforms.foldLeft(items) { case (df, (c, t)) => df.withColumn(c, t(col(c))) }
 
+  /** Release the persisted index (block-manager storage). Searches issued
+    * after close() still work — they recompute the encode projection. */
+  def close(): Unit = { indexed.unpersist(); () }
+
   /** Persist the vector table as the durable index (S3/S4 sink). `packed`
     * stores fused vectors as one binary value per row (PackedVectors) —
     * ~2× faster write and scan than parquet array<double> at high dims. */

@@ -22,12 +22,20 @@ object Tables {
   /** Spread a (possibly single-row-group, therefore single-task) scan
     * across the cluster before per-row-heavy narrow work. Round-robin
     * shuffle; callers re-establish output order downstream.
-    * The few-files check reads only the already-resolved file listing — no
-    * plan→RDD conversion, no job, and AQE stays in charge of the plan. */
+    *
+    * Parallelism estimate = optimizer size stats / maxPartitionBytes — the
+    * same quantity the file-scan partitioner uses, so many small files that
+    * Spark packs into few tasks still trigger the spread, and one huge file
+    * (split into many tasks) correctly skips it. Plan-level only: no
+    * plan→RDD conversion, no job, AQE stays in charge. */
   def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    val files = scala.util.Try(df.inputFiles.length).getOrElse(p)
-    if (files < p / 2) df.repartition(p) else df
+    val estParts = scala.util.Try {
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val split = BigInt(df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+      ((bytes + split - 1) / split).toLong
+    }.getOrElse(p.toLong)
+    if (estParts < p / 2) df.repartition(p) else df
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")

@@ -50,13 +50,18 @@ object Restaurants {
         textCols = Map("Restaurant Name" -> 0.4, "Cuisines" -> 0.6),
         auxCols = Seq("City", "Has Table booking", "Average Cost for two"),
         params = EncoderParams(numHarmonics = K)))
-      eng.search("", Seq(
+      val out = eng.search("", Seq(
           SparseFilter("City", Seq("New Delhi", "Gurgaon")),
           BinaryFilter("Has Table booking", "Yes", weight = 0.5),
           DenseIntervalFilter("Average Cost for two", 300.0, 800.0, weight = 0.8)),
           k = 20)
         .select(col("row_id").cast("long").as("row_id"), col("relevance"))
         .orderBy(col("relevance").desc, col("row_id"))
+      // materialize the 20-row result so the engine's persisted index can be
+      // released before returning (a lazy result would re-encode on use)
+      val rows = out.collect()
+      eng.close()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     },
     Some(s"""WITH raw AS (
           SELECT * FROM read_csv('${Tables.restaurantsCsvPath}',
