@@ -58,4 +58,44 @@ class DotProductSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(500))
   }
+
+  test("plan regression: LSH bucket self-join is an equi join, never cartesian") {
+    val e = Tables.embeddings(spark, sf("sf0.001")).select(col("vec_id"), col("embedding"))
+    val b = Search.lshBuckets(e, "embedding", dim = 64, nBits = 4)
+      .select(col("vec_id"), col("bucket"))
+    val pairs = b.withColumnRenamed("vec_id", "a_id")
+      .join(b.withColumnRenamed("vec_id", "b_id"), "bucket")
+      .filter(col("a_id") < col("b_id"))
+    val plan = pairs.queryExecution.executedPlan.toString
+    // candidate generation must key on the bucket — the whole point of the
+    // LSH scale path (d7/sim2) is avoiding O(n²) pair enumeration
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(plan.contains("Join"), plan.take(400))
+  }
+
+  test("plan regression: sessionization is one session-window aggregation") {
+    val plan = graft.streaming.Streaming.sessionize(
+      Tables.events(spark, sf("sf0.001"))).queryExecution.executedPlan.toString
+    // batch session_window → session-merging aggregate keyed by user;
+    // exactly one exchange (no extra shuffles around the window)
+    assert(plan.toLowerCase.contains("session"), plan.take(800))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges\n${plan.take(800)}")
+  }
+
+  test("plan regression: engine search = broadcast gather + TakeOrderedAndProject") {
+    import spark.implicits._
+    val items = (0L until 200L).map(i => (i, s"item $i text", i % 7, i.toDouble))
+      .toDF("row_id", "name", "cat", "price")
+    val eng = FuseRankEngine.index(items, FuseRankConfig(
+      idCol = "row_id", textCols = Map("name" -> 1.0),
+      auxCols = Seq("price"),
+      params = graft.encode.EncoderParams(numHarmonics = 4)))
+    val plan = eng.search("item", Seq(graft.query.DensePointFilter("price", 50.0)), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    eng.close()
+  }
 }
