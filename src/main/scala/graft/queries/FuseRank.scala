@@ -171,25 +171,12 @@ object FuseRank {
               SELECT 0.99 * ((2*((5.0 - mn)/(mx - mn)) - 1) - 0.01) AS a,
                      0.99 * ((2*((35.0 - mn)/(mx - mn)) - 1) + 0.01) AS b, mn, mx
               FROM mm),
-            iv AS (SELECT a, b, mn, mx,
+            iv0 AS (SELECT a, b, mn, mx,
                      (a + b)/2 AS pin,
                      CASE WHEN abs(a + 1) > abs(1 - b) THEN (a - 1)/2 ELSE (b + 1)/2 END AS pout
-                   FROM ab)
-            SELECT l_orderkey, l_linenumber,
-              round(CASE WHEN l_quantity IS NULL
-                    THEN -(2/(ii_in - ii_out)) * ((ii_in + ii_out)/2) - 1.0
-                    ELSE (2/(ii_in - ii_out)) * ii_x - (2/(ii_in - ii_out)) * ((ii_in + ii_out)/2)
-                    END, 5) + 0.0 AS score
-            FROM (
-              SELECT l_orderkey, l_linenumber, l_quantity,
-                list_sum(list_transform(range(1, ${K + 1}), k ->
-                  (sin(pi()*k/$K)/(pi()*k/$K)) * (
-                    (CASE WHEN k = 1 THEN 1.0 ELSE sin(pi()*k/$K)/(pi()*k/$K) END) *
-                      (cos(a*pi()*k) - cos(b*pi()*k)) / ((b - a) * (b - a) * pi() * k) *
-                      sin(k * pi() * (0.99 * (2*((l_quantity - mn)/(mx - mn)) - 1))) +
-                    (CASE WHEN k = 1 THEN 1.0 ELSE sin(pi()*k/$K)/(pi()*k/$K) END) *
-                      (sin(b*pi()*k) - sin(a*pi()*k)) / ((b - a) * (b - a) * pi() * k) *
-                      cos(k * pi() * (0.99 * (2*((l_quantity - mn)/(mx - mn)) - 1)))))) AS ii_x,
+                   FROM ab),
+            -- ii_in/ii_out are row-INVARIANT: series evaluated once here
+            iv AS (SELECT a, b, mn, mx,
                 list_sum(list_transform(range(1, ${K + 1}), k ->
                   (sin(pi()*k/$K)/(pi()*k/$K)) * (
                     (CASE WHEN k = 1 THEN 1.0 ELSE sin(pi()*k/$K)/(pi()*k/$K) END) *
@@ -206,6 +193,78 @@ object FuseRank {
                     (CASE WHEN k = 1 THEN 1.0 ELSE sin(pi()*k/$K)/(pi()*k/$K) END) *
                       (sin(b*pi()*k) - sin(a*pi()*k)) / ((b - a) * (b - a) * pi() * k) *
                       cos(k * pi() * pout)))) AS ii_out
+              FROM iv0)
+            SELECT l_orderkey, l_linenumber,
+              round(CASE WHEN l_quantity IS NULL
+                    THEN -(2/(ii_in - ii_out)) * ((ii_in + ii_out)/2) - 1.0
+                    ELSE (2/(ii_in - ii_out)) * ii_x - (2/(ii_in - ii_out)) * ((ii_in + ii_out)/2)
+                    END, 5) + 0.0 AS score
+            FROM (
+              SELECT l_orderkey, l_linenumber, l_quantity, ii_in, ii_out,
+                list_sum(list_transform(range(1, ${K + 1}), k ->
+                  (sin(pi()*k/$K)/(pi()*k/$K)) * (
+                    (CASE WHEN k = 1 THEN 1.0 ELSE sin(pi()*k/$K)/(pi()*k/$K) END) *
+                      (cos(a*pi()*k) - cos(b*pi()*k)) / ((b - a) * (b - a) * pi() * k) *
+                      sin(k * pi() * (0.99 * (2*((l_quantity - mn)/(mx - mn)) - 1))) +
+                    (CASE WHEN k = 1 THEN 1.0 ELSE sin(pi()*k/$K)/(pi()*k/$K) END) *
+                      (sin(b*pi()*k) - sin(a*pi()*k)) / ((b - a) * (b - a) * pi() * k) *
+                      cos(k * pi() * (0.99 * (2*((l_quantity - mn)/(mx - mn)) - 1)))))) AS ii_x
+              FROM lineitem, iv)
+            ORDER BY l_orderkey, l_linenumber, score"""))
+
+  // fr8: fr5 at the PRODUCTION parameterization — num_harmonics = 200
+  // (the reference default, src/encode.py:31) → a 405-dim dense block, so
+  // the native codegen Fourier block builder is oracle-checked at full
+  // serving width, not only at the SQL-tractable K=4.
+  private val K200 = 200
+  private val paramsK200 = EncoderParams(numHarmonics = K200)
+
+  private def isr200(pos: String): String =
+    s"""list_sum(list_transform(range(1, ${K200 + 1}), k ->
+       (sin(pi()*k/$K200)/(pi()*k/$K200)) * (
+         (CASE WHEN k = 1 THEN 1.0 ELSE sin(pi()*k/$K200)/(pi()*k/$K200) END) *
+           (cos(a*pi()*k) - cos(b*pi()*k)) / ((b - a) * (b - a) * pi() * k) *
+           sin(k * pi() * ($pos)) +
+         (CASE WHEN k = 1 THEN 1.0 ELSE sin(pi()*k/$K200)/(pi()*k/$K200) END) *
+           (sin(b*pi()*k) - sin(a*pi()*k)) / ((b - a) * (b - a) * pi() * k) *
+           cos(k * pi() * ($pos)))))"""
+
+  private val fr8 = Q(
+    "fr8_dense_interval_k200",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val prof = Profiler.profile(li, Seq("l_quantity"))("l_quantity")
+      val layout = VectorLayout(Seq(DenseBlock("l_quantity", prof.min, prof.max, paramsK200)))
+      val q = QueryEncoder.encode(layout,
+        Map("l_quantity" -> DenseIntervalFilter("l_quantity", 10.0, 30.0)))
+      ProductEncoder.encode(li, layout)
+        .withColumn("score", round(Search.dot(col("fused_vec"), typedLit(q)), 5) + 0.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("score"))
+        .orderBy("l_orderkey", "l_linenumber", "score")
+    },
+    Some(s"""WITH mm AS (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx FROM lineitem),
+            ab AS (
+              SELECT 0.99 * ((2*((10.0 - mn)/(mx - mn)) - 1) - 0.01) AS a,
+                     0.99 * ((2*((30.0 - mn)/(mx - mn)) - 1) + 0.01) AS b, mn, mx
+              FROM mm),
+            iv0 AS (SELECT a, b, mn, mx,
+                     (a + b)/2 AS pin,
+                     CASE WHEN abs(a + 1) > abs(1 - b) THEN (a - 1)/2 ELSE (b + 1)/2 END AS pout
+                   FROM ab),
+            -- ii_in/ii_out are row-INVARIANT: evaluate the 200-term series
+            -- once here, not once per row (same expressions → same doubles)
+            iv AS (SELECT a, b, mn, mx,
+                     ${isr200("pin")} AS ii_in,
+                     ${isr200("pout")} AS ii_out
+                   FROM iv0)
+            SELECT l_orderkey, l_linenumber,
+              round(CASE WHEN l_quantity IS NULL
+                    THEN -(2/(ii_in - ii_out)) * ((ii_in + ii_out)/2) - 1.0
+                    ELSE (2/(ii_in - ii_out)) * ii_x - (2/(ii_in - ii_out)) * ((ii_in + ii_out)/2)
+                    END, 5) + 0.0 AS score
+            FROM (
+              SELECT l_orderkey, l_linenumber, l_quantity, ii_in, ii_out,
+                ${isr200(s"0.99 * (2*((l_quantity - mn)/(mx - mn)) - 1)")} AS ii_x
               FROM lineitem, iv)
             ORDER BY l_orderkey, l_linenumber, score"""))
 
@@ -318,5 +377,5 @@ object FuseRank {
                                 + shift) END), 5) + 0.0 AS score
             FROM customer, fin ORDER BY c_custkey"""))
 
-  val qs: Seq[Q] = Seq(fr1, fr2, fr3, fr4, fr5, fr6, fr7)
+  val qs: Seq[Q] = Seq(fr1, fr2, fr3, fr4, fr5, fr6, fr7, fr8)
 }

@@ -182,12 +182,19 @@ object Vectors {
         .select((col("a_id") * P + col("b_id") + guard).as("pair")).distinct()
         .select(expr(s"pair div $P").as("a_id"),
           pmod(col("pair"), lit(P)).cast("long").as("b_id"))
-      val ea = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-      val eb = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      // L2 norms hoisted to the per-VECTOR side (n rows) instead of per
+      // PAIR (d5's trick) — cosine per candidate is then ONE dot product,
+      // not three; identical doubles (same sqrt(dot) arithmetic)
+      val en = e.withColumn("__d", Search.asDouble(col("embedding")))
+        .withColumn("__n", Search.l2Norm(col("__d")))
+      val ea = en.select(col("vec_id").as("a_id"), col("__d").as("a_emb"),
+        col("__n").as("a_n"))
+      val eb = en.select(col("vec_id").as("b_id"), col("__d").as("b_emb"),
+        col("__n").as("b_n"))
       cand.join(ea, "a_id").join(eb, "b_id")
         .withColumn("cosine",
-          round(Search.cosine(Search.asDouble(col("a_emb")),
-            Search.asDouble(col("b_emb"))), 5) + 0.0)
+          round(Search.dot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n")),
+            5) + 0.0)
         .filter(col("cosine") >= D7Tau)
         .select(col("a_id"), col("b_id"), col("cosine"))
         .orderBy("a_id", "b_id")
