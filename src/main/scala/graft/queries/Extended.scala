@@ -108,5 +108,43 @@ object Extended {
               location.lat AS loc_lat
             FROM zipped ORDER BY c_custkey"""))
 
-  val qs: Seq[Q] = Seq(e1, e2, e3, e4)
+  // e5: CUBE — all grouping-set combinations (completes the grouping-sets
+  // family next to e1's ROLLUP).
+  private val e5 = Q(
+    "e5_cube_agg",
+    (s, d) => Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(dsum(col("l_extendedprice")), 4).as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("ls"),
+        col("sum_price"), col("n"))
+      .orderBy("rf", "ls"),
+    Some("""SELECT coalesce(l_returnflag, '<all>') AS rf,
+            coalesce(l_linestatus, '<all>') AS ls,
+            round(sum(l_extendedprice::DECIMAL(28,6))::DOUBLE, 4) AS sum_price,
+            count(*) AS n
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY rf, ls"""))
+
+  // e6: exact interpolated percentiles — Spark's exact `percentile` and
+  // DuckDB's `quantile_cont` share the same linear-interpolation
+  // definition, so medians/p90 hash-match (percentile_approx would not).
+  private val e6 = Q(
+    "e6_percentiles",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        (round(expr("percentile(l_extendedprice, 0.5)"), 4) + 0.0).as("median_price"),
+        (round(expr("percentile(l_extendedprice, 0.9)"), 4) + 0.0).as("p90_price"),
+        (round(expr("percentile(l_quantity, 0.5)"), 4) + 0.0).as("median_qty"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+            round(quantile_cont(l_extendedprice, 0.5), 4) + 0.0 AS median_price,
+            round(quantile_cont(l_extendedprice, 0.9), 4) + 0.0 AS p90_price,
+            round(quantile_cont(l_quantity, 0.5), 4) + 0.0 AS median_qty
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  val qs: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6)
 }
