@@ -30,17 +30,10 @@ object EvalQueries {
   private val Reps = 2
   private val TopK = 10
 
-  /** σ-damped interval-encoding Fourier partial sum I(pos) at K harmonics
-    * (fr5 template, qualified against the per-point iv CTE alias `v`). */
+  /** σ-damped Fourier interval series at `pos`, qualified against the
+    * per-point iv CTE alias `v` (shared template, Q.fourierSeriesSql). */
   private def series(kh: Int, pos: String): String =
-    s"""list_sum(list_transform(range(1, ${kh + 1}), k ->
-       (sin(pi()*k/$kh)/(pi()*k/$kh)) * (
-         (CASE WHEN k = 1 THEN 1.0 ELSE sin(pi()*k/$kh)/(pi()*k/$kh) END) *
-           (cos(v.a*pi()*k) - cos(v.b*pi()*k)) / ((v.b - v.a) * (v.b - v.a) * pi() * k) *
-           sin(k * pi() * ($pos)) +
-         (CASE WHEN k = 1 THEN 1.0 ELSE sin(pi()*k/$kh)/(pi()*k/$kh) END) *
-           (sin(v.b*pi()*k) - sin(v.a*pi()*k)) / ((v.b - v.a) * (v.b - v.a) * pi() * k) *
-           cos(k * pi() * ($pos)))))"""
+    Q.fourierSeriesSql(kh, "v.a", "v.b", pos)
 
   /** One sweep point's CTE chain; returns (cteSql, recCteName). */
   private def pointSql(kh: Int, epsIdx: Int, eps: Double, m: Int, i: Int): (String, String) = {

@@ -177,22 +177,8 @@ object FuseRank {
                    FROM ab),
             -- ii_in/ii_out are row-INVARIANT: series evaluated once here
             iv AS (SELECT a, b, mn, mx,
-                list_sum(list_transform(range(1, ${K + 1}), k ->
-                  (sin(pi()*k/$K)/(pi()*k/$K)) * (
-                    (CASE WHEN k = 1 THEN 1.0 ELSE sin(pi()*k/$K)/(pi()*k/$K) END) *
-                      (cos(a*pi()*k) - cos(b*pi()*k)) / ((b - a) * (b - a) * pi() * k) *
-                      sin(k * pi() * pin) +
-                    (CASE WHEN k = 1 THEN 1.0 ELSE sin(pi()*k/$K)/(pi()*k/$K) END) *
-                      (sin(b*pi()*k) - sin(a*pi()*k)) / ((b - a) * (b - a) * pi() * k) *
-                      cos(k * pi() * pin)))) AS ii_in,
-                list_sum(list_transform(range(1, ${K + 1}), k ->
-                  (sin(pi()*k/$K)/(pi()*k/$K)) * (
-                    (CASE WHEN k = 1 THEN 1.0 ELSE sin(pi()*k/$K)/(pi()*k/$K) END) *
-                      (cos(a*pi()*k) - cos(b*pi()*k)) / ((b - a) * (b - a) * pi() * k) *
-                      sin(k * pi() * pout) +
-                    (CASE WHEN k = 1 THEN 1.0 ELSE sin(pi()*k/$K)/(pi()*k/$K) END) *
-                      (sin(b*pi()*k) - sin(a*pi()*k)) / ((b - a) * (b - a) * pi() * k) *
-                      cos(k * pi() * pout)))) AS ii_out
+                ${Q.fourierSeriesSql(K, "a", "b", "pin")} AS ii_in,
+                ${Q.fourierSeriesSql(K, "a", "b", "pout")} AS ii_out
               FROM iv0)
             SELECT l_orderkey, l_linenumber,
               round(CASE WHEN l_quantity IS NULL
@@ -201,14 +187,8 @@ object FuseRank {
                     END, 5) + 0.0 AS score
             FROM (
               SELECT l_orderkey, l_linenumber, l_quantity, ii_in, ii_out,
-                list_sum(list_transform(range(1, ${K + 1}), k ->
-                  (sin(pi()*k/$K)/(pi()*k/$K)) * (
-                    (CASE WHEN k = 1 THEN 1.0 ELSE sin(pi()*k/$K)/(pi()*k/$K) END) *
-                      (cos(a*pi()*k) - cos(b*pi()*k)) / ((b - a) * (b - a) * pi() * k) *
-                      sin(k * pi() * (0.99 * (2*((l_quantity - mn)/(mx - mn)) - 1))) +
-                    (CASE WHEN k = 1 THEN 1.0 ELSE sin(pi()*k/$K)/(pi()*k/$K) END) *
-                      (sin(b*pi()*k) - sin(a*pi()*k)) / ((b - a) * (b - a) * pi() * k) *
-                      cos(k * pi() * (0.99 * (2*((l_quantity - mn)/(mx - mn)) - 1)))))) AS ii_x
+                ${Q.fourierSeriesSql(K, "a", "b",
+                  "0.99 * (2*((l_quantity - mn)/(mx - mn)) - 1)")} AS ii_x
               FROM lineitem, iv)
             ORDER BY l_orderkey, l_linenumber, score"""))
 
@@ -219,15 +199,7 @@ object FuseRank {
   private val K200 = 200
   private val paramsK200 = EncoderParams(numHarmonics = K200)
 
-  private def isr200(pos: String): String =
-    s"""list_sum(list_transform(range(1, ${K200 + 1}), k ->
-       (sin(pi()*k/$K200)/(pi()*k/$K200)) * (
-         (CASE WHEN k = 1 THEN 1.0 ELSE sin(pi()*k/$K200)/(pi()*k/$K200) END) *
-           (cos(a*pi()*k) - cos(b*pi()*k)) / ((b - a) * (b - a) * pi() * k) *
-           sin(k * pi() * ($pos)) +
-         (CASE WHEN k = 1 THEN 1.0 ELSE sin(pi()*k/$K200)/(pi()*k/$K200) END) *
-           (sin(b*pi()*k) - sin(a*pi()*k)) / ((b - a) * (b - a) * pi() * k) *
-           cos(k * pi() * ($pos)))))"""
+  private def isr200(pos: String): String = Q.fourierSeriesSql(K200, "a", "b", pos)
 
   private val fr8 = Q(
     "fr8_dense_interval_k200",
@@ -301,30 +273,10 @@ object FuseRank {
                 list_dot_product(e.embedding::DOUBLE[], ${Vectors.qvecSql}) AS text_score,
                 0.5 * (CASE WHEN d.lang IS NULL THEN 0.0
                             WHEN d.lang IN ('en','de') THEN 1.0 ELSE -1.0 END) AS lang_score,
-                list_sum(list_transform(range(1, ${K + 1}), k ->
-                  (sin(pi()*k/$K)/(pi()*k/$K)) * (
-                    (CASE WHEN k = 1 THEN 1.0 ELSE sin(pi()*k/$K)/(pi()*k/$K) END) *
-                      (cos(a*pi()*k) - cos(b*pi()*k)) / ((b - a) * (b - a) * pi() * k) *
-                      sin(k * pi() * (0.99 * (2*((d.n_chars - mn)/(mx - mn)) - 1))) +
-                    (CASE WHEN k = 1 THEN 1.0 ELSE sin(pi()*k/$K)/(pi()*k/$K) END) *
-                      (sin(b*pi()*k) - sin(a*pi()*k)) / ((b - a) * (b - a) * pi() * k) *
-                      cos(k * pi() * (0.99 * (2*((d.n_chars - mn)/(mx - mn)) - 1)))))) AS ii_x,
-                list_sum(list_transform(range(1, ${K + 1}), k ->
-                  (sin(pi()*k/$K)/(pi()*k/$K)) * (
-                    (CASE WHEN k = 1 THEN 1.0 ELSE sin(pi()*k/$K)/(pi()*k/$K) END) *
-                      (cos(a*pi()*k) - cos(b*pi()*k)) / ((b - a) * (b - a) * pi() * k) *
-                      sin(k * pi() * pin) +
-                    (CASE WHEN k = 1 THEN 1.0 ELSE sin(pi()*k/$K)/(pi()*k/$K) END) *
-                      (sin(b*pi()*k) - sin(a*pi()*k)) / ((b - a) * (b - a) * pi() * k) *
-                      cos(k * pi() * pin)))) AS ii_in,
-                list_sum(list_transform(range(1, ${K + 1}), k ->
-                  (sin(pi()*k/$K)/(pi()*k/$K)) * (
-                    (CASE WHEN k = 1 THEN 1.0 ELSE sin(pi()*k/$K)/(pi()*k/$K) END) *
-                      (cos(a*pi()*k) - cos(b*pi()*k)) / ((b - a) * (b - a) * pi() * k) *
-                      sin(k * pi() * pout) +
-                    (CASE WHEN k = 1 THEN 1.0 ELSE sin(pi()*k/$K)/(pi()*k/$K) END) *
-                      (sin(b*pi()*k) - sin(a*pi()*k)) / ((b - a) * (b - a) * pi() * k) *
-                      cos(k * pi() * pout)))) AS ii_out
+                ${Q.fourierSeriesSql(K, "a", "b",
+                  "0.99 * (2*((d.n_chars - mn)/(mx - mn)) - 1)")} AS ii_x,
+                ${Q.fourierSeriesSql(K, "a", "b", "pin")} AS ii_in,
+                ${Q.fourierSeriesSql(K, "a", "b", "pout")} AS ii_out
               FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id, iv)
             SELECT doc_id,
               round(text_score + lang_score +

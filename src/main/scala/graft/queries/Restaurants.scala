@@ -22,17 +22,9 @@ object Restaurants {
 
   private val K = 4 // harmonics — keeps the oracle SQL tractable (fr5 note)
 
-  /** fr5-style σ-damped Fourier partial sum I(p) of the interval-encoding
-    * series at scaled position `p` (SQL expression string). */
-  private def seriesSql(p: String): String =
-    s"""list_sum(list_transform(range(1, ${K + 1}), k ->
-       (sin(pi()*k/$K)/(pi()*k/$K)) * (
-         (CASE WHEN k = 1 THEN 1.0 ELSE sin(pi()*k/$K)/(pi()*k/$K) END) *
-           (cos(a*pi()*k) - cos(b*pi()*k)) / ((b - a) * (b - a) * pi() * k) *
-           sin(k * pi() * ($p)) +
-         (CASE WHEN k = 1 THEN 1.0 ELSE sin(pi()*k/$K)/(pi()*k/$K) END) *
-           (sin(b*pi()*k) - sin(a*pi()*k)) / ((b - a) * (b - a) * pi() * k) *
-           cos(k * pi() * ($p)))))"""
+  /** σ-damped Fourier interval series at scaled position `p` (shared
+    * template, Q.fourierSeriesSql). */
+  private def seriesSql(p: String): String = Q.fourierSeriesSql(K, "a", "b", p)
 
   private val xhat = "0.99 * (2*((i.cost - mn)/(mx - mn)) - 1)"
 

@@ -120,6 +120,17 @@ object Vectors {
     }.mkString(", ")
   }
 
+  /** Shared CTE prefix: plane literals + per-(vector, table) signatures —
+    * the SQL twin of LshSignatures.signatures, used by sim2 and d7. */
+  private def lshSigsCte: String =
+    s"""planes(tbl, bit, p) AS (VALUES $sim2PlanesSql),
+       sigs AS (
+         SELECT e.vec_id, pl.tbl,
+           sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) >= 0
+                    THEN 1 << pl.bit ELSE 0 END)::BIGINT AS sig
+         FROM embeddings e, planes pl
+         GROUP BY e.vec_id, pl.tbl)"""
+
   private val sim2 = Q(
     "sim2_knn_lsh",
     (s, d) => {
@@ -130,13 +141,7 @@ object Vectors {
           dim = Sim2Dim, nBits = Sim2Bits, k = 5)
         .orderBy("q_id", "rk")
     },
-    Some(s"""WITH planes(tbl, bit, p) AS (VALUES $sim2PlanesSql),
-             sigs AS (
-               SELECT e.vec_id, pl.tbl,
-                 sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) >= 0
-                          THEN 1 << pl.bit ELSE 0 END)::BIGINT AS sig
-               FROM embeddings e, planes pl
-               GROUP BY e.vec_id, pl.tbl),
+    Some(s"""WITH $lshSigsCte,
              qs AS (SELECT * FROM sigs WHERE vec_id IN (0, 1, 2)),
              cand AS (
                SELECT DISTINCT q.vec_id AS q_id, v.vec_id AS vec_id
@@ -199,13 +204,7 @@ object Vectors {
         .select(col("a_id"), col("b_id"), col("cosine"))
         .orderBy("a_id", "b_id")
     },
-    Some(s"""WITH planes(tbl, bit, p) AS (VALUES $sim2PlanesSql),
-             sigs AS (
-               SELECT e.vec_id, pl.tbl,
-                 sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) >= 0
-                          THEN 1 << pl.bit ELSE 0 END)::BIGINT AS sig
-               FROM embeddings e, planes pl
-               GROUP BY e.vec_id, pl.tbl),
+    Some(s"""WITH $lshSigsCte,
              cand AS (
                SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
                FROM sigs a JOIN sigs b

@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   */
 class EngineSpec extends SparkSpec {
 
+  /** Prepped restaurants items with stable row ids — shared fixture. */
+  private def restaurantItems = Prep.withRowId(
+    Prep.restaurants(Tables.restaurants(spark)),
+    Seq(col("Restaurant Name"), col("Location.lon"), col("Location.lat"),
+      col("Votes")))
+
   private lazy val engine: FuseRankEngine = {
-    val items = Prep.withRowId(
-      Prep.restaurants(Tables.restaurants(spark)),
-      Seq(col("Restaurant Name"), col("Location.lon"), col("Location.lat"),
-        col("Votes")))
+    val items = restaurantItems
     FuseRankEngine.index(items, FuseRankConfig(
       idCol = "row_id",
       textCols = Map("Restaurant Name" -> 0.4, "Cuisines" -> 0.6),
@@ -60,10 +63,7 @@ class EngineSpec extends SparkSpec {
   }
 
   test("fitTransforms: best transform fitted and applied to filter bounds") {
-    val items = Prep.withRowId(
-      Prep.restaurants(Tables.restaurants(spark)),
-      Seq(col("Restaurant Name"), col("Location.lon"), col("Location.lat"),
-        col("Votes")))
+    val items = restaurantItems
     val eng = FuseRankEngine.index(items, FuseRankConfig(
       idCol = "row_id",
       textCols = Map("Cuisines" -> 1.0),
@@ -85,10 +85,7 @@ class EngineSpec extends SparkSpec {
   }
 
   test("re-ranking with fitTransforms: raw-unit interval bounds rank transformed columns") {
-    val items = Prep.withRowId(
-      Prep.restaurants(Tables.restaurants(spark)),
-      Seq(col("Restaurant Name"), col("Location.lon"), col("Location.lat"),
-        col("Votes")))
+    val items = restaurantItems
     val eng = FuseRankEngine.index(items, FuseRankConfig(
       idCol = "row_id",
       textCols = Map("Cuisines" -> 1.0),
@@ -120,10 +117,7 @@ class EngineSpec extends SparkSpec {
   }
 
   test("geo kind inferred from an UNDECLARED struct(lon,lat) column") {
-    val items = Prep.withRowId(
-      Prep.restaurants(Tables.restaurants(spark)),
-      Seq(col("Restaurant Name"), col("Location.lon"), col("Location.lat"),
-        col("Votes")))
+    val items = restaurantItems
     // Location is a struct(lon: double, lat: double) — NOT declared in
     // geoCols; the engine must infer the geolocation modality from the type
     // (reference duck-types tuple-valued columns, src/app.py:46-50)
@@ -151,10 +145,7 @@ class EngineSpec extends SparkSpec {
   }
 
   test("geo modality end-to-end: nearby restaurants outrank far ones") {
-    val items = Prep.withRowId(
-      Prep.restaurants(Tables.restaurants(spark)),
-      Seq(col("Restaurant Name"), col("Location.lon"), col("Location.lat"),
-        col("Votes")))
+    val items = restaurantItems
       .withColumn("lon", col("Location.lon"))
       .withColumn("lat", col("Location.lat"))
     val eng = FuseRankEngine.index(items, FuseRankConfig(
