@@ -219,5 +219,67 @@ object Vectors {
              SELECT a_id, b_id, cosine FROM scored
              WHERE cosine >= $D7Tau ORDER BY a_id, b_id"""))
 
-  val qs: Seq[Q] = Seq(k1, sim1, sim2, d5, d7, a5, a6)
+  // sim3: IVF ANN — the OTHER scale path next to sim2's LSH (prompt: "an
+  // IVF or LSH-bucketed variant"). Centroids come from Lloyd's k-means made
+  // cross-engine-reproducible by construction: deterministic init (first
+  // nCentroids vectors by id), exact DECIMAL(28,6) per-dimension means
+  // (order-independent sums), centroid-id tiebreaks, empty clusters keep
+  // their centroid. The DuckDB twin re-runs the SAME k-means with the
+  // iterations UNROLLED as CTE layers (a_i → means_i → c_i), then the same
+  // probe + exact-cosine tail — the whole IVF pipeline is hash-checked.
+  private val IvfCentroidsN = 8
+  private val IvfIters = 3
+  private val IvfProbe = 2
+  private val IvfDim = 64
+
+  private def ivfSql: String = {
+    def dist(v: String, c: String) =
+      s"list_dot_product($v,$v) - 2*list_dot_product($v,$c) + list_dot_product($c,$c)"
+    val iterCtes = (1 to IvfIters).map { i =>
+      s"""a$i AS (SELECT e.vec_id, any_value(e.v) AS v,
+            (min({'d': ${dist("e.v", "c.c")}, 'cid': c.cid})).cid AS cid
+          FROM e, c${i - 1} c GROUP BY e.vec_id),
+          m$i AS (SELECT a.cid, i.i AS pos,
+            sum(a.v[i.i]::DECIMAL(28,6))::DOUBLE / count(*) AS m
+          FROM a$i a, range(1, ${IvfDim + 1}) i(i) GROUP BY a.cid, i.i),
+          n$i AS (SELECT cid, list(m ORDER BY pos) AS c FROM m$i GROUP BY cid),
+          c$i AS (SELECT p.cid, coalesce(n$i.c, p.c) AS c
+                  FROM c${i - 1} p LEFT JOIN n$i USING (cid))"""
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+               embedding::DOUBLE[] AS c FROM embeddings
+               ORDER BY vec_id LIMIT $IvfCentroidsN),
+        $iterCtes,
+        af AS (SELECT e.vec_id, any_value(e.v) AS v,
+            (min({'d': ${dist("e.v", "c.c")}, 'cid': c.cid})).cid AS cid
+          FROM e, c$IvfIters c GROUP BY e.vec_id),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+        pr AS (SELECT q_id, cid FROM (
+            SELECT q.q_id, c.cid, row_number() OVER (PARTITION BY q.q_id
+              ORDER BY ${dist("q.qv", "c.c")}, c.cid) AS r
+            FROM q, c$IvfIters c) WHERE r <= $IvfProbe),
+        cand AS (SELECT p.q_id, a.vec_id FROM pr p JOIN af a USING (cid)
+                 WHERE a.vec_id != p.q_id),
+        scored AS (SELECT c.q_id, c.vec_id,
+            round(list_cosine_similarity(qe.v, ve.v), 5) + 0.0 AS score
+          FROM cand c
+          JOIN e qe ON qe.vec_id = c.q_id
+          JOIN e ve ON ve.vec_id = c.vec_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY score DESC, vec_id) AS rk FROM scored)
+        SELECT q_id, vec_id, score, rk FROM ranked
+        WHERE rk <= 5 ORDER BY q_id, rk"""
+  }
+
+  private val sim3 = Q(
+    "sim3_knn_ivf",
+    (s, d) => Search.knnIvf(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", queryIds = Seq(0L, 1L, 2L),
+        nCentroids = IvfCentroidsN, iters = IvfIters, nProbe = IvfProbe, k = 5)
+      .orderBy("q_id", "rk"),
+    Some(ivfSql))
+
+  val qs: Seq[Q] = Seq(k1, sim1, sim2, sim3, d5, d7, a5, a6)
 }

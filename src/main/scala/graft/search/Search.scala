@@ -129,6 +129,94 @@ object Search {
       .drop("__tbl", "__sig")
   }
 
+  /** IVF coarse quantizer: Lloyd's k-means over the vector column.
+    * Deterministic and cross-engine-reproducible by construction —
+    * init = the first `nCentroids` vectors by id; per-dimension means use
+    * exact DECIMAL(28,6) sums (order-independent, so executor partitioning
+    * cannot change the centroids); assignment ties break on centroid id;
+    * empty clusters keep their previous centroid. Each iteration is one
+    * narrow assignment projection + one (cid, dim) aggregation; only
+    * nCentroids×dim rows ever reach the driver.
+    */
+  def ivfCentroids(vectors: DataFrame, vecCol: String, idCol: String,
+                   nCentroids: Int, iters: Int): Array[Array[Double]] = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = vectors.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("v"))
+    var cents: Array[Array[Double]] = base.orderBy("id").limit(nCentroids)
+      .collect().map(_.getSeq[Double](1).toArray)
+    for (_ <- 1 to iters) {
+      val means = base.withColumn("cid", ivfAssign(col("v"), cents))
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "val")))
+        .groupBy("cid", "pos")
+        .agg((sum(col("val").cast(DecimalType(28, 6))).cast("double") /
+          count(lit(1))).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getAs[Int]("cid"))(r.getAs[Int]("pos")) = r.getAs[Double]("m")
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Nearest-centroid id by squared L2 distance (|v|² − 2v·c + |c|²),
+    * centroid-id tiebreak — one expression, codegen dot per centroid. */
+  def ivfAssign(vec: Column, cents: Array[Array[Double]]): Column = {
+    val vv = dot(vec, vec)
+    val entries = cents.zipWithIndex.map { case (c, i) =>
+      var cn = 0.0; var j = 0
+      while (j < c.length) { cn += c(j) * c(j); j += 1 }
+      struct((vv - lit(2.0) * dot(vec, typedLit(c)) + lit(cn)).as("d"),
+        lit(i).as("cid"))
+    }
+    array_min(array(entries.toIndexedSeq: _*)).getField("cid")
+  }
+
+  /** IVF ANN top-k for a small query-id set: fit centroids, assign every
+    * vector to its bucket, probe the `nProbe` nearest centroids per query
+    * (driver math — centroids are tiny), exact cosine on the probed
+    * buckets only. The scale shape: candidate generation is a broadcast
+    * join on centroid id over ~nProbe/nCentroids of the table, never a
+    * full scan per query. */
+  def knnIvf(vectors: DataFrame, vecCol: String, idCol: String,
+             queryIds: Seq[Long], nCentroids: Int, iters: Int,
+             nProbe: Int, k: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    val cents = ivfCentroids(vectors, vecCol, idCol, nCentroids, iters)
+    val base = vectors.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("v"))
+    val assigned = base.withColumn("cid", ivfAssign(col("v"), cents))
+      .withColumn("vn", l2Norm(col("v")))
+    val qRows = base.filter(col("id").isin(queryIds: _*)).collect()
+    val probes = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1).toArray
+      var qq = 0.0; var j = 0
+      while (j < qv.length) { qq += qv(j) * qv(j); j += 1 }
+      cents.zipWithIndex.map { case (c, i) =>
+        var vc = 0.0; var cn = 0.0; var m = 0
+        while (m < c.length) { vc += qv(m) * c(m); cn += c(m) * c(m); m += 1 }
+        (qid, i, qq - 2.0 * vc + cn)
+      }.sortBy { case (_, cid, d) => (d, cid) }
+        .take(nProbe).map { case (q, cid, _) => (q, cid) }
+    }
+    val probesDf = spark.createDataFrame(probes.toIndexedSeq).toDF("q_id", "cid")
+    val qSide = base.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("q_id"), col("v").as("qv"),
+        l2Norm(col("v")).as("qn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("id"))
+    assigned.join(broadcast(probesDf), "cid")
+      .filter(col("q_id") =!= col("id"))
+      .join(broadcast(qSide), "q_id")
+      .withColumn("score",
+        round(dot(col("qv"), col("v")) / (col("qn") * col("vn")), 5) + 0.0)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("id").as("vec_id"), col("score"), col("rk"))
+  }
+
   /** ANN top-k via multi-table LSH: candidates = vectors sharing ANY
     * table's bucket with the query (deduplicated), then exact cosine on the
     * candidate set only. Recall vs knnBruteForce asserted in tests. */

@@ -116,4 +116,31 @@ class SweepSpec extends SparkSpec {
     assert(r4 >= r8, s"recall should rise as buckets coarsen: 4b=$r4 8b=$r8")
     emb.unpersist()
   }
+
+  test("IVF kNN recall vs brute force; more probes raise recall") {
+    val d = sf("sf0.001")
+    val emb = Tables.embeddings(spark, d)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding")).persist()
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("q_id"),
+        org.apache.spark.sql.functions.col("embedding").as("q_emb"))
+    val exact = Search.knnBruteForce(emb, q, "embedding", "vec_id", "q_emb", "q_id", 10)
+      .select("q_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    def ivfRecall(nProbe: Int): Double = {
+      val approx = Search.knnIvf(emb, "embedding", "vec_id", qids,
+          nCentroids = 8, iters = 3, nProbe = nProbe, k = 10)
+        .select("q_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+      val rs = exact.keys.map(k => Eval.recall(exact(k), approx.getOrElse(k, Seq.empty)))
+      rs.sum / rs.size
+    }
+    val r2 = ivfRecall(2); val r8 = ivfRecall(8) // nProbe = nCentroids → exhaustive
+    assert(r2 >= 0.3, s"IVF recall@2/8 probes = $r2")
+    assert(r8 >= r2, s"recall must not drop as probes widen: p2=$r2 p8=$r8")
+    assert(r8 >= 0.99, s"probing every centroid must equal brute force: $r8")
+    emb.unpersist()
+  }
 }
