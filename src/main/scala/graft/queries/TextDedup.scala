@@ -300,6 +300,43 @@ object TextDedup {
             round(sum(value::DECIMAL(28,6))::DOUBLE, 4) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
 
+  // X6 repetition-ratio quality signals (Gopher/C4-style filtering rules):
+  // distinct-word ratio and distinct-word-trigram ratio per document —
+  // low ratios flag boilerplate/repetitive text for training-data pruning.
+  // Row-local array math (no explode/shuffle) — scale-safe like d2/d6.
+  private val x6 = Q(
+    "x6_repetition_ratio",
+    (s, d) => {
+      val tok = split(trim(col("text")), "\\s+")
+      val nTok = size(tok)
+      val tri = when(nTok >= 3,
+        transform(sequence(lit(1), nTok - 2), i =>
+          concat_ws(" ", element_at(tok, i), element_at(tok, i + 1),
+            element_at(tok, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          (round(size(array_distinct(tok)).cast("double") / nTok, 6) + 0.0)
+            .as("distinct_word_ratio"),
+          (round(when(size(tri) > 0,
+              size(array_distinct(tri)).cast("double") / size(tri))
+            .otherwise(1.0), 6) + 0.0).as("distinct_trigram_ratio"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+              string_split_regex(trim(text), '\s+') AS tok FROM documents),
+            x AS (SELECT doc_id, tok, len(tok) AS n,
+              CASE WHEN len(tok) >= 3 THEN list_transform(range(1, len(tok) - 1),
+                i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
+              ELSE [] END AS tri
+              FROM t)
+            SELECT doc_id,
+              round(len(list_distinct(tok))::DOUBLE / n, 6) + 0.0 AS distinct_word_ratio,
+              round(CASE WHEN len(tri) > 0
+                    THEN len(list_distinct(tri))::DOUBLE / len(tri)
+                    ELSE 1.0 END, 6) + 0.0 AS distinct_trigram_ratio
+            FROM x ORDER BY doc_id"""))
+
   // ST2 event-time SESSIONIZATION (batch twin of Streaming.sessionize —
   // Spark session_window semantics: events with gaps < 30 min merge, the
   // session ends 30 min after its last event). DuckDB twin: gaps-and-
@@ -334,5 +371,5 @@ object TextDedup {
             FROM s GROUP BY user_id, sid
             ORDER BY user_id, session_start"""))
 
-  val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, x1, x2, x3, x4, x5, st1, st2)
+  val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, x1, x2, x3, x4, x5, x6, st1, st2)
 }
