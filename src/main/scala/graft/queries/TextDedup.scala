@@ -337,6 +337,36 @@ object TextDedup {
                     ELSE 1.0 END, 6) + 0.0 AS distinct_trigram_ratio
             FROM x ORDER BY doc_id"""))
 
+  // X7 deterministic stratified sample — training-data MIXTURE
+  // construction: keep a fixed fraction per `source`, chosen by md5 hash
+  // order (seeded, reproducible across engines and partitionings — the
+  // distributed analogue of seeded df.sample groupwise). At 100 TB the
+  // same selection runs WITHOUT the per-group window: keep rows whose hash
+  // is below the per-source count-derived threshold (narrow filter after
+  // one count aggregate); the window form here keeps the oracle exact.
+  private val x7 = Q(
+    "x7_stratified_sample",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("h"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(concat_ws(":", col("doc_id"), lit("strat"))).as("h"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .filter(col("rn") <= ceil(lit(0.2) * col("n")))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH h AS (SELECT doc_id, source,
+              md5(doc_id::VARCHAR || ':strat') AS h FROM documents),
+            r AS (SELECT *,
+              row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+              count(*) OVER (PARTITION BY source) AS n FROM h)
+            SELECT doc_id, source FROM r
+            WHERE rn <= ceil(0.2 * n) ORDER BY doc_id"""))
+
   // ST2 event-time SESSIONIZATION (batch twin of Streaming.sessionize —
   // Spark session_window semantics: events with gaps < 30 min merge, the
   // session ends 30 min after its last event). DuckDB twin: gaps-and-
@@ -371,5 +401,5 @@ object TextDedup {
             FROM s GROUP BY user_id, sid
             ORDER BY user_id, session_start"""))
 
-  val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, x1, x2, x3, x4, x5, x6, st1, st2)
+  val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, x1, x2, x3, x4, x5, x6, x7, st1, st2)
 }
