@@ -110,14 +110,7 @@ object RerankQueries {
   // the YJ candidate is excluded — its MLE fit is not SQL-expressible, so
   // it is covered by TransformSpec instead). Ties: first candidate wins
   // (strict < in the reference).
-  private def ksSqlFor(xExpr: String, from: String = "lineitem"): String =
-    s"""(WITH t AS (SELECT $xExpr AS x FROM $from WHERE l_quantity IS NOT NULL),
-        st AS (SELECT avg(x) AS m, sqrt(avg(x*x) - avg(x)*avg(x)) AS sd,
-                      count(*) AS n FROM t),
-        r AS (SELECT x, row_number() OVER (ORDER BY x) AS i FROM t),
-        f AS (SELECT i, n, (1 + ($erfSql)) / 2 AS cdf
-              FROM (SELECT i, n, (x - m) / (sd * sqrt(2)) AS z FROM r, st))
-        SELECT max(greatest(i / n::DOUBLE - cdf, cdf - (i - 1) / n::DOUBLE)) FROM f)"""
+  private def ksSqlFor(xExpr: String): String = TransformSql.ksSqlFor(xExpr)
 
   private val t6 = Q(
     "t6_best_transform",
@@ -154,24 +147,7 @@ object RerankQueries {
   // bit-identical λ — then scores all candidates with the shared KS SQL.
   // Candidate order = the reference's reflection order (alphabetical:
   // Inverse, Log, Sqrt, YeoJohnson); first of equal minima wins.
-  /** Row-level Yeo-Johnson of column/expr `v` with λ expression `l`
-    * (reference piecewise formula, src/transform.py:36-44). */
-  private def yjOfSql(v: String, l: String): String =
-    s"""(CASE WHEN $v >= 0 THEN
-          CASE WHEN abs($l) < 1e-12 THEN ln($v + 1)
-               ELSE (pow($v + 1, $l) - 1) / ($l) END
-        ELSE
-          CASE WHEN abs(($l) - 2) < 1e-12 THEN -ln(-($v) + 1)
-               ELSE -(pow(-($v) + 1, 2 - ($l)) - 1) / (2 - ($l)) END END)"""
-
-  private def yjSql(l: String): String = yjOfSql("x", l)
-
-  private def llfSql(l: String): String =
-    s"""(SELECT -any_value(cnt)/2.0 * ln(greatest(avg(t*t) - avg(t)*avg(t), 1e-300))
-          + (($l) - 1.0) * any_value(slog)
-        FROM (SELECT ${yjSql(l)} AS t FROM vals), base)"""
-
-  private val phiSql = "((sqrt(5) - 1)/2)"
+  private def yjOfSql(v: String, l: String): String = TransformSql.yjOfSql(v, l)
 
   private val t7 = Q(
     "t7_best_transform_yj",
@@ -192,25 +168,8 @@ object RerankQueries {
         .toDF("best_transform", "lambda", "ks")
     },
     Some(s"""WITH RECURSIVE
-        vals AS (SELECT l_quantity::DOUBLE AS x FROM lineitem
-                 WHERE l_quantity IS NOT NULL),
-        base AS (SELECT count(*)::DOUBLE AS cnt,
-                        sum(sign(x) * ln(abs(x) + 1)) AS slog FROM vals),
-        gs(iter, a, b, c1, c2, f1, f2) AS (
-          SELECT 0, -2.0::DOUBLE, 2.0::DOUBLE,
-            2.0 - $phiSql * 4.0, -2.0 + $phiSql * 4.0,
-            ${llfSql(s"2.0 - $phiSql * 4.0")},
-            ${llfSql(s"-2.0 + $phiSql * 4.0")}
-          UNION ALL
-          SELECT iter + 1,
-            CASE WHEN f1 > f2 THEN a  ELSE c1 END,
-            CASE WHEN f1 > f2 THEN c2 ELSE b  END,
-            CASE WHEN f1 > f2 THEN c2 - $phiSql * (c2 - a) ELSE c2 END,
-            CASE WHEN f1 > f2 THEN c1 ELSE c1 + $phiSql * (b - c1) END,
-            CASE WHEN f1 > f2 THEN ${llfSql(s"c2 - $phiSql * (c2 - a)")} ELSE f2 END,
-            CASE WHEN f1 > f2 THEN f1 ELSE ${llfSql(s"c1 + $phiSql * (b - c1)")} END
-          FROM gs WHERE b - a > 1e-4),
-        lam AS (SELECT (a + b)/2 AS lambda FROM gs ORDER BY iter DESC LIMIT 1),
+        ${TransformSql.yjFitCtes(
+          "SELECT l_quantity::DOUBLE AS x FROM lineitem WHERE l_quantity IS NOT NULL")},
         ks AS (SELECT
           ${ksSqlFor("1.0 / (l_quantity + 1e-10)")} AS k_inv,
           ${ksSqlFor("log2(l_quantity + 1)")} AS k_log,
