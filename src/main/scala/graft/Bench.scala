@@ -106,11 +106,32 @@ object Bench {
     }
     val total = (System.nanoTime() - t0) / 1e9
 
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val errs = errors.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // The driver captures only the LAST ~2000 chars of output and parses
+    // the JSON line out of that tail — a full-name, full-precision line for
+    // 69 queries is ~2900 chars and gets decapitated (BENCH_r01/r02 both
+    // recorded parsed=null because of this). The printed line therefore
+    // uses the short query id (the unique prefix before the first '_' —
+    // the "q1" form the driver contract's own example uses) and
+    // millisecond-precision seconds: ~1000 chars with headroom for growth.
+    // Full names at full precision go to BENCH_DETAIL.json alongside.
+    def qid(n: String) = n.takeWhile(_ != '_')
+    val shortUnique = results.keys.toSeq.map(qid).distinct.size == results.size
+    def key(n: String) = if (shortUnique) qid(n) else n
+    def fmt(v: Double) =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def jmap(m: Iterable[(String, String)]) =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results.toSeq.sortBy(_._1).map { case (k, v) => key(k) -> fmt(v) })
+    val errs = jmap(errors.toSeq.sortBy(_._1).map { case (k, v) => key(k) -> ("\"" + v + "\"") })
+    val detail = jmap(
+      Seq("total" -> total.toString, "threads" -> threads.toString,
+        "sf" -> ("\"" + sfDir + "\""),
+        "queries" -> jmap(results.toSeq.sortBy(_._1).map { case (k, v) => k -> v.toString }),
+        "errors" -> jmap(errors.toSeq.sortBy(_._1).map { case (k, v) => k -> ("\"" + v + "\"") })))
+    scala.util.Try(java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
