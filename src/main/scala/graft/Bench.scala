@@ -56,55 +56,80 @@ object Bench {
     def canon(p: String) = scala.util.Try(new java.io.File(p).getCanonicalPath).getOrElse(p)
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") == "1" &&
         new java.io.File(warmDir).isDirectory && canon(warmDir) != canon(sfDir)) {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      SparkEntry.queries.foreach { case (name, fn) =>
+        // rest* queries read the fixed restaurants CSV and IGNORE the data
+        // dir — warming them would execute the identical workload on the
+        // identical data, making their measured numbers second-run times.
+        // Skip them here; their first measured rep is their cold time.
+        if (!name.startsWith("rest"))
+          try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     }
 
     val threads = sys.env.getOrElse("SPARK_GRAFT_BENCH_THREADS", "1").toInt
-    val results = TrieMap.empty[String, Double]
+    // Median-of-N (default 3): the whole measured suite runs N sequential
+    // passes and each query reports its MEDIAN time. A co-tenant load spike
+    // inflates one pass, not the median — recorded r2/r3 totals were ~2×
+    // judge re-runs purely from machine noise. Note reps 2+ run warm on the
+    // measured data's page cache; medians are steady-state times (measure
+    // any comparison baseline the same way).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val samples = TrieMap.empty[String, Vector[Double]]
     val errors = TrieMap.empty[String, String]
 
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       val q0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        results.put(name, (System.nanoTime() - q0) / 1e9)
-      } catch {
-        case t: Throwable =>
-          // negative sentinel: elapsed-until-failure, negated. Message is
-          // scrubbed of EVERY char that would break the one-line JSON
-          // (quotes, backslashes, all control chars — Spark exceptions
-          // embed \t/\r plan fragments).
-          results.put(name, -((System.nanoTime() - q0) / 1e9))
-          errors.put(name, t.toString.take(200)
-            .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c))
-          System.err.println(s"BENCH FAILURE $name: $t")
-      }
+      val elapsed =
+        try { fn(spark, sfDir).count(); (System.nanoTime() - q0) / 1e9 }
+        catch {
+          case t: Throwable =>
+            // negative sentinel: elapsed-until-failure, negated. Message is
+            // scrubbed of EVERY char that would break the one-line JSON
+            // (quotes, backslashes, all control chars — Spark exceptions
+            // embed \t/\r plan fragments).
+            errors.put(name, t.toString.take(200)
+              .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c))
+            System.err.println(s"BENCH FAILURE $name: $t")
+            -((System.nanoTime() - q0) / 1e9)
+        }
+      samples.updateWith(name) { v => Some(v.getOrElse(Vector.empty) :+ elapsed) }
     }
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val t0 = System.nanoTime()
-    if (threads <= 1) {
-      ordered.foreach { case (name, fn) => runOne(name, fn) }
-    } else {
-      // longest-processing-time-first submission order shrinks the makespan
-      val heavy = Seq("d3_minhash_lsh_pairs", "a11_sweep_agg",
-        "rest1_restaurants_fused_topk", "d7_lsh_neardup_pairs",
-        "t7_best_transform_yj", "fr8_dense_interval_k200", "d5_embedding_neardup",
-        "sim1_knn_cosine", "sim2_knn_lsh", "a7_recall", "fr5_dense_interval_score",
-        "fr6_fused_topk", "k6_seeded_sample", "d1_exact_dedup", "st1_event_window")
-      val lpt = ordered.sortBy { case (n, _) =>
-        val i = heavy.indexOf(n); if (i < 0) heavy.size else i
+    for (_ <- 1 to reps) {
+      if (threads <= 1) {
+        ordered.foreach { case (name, fn) => runOne(name, fn) }
+      } else {
+        // longest-processing-time-first submission order shrinks the makespan
+        val heavy = Seq("d3_minhash_lsh_pairs", "a11_sweep_agg",
+          "rest1_restaurants_fused_topk", "d7_lsh_neardup_pairs",
+          "t7_best_transform_yj", "fr8_dense_interval_k200", "d5_embedding_neardup",
+          "sim1_knn_cosine", "sim2_knn_lsh", "a7_recall", "fr5_dense_interval_score",
+          "fr6_fused_topk", "k6_seeded_sample", "d1_exact_dedup", "st1_event_window")
+        val lpt = ordered.sortBy { case (n, _) =>
+          val i = heavy.indexOf(n); if (i < 0) heavy.size else i
+        }
+        val pool = Executors.newFixedThreadPool(threads)
+        lpt.foreach { case (name, fn) =>
+          pool.submit(new Runnable { def run(): Unit = runOne(name, fn) })
+        }
+        pool.shutdown()
+        pool.awaitTermination(2, TimeUnit.HOURS)
       }
-      val pool = Executors.newFixedThreadPool(threads)
-      lpt.foreach { case (name, fn) =>
-        pool.submit(new Runnable { def run(): Unit = runOne(name, fn) })
-      }
-      pool.shutdown()
-      pool.awaitTermination(2, TimeUnit.HOURS)
     }
-    val total = (System.nanoTime() - t0) / 1e9
+    val wall = (System.nanoTime() - t0) / 1e9
+    // per-query median; ANY failed rep surfaces as the (negative) failure
+    // sentinel — a flaky query must never report a clean median.
+    def median(v: Vector[Double]): Double = {
+      val s = v.sorted; s((s.size - 1) / 2)
+    }
+    val results: Map[String, Double] = samples.toMap.map { case (n, v) =>
+      n -> (v.find(_ < 0).getOrElse(median(v)))
+    }
+    // "total" = sum of per-query medians: the de-noised suite time the
+    // driver compares round-to-round (wall of all passes goes to DETAIL).
+    val total = results.valuesIterator.map(math.abs).sum
 
     // The driver captures only the LAST ~2000 chars of output and parses
     // the JSON line out of that tail — a full-name, full-precision line for

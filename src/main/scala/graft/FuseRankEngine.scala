@@ -73,14 +73,13 @@ final class FuseRankEngine private (
           params = QueryEncoder.Params(params.intervalEpsilon, params.rangeEpsilon))
         val top = Search.fusedTopK(indexed, "fused_vec", idCol, q, k)
           .withColumnRenamed("score", "relevance")
-        top.join(broadcast(items).hint("broadcast"), Seq(idCol))
-          .orderBy(col("relevance").desc, col(idCol))
+        gather(items, top).orderBy(col("relevance").desc, col(idCol))
       case SearchMethod.Reranking =>
         // text-only retrieval (aux blocks skipped: reference gates encode on
         // method, src/encode.py:68,132), then window re-rank of the k rows
         val top = Search.fusedTopK(indexed, "text_vec", idCol, textVec, k)
           .withColumnRenamed("score", "relevance")
-        val gathered = top.join(broadcast(itemsTransformed), Seq(idCol))
+        val gathered = gather(itemsTransformed, top)
         val minMax = profiles.map { case (c, p) => c -> (p.min, p.max) }
         // Dense filter values arrive in ORIGINAL units; the gathered columns
         // and profile min/max are in TRANSFORMED scale — map the bounds
@@ -104,6 +103,18 @@ final class FuseRankEngine private (
         Rerank.rerank(gathered, scaledFilters, minMax, geoCols)
           .orderBy(col("relevance").desc, col(idCol))
     }
+  }
+
+  /** Gather the full item rows for the k hits (reference iloc gather,
+    * src/app.py:80). The k-row top-k is the SMALL side — broadcast IT and
+    * stream the items table; at 100 TB broadcasting items would OOM every
+    * executor, while a k≤200-row broadcast is constant-size at any scale.
+    * Reselected to (id, relevance, item columns) so the output schema is
+    * join-order independent. */
+  private def gather(itemTable: DataFrame, top: DataFrame): DataFrame = {
+    val itemCols = itemTable.columns.filterNot(_ == idCol).map(col)
+    itemTable.join(broadcast(top), Seq(idCol))
+      .select(col(idCol) +: col("relevance") +: itemCols.toSeq: _*)
   }
 
   /** Items with fitted transforms applied (reference transformed_df,

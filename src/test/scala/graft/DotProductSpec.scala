@@ -96,6 +96,31 @@ class DotProductSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    // the BROADCAST side must be the k-row top-k, not the items table
+    // (items at 100 TB cannot be broadcast): in the printed tree the
+    // BroadcastExchange node sits ABOVE the TakeOrderedAndProject subtree,
+    // so it prints first; broadcasting items would print them reversed.
+    assert(plan.indexOf("BroadcastExchange") >= 0 &&
+      plan.indexOf("BroadcastExchange") < plan.indexOf("TakeOrderedAndProject"),
+      s"broadcast is not on the top-k side:\n${plan.take(1200)}")
+    eng.close()
+  }
+
+  test("plan regression: reranking gather broadcasts the top-k side") {
+    import spark.implicits._
+    val items = (0L until 200L).map(i => (i, s"item $i text", i % 7, i.toDouble))
+      .toDF("row_id", "name", "cat", "price")
+    val eng = FuseRankEngine.index(items, FuseRankConfig(
+      idCol = "row_id", textCols = Map("name" -> 1.0),
+      auxCols = Seq("price"),
+      params = graft.encode.EncoderParams(numHarmonics = 4)))
+    val plan = eng.search("item", Seq(graft.query.DensePointFilter("price", 50.0)),
+      k = 5, method = SearchMethod.Reranking)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(plan.indexOf("BroadcastExchange") >= 0 &&
+      plan.indexOf("BroadcastExchange") < plan.indexOf("TakeOrderedAndProject"),
+      s"rerank gather broadcast is not on the top-k side:\n${plan.take(1200)}")
     eng.close()
   }
 }
