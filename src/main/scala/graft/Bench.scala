@@ -149,9 +149,12 @@ object Bench {
     val qs = jmap(results.toSeq.sortBy(_._1).map { case (k, v) => key(k) -> fmt(v) })
     val errs = jmap(errors.toSeq.sortBy(_._1).map { case (k, v) => key(k) -> ("\"" + v + "\"") })
     val detail = jmap(
-      Seq("total" -> total.toString, "threads" -> threads.toString,
+      Seq("total" -> total.toString, "wall" -> wall.toString,
+        "reps" -> reps.toString, "threads" -> threads.toString,
         "sf" -> ("\"" + sfDir + "\""),
         "queries" -> jmap(results.toSeq.sortBy(_._1).map { case (k, v) => k -> v.toString }),
+        "samples" -> jmap(samples.toSeq.sortBy(_._1).map { case (k, v) =>
+          k -> v.mkString("[", ",", "]") }),
         "errors" -> jmap(errors.toSeq.sortBy(_._1).map { case (k, v) => k -> ("\"" + v + "\"") })))
     scala.util.Try(java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),

@@ -1,0 +1,117 @@
+#!/usr/bin/env python3
+"""Build a scaled benchmark dataset by replicating a source SF directory.
+
+Usage: python3 tools/make_scaled_sf.py <src_sf_dir> <out_dir> <factor>
+
+Bench-only tooling (driver-side python, like tools/check_oracle.py): the
+correctness gate always runs on the driver's own testdata. This exists to
+measure the suite at ~sf1 (10x sf0.1) — the "job floor amortizes away at
+scale" claim needs a measurement at the largest data we can build locally.
+
+Replication rules:
+  - region/nation are bounded dimensions: copied once, never replicated
+    (matches TPC-H, where they are constant across SF).
+  - every other table is unioned <factor> times with its key columns
+    shifted by replica * stride, so intra-replica join relationships
+    (orders.o_custkey -> customer.c_custkey, lineitem.l_orderkey ->
+    orders.o_orderkey, ...) stay intact and join/group cardinalities
+    scale linearly.
+  - stride per table = next power of 10 above the max key, kept SMALL on
+    purpose: doc_id/vec_id pairs are packed into one int64 downstream with
+    an overflow guard at 1e9 — ids must stay well below that.
+  - embeddings get a tiny deterministic per-replica perturbation
+    (+replica*1e-4 on every component) so near-dup queries see realistic
+    near-duplicates instead of a pathological 10-way exact-duplicate
+    blowup; documents text is intentionally left identical (exact-dedup
+    work should scale with the data).
+  - pyarrow (not DuckDB) so the physical parquet types survive verbatim —
+    events.ts is TIMESTAMP(NANOS), which the Spark reader contract
+    (nanosAsLong) depends on.
+"""
+import sys
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyarrow.compute as pc
+import os
+
+# column -> key family; every column in a family shifts by the SAME stride
+# so foreign keys keep referencing the matching replica's primary keys.
+FAMILY = {
+    "c_custkey": "custkey", "o_custkey": "custkey",
+    "s_suppkey": "suppkey", "l_suppkey": "suppkey",
+    "p_partkey": "partkey", "l_partkey": "partkey",
+    "o_orderkey": "orderkey", "l_orderkey": "orderkey",
+    "event_id": "event", "user_id": "user",
+    "doc_id": "doc", "vec_id": "vec",
+}
+KEYS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_ONCE = ["region", "nation"]
+
+
+def family_strides(src):
+    """Next power of 10 above the max key observed ACROSS the family."""
+    fmax = {}
+    for name, keys in KEYS.items():
+        t = pq.read_table(f"{src}/{name}.parquet", columns=keys)
+        for k in keys:
+            fam = FAMILY[k]
+            fmax[fam] = max(fmax.get(fam, 0), pc.max(t.column(k)).as_py() or 0)
+    strides = {}
+    for fam, m in fmax.items():
+        s = 10
+        while s <= m:
+            s *= 10
+        strides[fam] = s
+    return strides
+
+
+def perturb_embeddings(table: pa.Table, rep: int) -> pa.Table:
+    if rep == 0:
+        return table
+    col = table.column("embedding")
+    arr = col.combine_chunks()
+    values = pc.add(arr.values, pa.scalar(rep * 1e-4, pa.float32()))
+    new = pa.ListArray.from_arrays(arr.offsets, values)
+    i = table.schema.get_field_index("embedding")
+    return table.set_column(i, table.schema.field(i), new)
+
+
+def main():
+    src, out, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    os.makedirs(out, exist_ok=True)
+    for name in COPY_ONCE:
+        t = pq.read_table(f"{src}/{name}.parquet")
+        pq.write_table(t, f"{out}/{name}.parquet")
+        print(f"{name}: {t.num_rows} rows (copied once)")
+    strides = family_strides(src)
+    print("family strides:", strides)
+    for name, keys in KEYS.items():
+        t = pq.read_table(f"{src}/{name}.parquet")
+        reps = []
+        for rep in range(factor):
+            r = t
+            for k in keys:
+                i = r.schema.get_field_index(k)
+                shifted = pc.add(r.column(k),
+                                 pa.scalar(rep * strides[FAMILY[k]], r.schema.field(i).type))
+                r = r.set_column(i, r.schema.field(i), shifted)
+            if name == "embeddings":
+                r = perturb_embeddings(r, rep)
+            reps.append(r)
+        big = pa.concat_tables(reps)
+        # multiple row groups so Spark/DuckDB can parallelize the scan
+        pq.write_table(big, f"{out}/{name}.parquet", row_group_size=200_000)
+        print(f"{name}: {t.num_rows} -> {big.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()
