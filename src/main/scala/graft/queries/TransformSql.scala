@@ -40,11 +40,23 @@ object TransformSql {
           CASE WHEN abs(($l) - 2) < 1e-12 THEN -ln(-($v) + 1)
                ELSE -(pow(-($v) + 1, 2 - ($l)) - 1) / (2 - ($l)) END END)"""
 
-  /** YJ log-likelihood at λ expression `l`, over CTEs `vals(x)`/`base`. */
+  /** YJ log-likelihood at λ expression `l`, over CTEs `vals(x, w)`/`base`.
+    *
+    * Parity by construction with YeoJohnson.fit's histogram fast path
+    * (Transforms.scala): both engines fold the SAME weighted terms over the
+    * SAME sorted distinct values in the SAME ascending order —
+    * `sum(expr ORDER BY x)` makes DuckDB accumulate sequentially in x order,
+    * exactly like the Scala `xs.foreach` loop over the sorted histogram, so
+    * near-convergence llf comparisons take identical branches on any data
+    * (a raw-row avg in engine scan order could differ by a summation ulp
+    * and flip a golden-section branch). */
   private def llfSql(l: String): String =
-    s"""(SELECT -any_value(cnt)/2.0 * ln(greatest(avg(t*t) - avg(t)*avg(t), 1e-300))
+    s"""(SELECT -any_value(cnt)/2.0 * ln(greatest(
+            sum(t*t*w ORDER BY x)/any_value(cnt)
+            - (sum(t*w ORDER BY x)/any_value(cnt))
+              * (sum(t*w ORDER BY x)/any_value(cnt)), 1e-300))
           + (($l) - 1.0) * any_value(slog)
-        FROM (SELECT ${yjOfSql("x", l)} AS t FROM vals), base)"""
+        FROM (SELECT x, w, ${yjOfSql("x", l)} AS t FROM vals), base)"""
 
   val phiSql = "((sqrt(5) - 1)/2)"
 
@@ -54,9 +66,11 @@ object TransformSql {
     * decisions and doubles to the Scala loop), `lam` (the fitted λ).
     * The consuming query must start with WITH RECURSIVE. */
   def yjFitCtes(valsSelect: String): String =
-    s"""vals AS ($valsSelect),
-        base AS (SELECT count(*)::DOUBLE AS cnt,
-                        sum(sign(x) * ln(abs(x) + 1)) AS slog FROM vals),
+    s"""vals AS (SELECT x, count(*)::DOUBLE AS w
+                 FROM ($valsSelect) GROUP BY x),
+        base AS (SELECT sum(w ORDER BY x) AS cnt,
+                        sum(sign(x) * ln(abs(x) + 1) * w ORDER BY x) AS slog
+                 FROM vals),
         gs(iter, a, b, c1, c2, f1, f2) AS (
           SELECT 0, -2.0::DOUBLE, 2.0::DOUBLE,
             2.0 - $phiSql * 4.0, -2.0 + $phiSql * 4.0,

@@ -210,6 +210,13 @@ object Transforms {
         val bounds = r.getSeq[Double](r.fieldIndex("bounds")).distinct.sorted
         r.getAs[String]("tag") -> ((n, m, s, bounds))
       }.toMap
+      // A candidate whose column is entirely null contributes no rows to
+      // `grouped` and so no meta row — it cannot fit ANY distribution.
+      // Report KS = 1.0 (rejected; bestTransform's < 1.0 bar skips it)
+      // instead of blowing up on the missing tag downstream.
+      val absentTags = tags.filterNot(statByTag.contains)
+      val presentTags = tags.filter(statByTag.contains)
+      if (presentTags.isEmpty) return absentTags.map(_ -> 1.0).toMap
       val maxDistinct = meta.map(_.getAs[Long]("d")).max
 
       // Fast path: when every tag's DISTINCT-value count is modest, a single
@@ -225,7 +232,7 @@ object Transforms {
             bounds.foldLeft(lit(0)) { (acc, b) =>
               acc + when(col("x") > b, 1).otherwise(0)
             }
-          tags.foldRight(lit(-1): Column) { (t, els) =>
+          presentTags.foldRight(lit(-1): Column) { (t, els) =>
             when(col("tag") === t, bucketChain(statByTag(t)._4)).otherwise(els)
           }
         }
@@ -233,7 +240,7 @@ object Transforms {
 
       // Exclusive prefix offsets per (tag, bucket) — #tags × #buckets rows.
       val offRows =
-        if (smallCardinality) tags.map(t => (t, 0, 0L))
+        if (smallCardinality) presentTags.map(t => (t, 0, 0L))
         else {
           val totals = bucketed.groupBy("tag", "b").agg(sum("cnt").as("bn")).collect()
           totals.groupBy(_.getAs[String]("tag")).toSeq.flatMap {
@@ -261,7 +268,8 @@ object Transforms {
           cdf - (col("c") - col("cnt")) / col("n")).as("dev"))
         .groupBy("tag").agg(max(col("dev")).as("ks"))
         .collect()
-        .map(r => r.getAs[String]("tag") -> r.getAs[Double]("ks")).toMap
+        .map(r => r.getAs[String]("tag") -> r.getAs[Double]("ks")).toMap ++
+        absentTags.map(_ -> 1.0)
     } finally grouped.unpersist()
   }
 

@@ -54,4 +54,20 @@ class TransformSpec extends SparkSpec {
     val best = Transforms.bestTransform(neg, "x")
     assert(best.forall(t => t.name == "reciprocal" || t.name == "yeojohnson"))
   }
+
+  test("all-null candidate column: KS = 1.0 (rejected), no exception") {
+    import spark.implicits._
+    val mixed = Seq((1.0, Option.empty[Double]), (2.0, None), (5.0, None))
+      .toDF("x", "allnull")
+    // one live candidate + one all-null candidate in the same pass
+    val ks = Transforms.ksStatistics(mixed,
+      Seq("live" -> col("x"), "dead" -> col("allnull")))
+    assert(ks("dead") == 1.0, s"dead ks=${ks("dead")}")
+    assert(ks("live") > 0.0 && ks("live") < 1.0, s"live ks=${ks("live")}")
+    // every candidate all-null (the column itself is null)
+    val ksAll = Transforms.ksStatistics(mixed, Seq("dead" -> col("allnull")))
+    assert(ksAll == Map("dead" -> 1.0), s"$ksAll")
+    // bestTransform on an all-null column: every candidate rejected -> None
+    assert(Transforms.bestTransform(mixed, "allnull").isEmpty)
+  }
 }
