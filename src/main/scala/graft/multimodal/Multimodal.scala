@@ -7,11 +7,12 @@ import org.apache.spark.sql.types._
 
 /** Multimodal (image/audio/video) columns as opaque `binary` payloads with
   * typed metadata — the Spark-side plumbing is real (schemas, mapPartitions
-  * batching, deterministic partition-local processing); the actual codec
-  * calls are STUBBED behind [[Codec]] with a deterministic fake (the
-  * image/audio libraries are not in this container). A production build
-  * swaps [[Codec.default]] for a JNI/javacv-backed implementation with the
-  * same signature — nothing else changes.
+  * batching, deterministic partition-local processing). IMAGES are decoded
+  * for real by [[imageIo]] (pure-JVM `javax.imageio`: PNG/JPEG/GIF/BMP);
+  * audio/video decoding stays STUBBED behind [[default]] with a
+  * deterministic fake (no AV libraries in this container) — a production
+  * build swaps in a JNI/javacv-backed [[Codec]] with the same signature
+  * and nothing else changes.
   *
   * Design for 100 TB: every operator here is a narrow mapPartitions (no
   * shuffle); payloads stay off-heap in Tungsten rows until the partition
@@ -72,6 +73,57 @@ object Multimodal {
       val n = math.sqrt(v.map(x => x.toDouble * x).sum)
       if (n == 0) v else v.map(x => (x / n).toFloat)
     }
+  }
+
+  /** REAL image codec on pure-JVM `javax.imageio` — PNG/JPEG/GIF/BMP
+    * decode with zero native dependencies. Decoded pixels are row-major
+    * 8-bit luma (integer ITU-R BT.601: (299r + 587g + 114b + 500)/1000 —
+    * all-integer arithmetic, so platform-stable). Non-image payloads fall
+    * back to the stub's fake-header format, so mixed corpora (some rows
+    * real images, some synthetic) flow through one codec. `resize` is
+    * 2-D nearest-neighbor with integer index math; `embed` is the same
+    * histogram projection as the stub (decode source doesn't change the
+    * feature contract).
+    */
+  object imageIo extends Codec {
+    def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) default.decode(payload)
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val px = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+            px(y * w + x) = ((r * 299 + g * 587 + b * 114 + 500) / 1000).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, px)
+      }
+    }
+    def resize(pixels: Array[Byte], w: Int, h: Int, newW: Int, newH: Int): Array[Byte] = {
+      if (newW <= 0 || newH <= 0 || w <= 0 || h <= 0 || pixels.length < w * h)
+        return Array.emptyByteArray
+      val out = new Array[Byte](newW * newH)
+      var y = 0
+      while (y < newH) {
+        val sy = (y * h) / newH
+        var x = 0
+        while (x < newW) {
+          out(y * newW + x) = pixels(sy * w + (x * w) / newW)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    val embedDim: Int = default.embedDim
+    def embed(pixels: Array[Byte]): Array[Float] = default.embed(pixels)
   }
 
   /** Build a fake payload (header + pixels) — test/fixture helper. */
