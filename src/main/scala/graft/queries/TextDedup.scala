@@ -82,14 +82,15 @@ object TextDedup {
       // query on the first violating row (a_id < b_id, so guarding b_id
       // covers both) instead of silently corrupting pairs at 1e9+ ids.
       val P = 1000000000L
+      // skew guard: oversized buckets (near-constant corpora) fall back to
+      // star pairs via Search.cappedBandPairs — mirrored in the oracle SQL
       def pairsOn(b: String): DataFrame = {
-        val l = sigs.select(col("doc_id").as("a_id"), col(b).as("bucket"))
-        val r = sigs.select(col("doc_id").as("b_id"), col(b).as("bucket"))
         val guard = coalesce(
           assert_true(col("b_id") < P,
             lit(s"doc_id >= $P overflows the packed pair long")).cast("long"),
           lit(0L))
-        l.join(r, "bucket").filter(col("a_id") < col("b_id"))
+        graft.search.Search.cappedBandPairs(
+            sigs.select(col("doc_id"), col(b).as("bucket")), "doc_id", "bucket")
           .select((col("a_id") * P + col("b_id") + guard).as("pair"))
       }
       // persist before the global sort: range-partitioning samples its
@@ -111,12 +112,26 @@ object TextDedup {
                          FROM tok GROUP BY doc_id),
                  band AS (SELECT doc_id, md5(h0 || h1 || h2 || h3) AS band0,
                                  md5(h4 || h5 || h6 || h7) AS band1 FROM sig),
+                 bs0 AS (SELECT band0 AS bucket, count(*) AS bn, min(doc_id) AS rep
+                         FROM band GROUP BY 1),
+                 bs1 AS (SELECT band1 AS bucket, count(*) AS bn, min(doc_id) AS rep
+                         FROM band GROUP BY 1),
                  pairs AS (
                    SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM band a
                    JOIN band b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+                   JOIN bs0 s ON s.bucket = a.band0 WHERE s.bn <= 1000
+                   UNION
+                   SELECT s.rep, a.doc_id FROM band a
+                   JOIN bs0 s ON s.bucket = a.band0
+                   WHERE s.bn > 1000 AND a.doc_id <> s.rep
                    UNION
                    SELECT a.doc_id, b.doc_id FROM band a
-                   JOIN band b ON a.band1 = b.band1 AND a.doc_id < b.doc_id)
+                   JOIN band b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+                   JOIN bs1 s ON s.bucket = a.band1 WHERE s.bn <= 1000
+                   UNION
+                   SELECT s.rep, a.doc_id FROM band a
+                   JOIN bs1 s ON s.bucket = a.band1
+                   WHERE s.bn > 1000 AND a.doc_id <> s.rep)
             SELECT DISTINCT a_id, b_id FROM pairs ORDER BY a_id, b_id"""))
 
   // D4 n-gram (word-bigram shingle) Jaccard on a bounded pair set.

@@ -174,16 +174,16 @@ object Vectors {
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val b = Search.lshBuckets(e, "embedding", Sim2Dim, Sim2Bits, Sim2Tables)
         .select(col("vec_id"), col("bucket"))
-      val l = b.withColumnRenamed("vec_id", "a_id")
-      val r = b.withColumnRenamed("vec_id", "b_id")
+        .persist()
       // candidate pairs ride the distinct as ONE packed long (d3's trick —
-      // halves shuffle width); guarded against id overflow like d3
+      // halves shuffle width); guarded against id overflow like d3.
+      // cappedBandPairs = the band-skew guard (oracle mirrors the cap).
       val P = 1000000000L
       val guard = coalesce(
         assert_true(col("b_id") < P,
           lit(s"vec_id >= $P overflows the packed pair long")).cast("long"),
         lit(0L))
-      val cand = l.join(r, "bucket").filter(col("a_id") < col("b_id"))
+      val cand = Search.cappedBandPairs(b, "vec_id", "bucket")
         .select((col("a_id") * P + col("b_id") + guard).as("pair")).distinct()
         .select(expr(s"pair div $P").as("a_id"),
           pmod(col("pair"), lit(P)).cast("long").as("b_id"))
@@ -205,10 +205,19 @@ object Vectors {
         .orderBy("a_id", "b_id")
     },
     Some(s"""WITH $lshSigsCte,
+             bstat AS (SELECT tbl, sig, count(*) AS bn, min(vec_id) AS rep
+                       FROM sigs GROUP BY tbl, sig),
              cand AS (
-               SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-               FROM sigs a JOIN sigs b
-                 ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id),
+               SELECT DISTINCT a_id, b_id FROM (
+                 SELECT a.vec_id AS a_id, b.vec_id AS b_id
+                 FROM sigs a JOIN sigs b
+                   ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+                 JOIN bstat s ON s.tbl = a.tbl AND s.sig = a.sig
+                 WHERE s.bn <= 1000
+                 UNION ALL
+                 SELECT s.rep, a.vec_id FROM sigs a
+                 JOIN bstat s ON s.tbl = a.tbl AND s.sig = a.sig
+                 WHERE s.bn > 1000 AND a.vec_id <> s.rep)),
              scored AS (
                SELECT c.a_id, c.b_id,
                  round(list_cosine_similarity(ea.embedding::DOUBLE[],

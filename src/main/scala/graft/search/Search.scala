@@ -129,6 +129,41 @@ object Search {
       .drop("__tbl", "__sig")
   }
 
+  /** Default per-bucket cap for [[cappedBandPairs]] — far above any bucket
+    * a healthy corpus produces at the configured band widths, so results
+    * are identical to the uncapped join unless the data is degenerate. */
+  val LshBucketCap = 1000
+
+  /** Candidate pairs from an LSH/band bucketing with a SKEW GUARD: buckets
+    * up to `cap` members self-join into all pairs (the normal path);
+    * oversized buckets — a near-constant corpus can collapse into ONE
+    * bucket, turning the self-join into O(m²) on a single straggler task —
+    * instead emit STAR pairs (bucket-min representative, member). The star
+    * preserves the connected components that dedup clustering consumes
+    * (every member still links to the rep) at O(m) pairs, bounding any
+    * bucket's work linearly. Output keeps the a_id < b_id invariant; the
+    * bucket-stats aggregation shuffles on the same key as the pair join.
+    *
+    * `buckets` must have one row per (id, bucket); callers should persist
+    * it (it is scanned twice). */
+  def cappedBandPairs(buckets: DataFrame, idCol: String, bucketCol: String,
+                      cap: Int = LshBucketCap): DataFrame = {
+    val stats = buckets.groupBy(col(bucketCol))
+      .agg(count(lit(1)).as("__bn"), min(col(idCol)).as("__rep"))
+    val withStats = buckets.select(col(bucketCol), col(idCol))
+      .join(stats, Seq(bucketCol))
+    val small = withStats.filter(col("__bn") <= cap)
+    val allPairs = small.select(col(bucketCol), col(idCol).as("a_id"))
+      .join(small.select(col(bucketCol), col(idCol).as("b_id")), Seq(bucketCol))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    // rep = bucket min, so (rep, id != rep) already satisfies a_id < b_id
+    val starPairs = withStats
+      .filter(col("__bn") > cap && col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("a_id"), col(idCol).as("b_id"))
+    allPairs.unionByName(starPairs)
+  }
+
   /** IVF coarse quantizer: Lloyd's k-means over the vector column.
     * Deterministic and cross-engine-reproducible by construction —
     * init = the first `nCentroids` vectors by id; per-dimension means use
