@@ -125,27 +125,39 @@ object Eval {
                                num_modalities: Int, repetition: Int, seed: Int,
                                recall: Double)
 
+  /** One grid config's subject engine: the search closure plus a release
+    * hook (unpersist the config's encoded index). [[fullSweep]] calls
+    * `close()` as soon as the config's points are evaluated. */
+  final case class SweepEngine(search: (Seq[Filter], Int) => Seq[Long],
+                               close: () => Unit = () => ())
+
   /** Full A11 sweep (reference src/eval/evaluate.py:156-242): the modality
     * sweep of [[sweep]] repeated over the `num_harmonics` ×
     * `interval_epsilon` grid (reference config.yaml:7-8). `engineFor`
-    * rebuilds the subject engine per grid point (the reference re-encodes
+    * rebuilds the subject engine per grid config (the reference re-encodes
     * products per parameterization the same way, evaluate.py:186-189).
     *
     * Unlike the reference's fully nested loops, the row sample and the
     * hard-filter oracle list are computed ONCE per (m, i) — they do not
-    * depend on the harmonics/ε parameterization — and the per-config
-    * subject searches are submitted concurrently (Spark multiplexes
-    * independent jobs). Results are identical to the nested-loop order.
+    * depend on the harmonics/ε parameterization.
+    *
+    * Memory is bounded at `maxInFlightConfigs` encoded indexes: configs
+    * are built, evaluated and RELEASED in bounded batches (a full
+    * reference-sized grid — 10 harmonics × 7 ε — would otherwise pin 70
+    * persisted indexes at once). Each batch runs on a dedicated
+    * fixed-size pool (Spark actions block; on ExecutionContext.global
+    * that either starves the pool or, with blocking{}, spawns unbounded
+    * threads). Results are identical to the nested-loop order.
     */
   def fullSweep(items: DataFrame, idCol: String, textVecCol: String,
                 qText: Array[Double],
                 candidateCols: Seq[String], profiles: Map[String, ColumnProfile],
-                engineFor: (Int, Double) => (Seq[Filter], Int) => Seq[Long],
+                engineFor: (Int, Double) => SweepEngine,
                 harmonicsSweep: Seq[Int], epsilonSweep: Seq[Double],
-                k: Int = 10, repetitions: Int = 3): Seq[SweepResult] = {
+                k: Int = 10, repetitions: Int = 3,
+                maxInFlightConfigs: Int = 2): Seq[SweepResult] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
     val n = candidateCols.size
     val pointKeys = for { m <- 1 to n; i <- 0 until repetitions } yield (m, i)
     // config-independent work, once per (m, i)
@@ -160,16 +172,24 @@ object Eval {
       val oracle = hardFilterTopK(items, idCol, textVecCol, qText, filters, k)
       (m, i) -> ((seed, filters, oracle))
     }.toMap
-    val tasks = for {
-      kh <- harmonicsSweep
-      eps <- epsilonSweep
-      search = engineFor(kh, eps)
-      (m, i) <- pointKeys
-    } yield Future {
-      val (seed, filters, oracle) = perPoint((m, i))
-      SweepResult(kh, eps, m, i, seed, recall(oracle, search(filters, k)))
-    }
-    Await.result(Future.sequence(tasks), Duration.Inf)
+    val configs = for { kh <- harmonicsSweep; eps <- epsilonSweep } yield (kh, eps)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(maxInFlightConfigs, 1))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      configs.grouped(math.max(maxInFlightConfigs, 1)).flatMap { batch =>
+        val futs = batch.map { case (kh, eps) =>
+          Future {
+            val eng = engineFor(kh, eps)
+            try pointKeys.map { case (m, i) =>
+              val (seed, filters, oracle) = perPoint((m, i))
+              SweepResult(kh, eps, m, i, seed, recall(oracle, eng.search(filters, k)))
+            } finally eng.close()
+          }
+        }
+        Await.result(Future.sequence(futs), Duration.Inf).flatten
+      }.toSeq
+    } finally pool.shutdown()
   }
 
   /** A9-shaped aggregation of sweep results (reference groupby-mean,

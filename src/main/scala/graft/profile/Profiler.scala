@@ -102,9 +102,14 @@ object Profiler {
       val vals: Seq[String] = row.getSeq[String](row.fieldIndex(s"${c}__vals")).toList
       require(numeric || vals.size <= MaxVocab,
         s"column $c has ${vals.size} distinct values — above MaxVocab=$MaxVocab")
+      // Precedence matches the reference EXACTLY (src/app.py:46-50):
+      // nunique()==2 is checked FIRST, so even a tuple/geo-typed column
+      // with two distinct values classifies Binary, then tuple-valued →
+      // geolocation, then object → sparse, numeric → dense.
+      val geoTyped = isGeoStruct(schema(c).dataType)
       val kind =
-        if (isGeoStruct(schema(c).dataType)) ModalityKind.Geolocation
-        else if (nd == 2) ModalityKind.Binary
+        if (nd == 2) ModalityKind.Binary
+        else if (geoTyped) ModalityKind.Geolocation
         else if (!numeric) ModalityKind.Sparse
         else ModalityKind.Dense
       c -> ColumnProfile(
@@ -115,7 +120,10 @@ object Profiler {
         nDistinct = nd,
         min = Option(row.get(row.fieldIndex(s"${c}__min"))).map(_.asInstanceOf[Double]).getOrElse(Double.NaN),
         max = Option(row.get(row.fieldIndex(s"${c}__max"))).map(_.asInstanceOf[Double]).getOrElse(Double.NaN),
-        distinctSorted = if (numeric && nd == 2) binaryNumericVals(df, c) else vals)
+        // numeric and geo-typed columns don't collect a vocabulary in the
+        // profile aggregation — fetch the two binary values on demand
+        distinctSorted =
+          if (nd == 2 && (numeric || geoTyped)) binaryNumericVals(df, c) else vals)
     }.toMap
   }
 

@@ -114,23 +114,23 @@ object EvalQueries {
       val profs = Profiler.profile(items, Cands)
       val zeroText = new Array[Double](64)
       // one persisted encode per (harmonics, ε) config, shared by that
-      // config's sweep points; released after the sweep
-      val encoded = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.DataFrame]
-      def engineFor(kh: Int, eps: Double): (Seq[Filter], Int) => Seq[Long] = {
+      // config's sweep points; fullSweep releases it via close() as soon
+      // as the config's points are evaluated (bounded in-flight memory)
+      def engineFor(kh: Int, eps: Double): Eval.SweepEngine = {
         val params = EncoderParams(numHarmonics = kh, intervalEpsilon = eps)
         val layout = ProductEncoder.layoutFor(Cands.map(profs), params)
         val indexed = ProductEncoder.encode(items, layout).persist()
-        encoded += indexed
-        (filters, k) => {
-          val q = QueryEncoder.encode(layout, filters.map(f => f.column -> f).toMap,
-            params = QueryEncoder.Params(eps, params.rangeEpsilon))
-          Eval.fusedTopK(indexed, "doc_id", "fused_vec", q, k)
-        }
+        Eval.SweepEngine(
+          search = (filters, k) => {
+            val q = QueryEncoder.encode(layout, filters.map(f => f.column -> f).toMap,
+              params = QueryEncoder.Params(eps, params.rangeEpsilon))
+            Eval.fusedTopK(indexed, "doc_id", "fused_vec", q, k)
+          },
+          close = () => { indexed.unpersist(); () })
       }
       val rs = Eval.fullSweep(items, "doc_id", "embedding", zeroText,
         Cands, profs, engineFor, HarmonicsSweep, EpsilonSweep,
         k = TopK, repetitions = Reps)
-      encoded.foreach(_.unpersist())
       items.unpersist()
       Eval.aggregateResults(s, rs)
     },

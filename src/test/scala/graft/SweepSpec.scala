@@ -50,19 +50,19 @@ class SweepSpec extends SparkSpec {
       "doc_id", "vec_id", "embedding").persist()
     val cands = Seq("lang", "n_chars")
     val profs = Profiler.profile(items, cands)
-    val cached = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.DataFrame]
-    def engineFor(kh: Int, eps: Double): (Seq[Filter], Int) => Seq[Long] = {
+    def engineFor(kh: Int, eps: Double): Eval.SweepEngine = {
       val params = EncoderParams(numHarmonics = kh, intervalEpsilon = eps)
       val layout = ProductEncoder.layoutFor(cands.map(profs), params,
         textBlock = Some(TextBlock("embedding", 64)))
       val indexed = ProductEncoder.encode(items, layout).persist()
-      cached += indexed
-      (filters, k) => {
-        val q = QueryEncoder.encode(layout,
-          filters.map(f => f.column -> withWeight(f, 2.0)).toMap,
-          textVec = Vectors.QVEC, params = QueryEncoder.Params(eps, 0.01))
-        Eval.fusedTopK(indexed, "doc_id", "fused_vec", q, k * 3)
-      }
+      Eval.SweepEngine(
+        search = (filters, k) => {
+          val q = QueryEncoder.encode(layout,
+            filters.map(f => f.column -> withWeight(f, 2.0)).toMap,
+            textVec = Vectors.QVEC, params = QueryEncoder.Params(eps, 0.01))
+          Eval.fusedTopK(indexed, "doc_id", "fused_vec", q, k * 3)
+        },
+        close = () => { indexed.unpersist(); () })
     }
     // the reference's full grid shape (config.yaml:7-8, scaled down):
     // num_harmonics × interval_epsilon × modality-count × repetitions
@@ -81,7 +81,6 @@ class SweepSpec extends SparkSpec {
       .mapValues(ps => ps.map(_.recall).sum / ps.size).toMap
     assert(meanByK(4) <= meanByK(16) + 0.05, s"recall not K-monotone: $meanByK")
     assert(meanByK.values.forall(r => r >= 0.0 && r <= 1.0))
-    cached.foreach(_.unpersist())
     items.unpersist()
   }
 

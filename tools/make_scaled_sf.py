@@ -42,7 +42,7 @@ FAMILY = {
     "p_partkey": "partkey", "l_partkey": "partkey",
     "o_orderkey": "orderkey", "l_orderkey": "orderkey",
     "event_id": "event", "user_id": "user",
-    "doc_id": "doc", "vec_id": "vec",
+    "doc_id": "doc", "vec_id": "vec", "label": "label",
 }
 KEYS = {
     "customer": ["c_custkey"],
@@ -52,7 +52,7 @@ KEYS = {
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+    "embeddings": ["vec_id", "label"],
 }
 COPY_ONCE = ["region", "nation"]
 
@@ -75,12 +75,25 @@ def family_strides(src):
 
 
 def perturb_embeddings(table: pa.Table, rep: int) -> pa.Table:
+    """Rotate each vector's components by `rep` positions. Rotations of a
+    random vector are near-orthogonal to the original, so replicas are
+    genuinely DIFFERENT vectors with identical marginal statistics — a
+    tiny additive perturbation instead would make every vector a
+    factor-way near-duplicate clique, growing near-dup pair counts
+    quadratically in the replication factor (a data artifact, not a
+    property of real 10x corpora)."""
     if rep == 0:
         return table
-    col = table.column("embedding")
-    arr = col.combine_chunks()
-    values = pc.add(arr.values, pa.scalar(rep * 1e-4, pa.float32()))
-    new = pa.ListArray.from_arrays(arr.offsets, values)
+    import numpy as np
+    col = table.column("embedding").combine_chunks()
+    offsets = col.offsets.to_numpy()
+    lens = set(offsets[1:] - offsets[:-1])
+    assert len(lens) == 1, f"ragged embedding dims: {lens}"
+    dim = lens.pop()
+    vals = col.values.to_numpy(zero_copy_only=False).reshape(-1, dim)
+    rolled = np.roll(vals, rep % dim, axis=1).reshape(-1)
+    new = pa.ListArray.from_arrays(col.offsets,
+                                   pa.array(rolled, pa.float32()))
     i = table.schema.get_field_index("embedding")
     return table.set_column(i, table.schema.field(i), new)
 
