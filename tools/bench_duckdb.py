@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Time the DuckDB oracle suite on a scale-factor directory — the latency
+baseline the Spark bench is compared against (BASELINE.md).
+
+Usage: python3 tools/bench_duckdb.py <sfDir> <oracle_sql.json> [reps]
+
+Mirrors graft.Bench's protocol: a warmup pass of every query (JIT/page
+cache), then `reps` (default 3) sequential measured passes, per-query
+MEDIAN reported, total = sum of medians. 32 threads like the Spark side.
+"""
+import sys, json, os, time, statistics
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sf_dir, oracle_path = sys.argv[1], sys.argv[2]
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    con = duckdb.connect()
+    con.execute("SET threads=32")
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(oracle_path))
+    names = sorted(oracle)
+    for name in names:  # warmup
+        try:
+            con.execute(oracle[name]).fetchall()
+        except Exception as e:
+            print(f"WARMUP FAIL {name}: {e}", file=sys.stderr)
+    samples = {n: [] for n in names}
+    for _ in range(reps):
+        for name in names:
+            t0 = time.time()
+            try:
+                con.execute(oracle[name]).fetchall()
+                samples[name].append(time.time() - t0)
+            except Exception:
+                samples[name].append(float("nan"))
+    med = {n: statistics.median(v) for n, v in samples.items()}
+    total = sum(med.values())
+    print(json.dumps({"metric": "duckdb_total", "value": round(total, 3),
+                      "unit": "sec", "sf": sf_dir,
+                      "queries": {n: round(v, 3) for n, v in med.items()}}))
+
+
+if __name__ == "__main__":
+    main()
