@@ -13,7 +13,14 @@ import org.apache.spark.sql.functions._
 object Prep {
 
   /** Stable row id: row_number over a deterministic total order. One window
-    * pass at ingest; every later join/sample keys on it. */
+    * pass at ingest; every later join/sample keys on it.
+    *
+    * SCALE GUARD: the unpartitioned window funnels ALL rows through one
+    * task — correct and cheap for the ≤10K-row CSV ingests it serves, but
+    * this pattern must never migrate to a big-table path. Large ingests
+    * should derive row identity from data itself (a hash/composite of the
+    * ordering key, like the md5 identities the dedup/sample queries use)
+    * or zipWithIndex-style per-partition offsets. */
   def withRowId(df: DataFrame, order: Seq[Column], col0: String = "row_id"): DataFrame =
     df.withColumn(col0, row_number().over(Window.orderBy(order: _*)) - 1)
 
