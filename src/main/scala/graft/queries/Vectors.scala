@@ -286,7 +286,9 @@ object Vectors {
     (s, d) => Search.knnIvf(
         Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
         "embedding", "vec_id", queryIds = Seq(0L, 1L, 2L),
-        nCentroids = IvfCentroidsN, iters = IvfIters, nProbe = IvfProbe, k = 5)
+        nCentroids = IvfCentroidsN, iters = IvfIters, nProbe = IvfProbe, k = 5,
+        // DECIMAL means: the oracle twin re-runs the identical fit
+        exactMeans = true)
       .orderBy("q_id", "rk"),
     Some(ivfSql))
 

@@ -173,19 +173,29 @@ object Search {
     * narrow assignment projection + one (cid, dim) aggregation; only
     * nCentroids×dim rows ever reach the driver.
     */
+  /** `exactMeans = true` accumulates per-dimension sums in DECIMAL(28,6) —
+    * order-independent, so the fit is bit-reproducible across engines and
+    * partitionings (the mode the sim3 oracle twin replicates). The default
+    * `false` is the production mode: native codegen double sums — the
+    * centroid drift from summation order is fp-noise that does not move
+    * ANN quality, and the DECIMAL cast/agg overhead is the single biggest
+    * cost of the fit at scale. */
   def ivfCentroids(vectors: DataFrame, vecCol: String, idCol: String,
-                   nCentroids: Int, iters: Int): Array[Array[Double]] = {
+                   nCentroids: Int, iters: Int,
+                   exactMeans: Boolean = false): Array[Array[Double]] = {
     import org.apache.spark.sql.types.DecimalType
     val base = vectors.select(col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("v"))
     var cents: Array[Array[Double]] = base.orderBy("id").limit(nCentroids)
       .collect().map(_.getSeq[Double](1).toArray)
+    val sumExpr =
+      if (exactMeans) sum(col("val").cast(DecimalType(28, 6))).cast("double")
+      else sum(col("val"))
     for (_ <- 1 to iters) {
       val means = base.withColumn("cid", ivfAssign(col("v"), cents))
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "val")))
         .groupBy("cid", "pos")
-        .agg((sum(col("val").cast(DecimalType(28, 6))).cast("double") /
-          count(lit(1))).as("m"))
+        .agg((sumExpr / count(lit(1))).as("m"))
         .collect()
       val next = cents.map(_.clone())
       means.foreach { r =>
@@ -217,9 +227,9 @@ object Search {
     * full scan per query. */
   def knnIvf(vectors: DataFrame, vecCol: String, idCol: String,
              queryIds: Seq[Long], nCentroids: Int, iters: Int,
-             nProbe: Int, k: Int): DataFrame = {
+             nProbe: Int, k: Int, exactMeans: Boolean = false): DataFrame = {
     val spark = vectors.sparkSession
-    val cents = ivfCentroids(vectors, vecCol, idCol, nCentroids, iters)
+    val cents = ivfCentroids(vectors, vecCol, idCol, nCentroids, iters, exactMeans)
     val base = vectors.select(col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("v"))
     val assigned = base.withColumn("cid", ivfAssign(col("v"), cents))
