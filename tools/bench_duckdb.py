@@ -4,9 +4,14 @@ baseline the Spark bench is compared against (BASELINE.md).
 
 Usage: python3 tools/bench_duckdb.py <sfDir> <oracle_sql.json> [reps]
 
-Mirrors graft.Bench's protocol: a warmup pass of every query (JIT/page
-cache), then `reps` (default 3) sequential measured passes, per-query
-MEDIAN reported, total = sum of medians. 32 threads like the Spark side.
+Mirrors graft.Bench's protocol EXACTLY: a warmup pass of every query
+(JIT/page cache), then `reps` (default 3) sequential measured passes,
+per-query MEDIAN reported, total = sum of medians. 32 threads like the
+Spark side. Each query is wrapped `SELECT count(*) FROM (<sql>) __t` —
+the same action the Spark bench uses (df.count()), so BOTH optimizers get
+the same dead-projection pruning opportunity; a raw fetchall() would bill
+DuckDB for materializing millions of rows into Python objects, which the
+Spark side never pays.
 """
 import sys, json, os, time, statistics
 import duckdb
@@ -26,9 +31,13 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(oracle_path))
     names = sorted(oracle)
+
+    def run(name):
+        con.execute(f"SELECT count(*) FROM ({oracle[name]}) __t").fetchall()
+
     for name in names:  # warmup
         try:
-            con.execute(oracle[name]).fetchall()
+            run(name)
         except Exception as e:
             print(f"WARMUP FAIL {name}: {e}", file=sys.stderr)
     samples = {n: [] for n in names}
@@ -36,7 +45,7 @@ def main():
         for name in names:
             t0 = time.time()
             try:
-                con.execute(oracle[name]).fetchall()
+                run(name)
                 samples[name].append(time.time() - t0)
             except Exception:
                 samples[name].append(float("nan"))
