@@ -51,6 +51,10 @@ object Bench {
     // codegen, shuffle and window paths once, so the measured pass reports
     // steady-state per-query times instead of first-hit JIT noise.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    // optional subset (comma-separated query names) for solo-query iteration
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String) = only.forall(_.contains(name))
     // canonical-path compare: a trailing slash or symlink alias must not
     // defeat the "never warm on the measured data" guarantee
     def canon(p: String) = scala.util.Try(new java.io.File(p).getCanonicalPath).getOrElse(p)
@@ -61,7 +65,7 @@ object Bench {
         // dir — warming them would execute the identical workload on the
         // identical data, making their measured numbers second-run times.
         // Skip them here; their first measured rep is their cold time.
-        if (!name.startsWith("rest"))
+        if (!name.startsWith("rest") && selected(name))
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     }
@@ -96,6 +100,7 @@ object Bench {
     }
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => selected(name) }
     val t0 = System.nanoTime()
     for (_ <- 1 to reps) {
       if (threads <= 1) {
