@@ -75,32 +75,22 @@ object TextDedup {
       val sigs = bandedSigs(s, d)
         .select("doc_id", "band0", "band1")
         .persist()
-      // each candidate pair rides the union/distinct/sort pipeline as ONE
-      // packed long (a_id·1e9 + b_id): halves shuffle width, and the
-      // packed order equals (a_id, b_id) lexicographic order.
-      // Packing is only sound for ids < P — the inline assert_true fails the
-      // query on the first violating row (a_id < b_id, so guarding b_id
-      // covers both) instead of silently corrupting pairs at 1e9+ ids.
-      val P = 1000000000L
+      // each candidate pair rides the union/distinct pipeline as ONE packed
+      // long via the shared 64-bit-safe packer (Search.packPair: a<<32|b,
+      // sound to 2³² ids with a loud overflow assert) — halves shuffle width.
       // skew guard: oversized buckets (near-constant corpora) fall back to
       // star pairs via Search.cappedBandPairs — mirrored in the oracle SQL
-      def pairsOn(b: String): DataFrame = {
-        val guard = coalesce(
-          assert_true(col("b_id") < P,
-            lit(s"doc_id >= $P overflows the packed pair long")).cast("long"),
-          lit(0L))
+      def pairsOn(b: String): DataFrame =
         graft.search.Search.cappedBandPairs(
             sigs.select(col("doc_id"), col(b).as("bucket")), "doc_id", "bucket")
-          .select((col("a_id") * P + col("b_id") + guard).as("pair"))
-      }
+          .select(graft.search.Search.packPair(col("a_id"), col("b_id")).as("pair"))
       // persist before the global sort: range-partitioning samples its
       // child, which would otherwise re-execute the join+distinct pipeline
       val pairs = pairsOn("band0").unionByName(pairsOn("band1"))
         .distinct()
         .persist()
-      pairs.orderBy("pair")
-        .select(expr(s"pair div $P").as("a_id"),
-          pmod(col("pair"), lit(P)).cast("long").as("b_id"))
+      pairs.select(graft.search.Search.unpackPair(col("pair")): _*)
+        .orderBy("a_id", "b_id")
     },
     Some("""WITH tok AS (SELECT DISTINCT doc_id,
                          unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),

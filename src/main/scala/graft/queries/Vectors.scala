@@ -175,18 +175,14 @@ object Vectors {
       val b = Search.lshBuckets(e, "embedding", Sim2Dim, Sim2Bits, Sim2Tables)
         .select(col("vec_id"), col("bucket"))
         .persist()
-      // candidate pairs ride the distinct as ONE packed long (d3's trick —
-      // halves shuffle width); guarded against id overflow like d3.
-      // cappedBandPairs = the band-skew guard (oracle mirrors the cap).
-      val P = 1000000000L
-      val guard = coalesce(
-        assert_true(col("b_id") < P,
-          lit(s"vec_id >= $P overflows the packed pair long")).cast("long"),
-        lit(0L))
+      // candidate pairs ride the distinct as ONE packed long via the shared
+      // 64-bit-safe packer (Search.packPair: a<<32|b, sound to 2³² ids with
+      // a loud overflow assert — d3 uses the same helper, so the dedup
+      // family stays in lockstep). cappedBandPairs = the band-skew guard
+      // (oracle mirrors the cap).
       val cand = Search.cappedBandPairs(b, "vec_id", "bucket")
-        .select((col("a_id") * P + col("b_id") + guard).as("pair")).distinct()
-        .select(expr(s"pair div $P").as("a_id"),
-          pmod(col("pair"), lit(P)).cast("long").as("b_id"))
+        .select(Search.packPair(col("a_id"), col("b_id")).as("pair")).distinct()
+        .select(Search.unpackPair(col("pair")): _*)
       // L2 norms hoisted to the per-VECTOR side (n rows) instead of per
       // PAIR (d5's trick) — cosine per candidate is then ONE dot product,
       // not three; identical doubles (same sqrt(dot) arithmetic)

@@ -129,6 +129,34 @@ object Search {
       .drop("__tbl", "__sig")
   }
 
+  /** Ids must stay below 2³² for [[packPair]] to be bijective. */
+  val MaxPackableId: Long = 1L << 32
+
+  /** 64-bit-safe candidate-pair packing: (a_id, b_id) → (a_id << 32) | b_id.
+    * Candidate pairs ride union/distinct pipelines as ONE long — half the
+    * shuffle width of a two-column pair. Bijective for ids in [0, 2³²);
+    * the inline assert_true fails the query loudly on the first id ≥ 2³²
+    * (pair generators emit a_id < b_id, so guarding b_id covers both)
+    * instead of silently corrupting pairs. Replaces the former
+    * a_id·10⁹ + b_id decimal packing, whose 10⁹ ceiling a billion-doc
+    * corpus exceeds. Callers must sort on the UNPACKED columns: packed
+    * order diverges from (a_id, b_id) order once a_id ≥ 2³¹ flips the
+    * sign bit. */
+  def packPair(aId: Column, bId: Column): Column = {
+    val guard = coalesce(
+      assert_true(bId < MaxPackableId,
+        lit(s"id >= 2^32 ($MaxPackableId) overflows the packed pair long"))
+        .cast("long"),
+      lit(0L))
+    shiftleft(aId.cast("long"), 32).bitwiseOR(bId.cast("long")) + guard
+  }
+
+  /** Inverse of [[packPair]]: columns (a_id, b_id), both BIGINT. Unsigned
+    * shift keeps a_id correct when the packed long went negative. */
+  def unpackPair(pair: Column): Seq[Column] = Seq(
+    shiftrightunsigned(pair, 32).as("a_id"),
+    pair.bitwiseAND(lit(MaxPackableId - 1L)).as("b_id"))
+
   /** Default per-bucket cap for [[cappedBandPairs]] — far above any bucket
     * a healthy corpus produces at the configured band widths, so results
     * are identical to the uncapped join unless the data is degenerate. */
@@ -207,8 +235,18 @@ object Search {
   }
 
   /** Nearest-centroid id by squared L2 distance (|v|² − 2v·c + |c|²),
-    * centroid-id tiebreak — one expression, codegen dot per centroid. */
-  def ivfAssign(vec: Column, cents: Array[Array[Double]]): Column = {
+    * centroid-id tiebreak. Native expression with the centroid matrix as a
+    * reference object (org.apache.spark.sql.graft.IvfAssign) — code size is
+    * independent of nCentroids, so IVF-realistic centroid counts (10⁴–10⁵)
+    * stay inside whole-stage codegen. Bit-identical to [[ivfAssignLiteral]]
+    * (asserted in IvfSpec). */
+  def ivfAssign(vec: Column, cents: Array[Array[Double]]): Column =
+    org.apache.spark.sql.graft.IvfAssign.assign(vec, cents)
+
+  /** Built-ins-only formulation (array_min over literal centroid structs) —
+    * cross-check twin for tests; inlines every centroid into the generated
+    * code, so it stops codegenning at large nCentroids. */
+  def ivfAssignLiteral(vec: Column, cents: Array[Array[Double]]): Column = {
     val vv = dot(vec, vec)
     val entries = cents.zipWithIndex.map { case (c, i) =>
       var cn = 0.0; var j = 0
