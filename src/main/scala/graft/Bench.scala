@@ -92,11 +92,18 @@ object Bench {
             // (quotes, backslashes, all control chars — Spark exceptions
             // embed \t/\r plan fragments).
             errors.put(name, t.toString.take(200)
-              .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c))
+              .map(c => if (c == '"' || c == '\\' || c < ' ' ) ' ' else c))
             System.err.println(s"BENCH FAILURE $name: $t")
             -((System.nanoTime() - q0) / 1e9)
         }
       samples.updateWith(name) { v => Some(v.getOrElse(Vector.empty) :+ elapsed) }
+      // Queries that persist intermediates (d3 sigs/pairs, d7 buckets, KS
+      // histograms) have no post-action hook to unpersist them — without
+      // this, blocks pile up across 69 queries × N reps and every rep runs
+      // slower than the last (r4 medians showed monotone 0.06→1.24→2.08 s
+      // growth on queries that never touch the cache). Dropping the cache
+      // after every query keeps each sample a clean solo measurement.
+      if (threads <= 1) spark.catalog.clearCache()
     }
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -134,7 +141,10 @@ object Bench {
     }
     // "total" = sum of per-query medians: the de-noised suite time the
     // driver compares round-to-round (wall of all passes goes to DETAIL).
-    val total = results.valuesIterator.map(math.abs).sum
+    // Failed queries (negative sentinel) are EXCLUDED — elapsed-until-crash
+    // must not let a broken suite total look comparable to a clean one; the
+    // non-empty errors map is the signal.
+    val total = results.valuesIterator.filter(_ >= 0).sum
 
     // The driver captures only the LAST ~2000 chars of output and parses
     // the JSON line out of that tail — a full-name, full-precision line for

@@ -187,44 +187,16 @@ object TextDedup {
 
   // ---- text analysis ----
 
-  // X3 language-ID: marker-word scores with a deterministic priority
-  // argmax (en > de > es > fr on ties).
-  private val langMarkers = Seq(
-    "en" -> Seq("the", "and", "of", "to", "is"),
-    "de" -> Seq("der", "die", "und", "das", "ist"),
-    "es" -> Seq("el", "los", "las", "una", "y"),
-    "fr" -> Seq("le", "les", "et", "dans", "une"))
-
+  // X3 language-ID: char-trigram profile scoring (Cavnar–Trenkle / CLD
+  // style — see LangId), deterministic priority argmax (en > de > es > fr
+  // on ties). Engine expression and oracle SQL are generated from the SAME
+  // profile tables.
   private val x3 = Q(
     "x3_language_id",
-    (s, d) => {
-      val toks = tokens(lower(col("text")))
-      val scores = langMarkers.map { case (l, ms) =>
-        l -> size(filter(toks, t => t.isin(ms: _*)))
-      }
-      val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-      val pick = scores.foldRight(lit("und")) { case ((l, sc), acc) =>
-        when(sc === best && best > 0, lit(l)).otherwise(acc)
-      }
-      // foldRight puts earlier langs OUTERMOST so en wins ties
-      Tables.documents(s, d)
-        .select(col("doc_id"), pick.as("lang_pred"))
-        .orderBy("doc_id")
-    },
-    Some {
-      val exprs = langMarkers.map { case (l, ms) =>
-        l -> s"len(list_filter(toks, t -> t IN (${ms.map("'" + _ + "'").mkString(",")})))"
-      }
-      val best = s"greatest(${exprs.map(_._2).mkString(", ")})"
-      val chain = exprs.map { case (l, e) =>
-        s"WHEN $e = $best AND $best > 0 THEN '$l'"
-      }.mkString(" ")
-      s"""SELECT doc_id, CASE $chain ELSE 'und' END AS lang_pred
-          FROM (SELECT doc_id,
-                string_split_regex(trim(lower(text)), '\\s+') AS toks
-                FROM documents)
-          ORDER BY doc_id"""
-    })
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), LangId.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id"),
+    Some(LangId.langIdSql))
 
   // X5 BPE-ish regex token count (letter runs / digit runs / punct runs,
   // optionally space-prefixed — a GPT-2-style pre-tokenizer shape).
