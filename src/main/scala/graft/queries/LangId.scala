@@ -82,10 +82,18 @@ object LangId {
     }
   }
 
-  /** DuckDB twin of [[langId]] over column `text`, built from the SAME
-    * profiles so the engines cannot drift. */
-  def langIdSql: String = {
-    val pad = "' ' || trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) || ' '"
+  /** DuckDB twin of [[langId]] over `documents`: same profiles AND the
+    * same [[KeepChars]] normalization class (RE2 accepts literal accented
+    * characters in a class just like Java regex), so the engines classify
+    * identically on accented text too — proven non-vacuously by
+    * `x8_langid_accented`, whose fixture (see [[fixture]]) is majority
+    * non-ASCII. (The round-5 twin stripped `[^a-z]`, which silently
+    * diverged on exactly the accented trigrams the profiles carry.) */
+  def langIdSql: String = langIdSqlOver("documents")
+
+  /** The twin over an arbitrary relation exposing (doc_id, text). */
+  def langIdSqlOver(rel: String): String = {
+    val pad = s"' ' || trim(regexp_replace(lower(text), '[^$KeepChars]+', ' ', 'g')) || ' '"
     val tris = s"list_transform(range(1, length($pad) - 1), i -> substr($pad, i, 3))"
     val exprs = profiles.map { case (l, prof) =>
       l -> s"len(list_filter(tris, t -> t IN (${prof.map("'" + _ + "'").mkString(",")})))"
@@ -95,7 +103,56 @@ object LangId {
       s"WHEN $e = $best AND $best > 0 THEN '$l'"
     }.mkString(" ")
     s"""SELECT doc_id, CASE $chain ELSE 'und' END AS lang_pred
-        FROM (SELECT doc_id, $tris AS tris FROM documents)
+        FROM (SELECT doc_id, $tris AS tris FROM $rel)
         ORDER BY doc_id"""
+  }
+
+  /** Multilingual test fixture (expected_lang, sentence) — shared by
+    * LangIdSpec (accuracy bar) and the `x8_langid_accented` oracle query
+    * (Spark==DuckDB parity on ACCENTED input: the sf0.01 corpus is pure
+    * ASCII, so x3 alone cannot exercise the accented branch of the
+    * normalization). Mixed-case accented words (École, Año, Über) also
+    * pin the engines' Unicode `lower()` to the same behavior. */
+  val fixture: Seq[(String, String)] = Seq(
+    // English
+    "en" -> "the quick brown fox jumps over the lazy dog and runs into the forest",
+    "en" -> "this is an example of a sentence that was written for testing the classifier",
+    "en" -> "machine learning systems are trained with large amounts of text data",
+    "en" -> "he was walking to the station when the rain started falling heavily",
+    "en" -> "the history of the kingdom is documented in several ancient books",
+    "en" -> "we have been working on this project for a long time with great results",
+    // German
+    "de" -> "der schnelle braune fuchs springt über den faulen hund und läuft in den wald",
+    "de" -> "dies ist ein beispiel für einen satz der zum testen geschrieben wurde",
+    "de" -> "maschinelles lernen wird mit großen mengen von textdaten trainiert",
+    "de" -> "er ging zum bahnhof als der regen anfing stark zu fallen",
+    "de" -> "die geschichte des königreichs ist in mehreren alten büchern dokumentiert",
+    "de" -> "wir arbeiten seit langer zeit an diesem projekt mit guten ergebnissen",
+    "de" -> "Über den großen Fluss führt eine alte Brücke für die Züge",
+    // Spanish
+    "es" -> "el rápido zorro marrón salta sobre el perro perezoso y corre por el bosque",
+    "es" -> "este es un ejemplo de una frase que fue escrita para probar el clasificador",
+    "es" -> "los sistemas de aprendizaje se entrenan con grandes cantidades de datos",
+    "es" -> "el caminaba hacia la estación cuando la lluvia comenzó a caer con fuerza",
+    "es" -> "la historia del reino está documentada en varios libros antiguos",
+    "es" -> "hemos estado trabajando en este proyecto durante mucho tiempo con buenos resultados",
+    "es" -> "el Año pasado los niños estudiaron la lección en la estación del pueblo",
+    // French
+    "fr" -> "le rapide renard brun saute par dessus le chien paresseux et court dans la forêt",
+    "fr" -> "ceci est un exemple de phrase qui a été écrite pour tester le classificateur",
+    "fr" -> "les systèmes d apprentissage sont entraînés avec de grandes quantités de données",
+    "fr" -> "il marchait vers la gare quand la pluie a commencé à tomber fortement",
+    "fr" -> "l histoire du royaume est documentée dans plusieurs livres anciens",
+    "fr" -> "nous travaillons sur ce projet depuis longtemps avec de bons résultats",
+    "fr" -> "l École est fermée depuis le début de l été et les élèves sont partis")
+
+  /** The fixture inlined as a DuckDB relation (doc_id BIGINT, text) — the
+    * literal-inlining pattern that lets an oracle run on data that exists
+    * only in code. No fixture sentence contains a quote, but escape anyway. */
+  def fixtureRel: String = {
+    val rows = fixture.zipWithIndex.map { case ((_, text), i) =>
+      s"($i, '${text.replace("'", "''")}')"
+    }.mkString(", ")
+    s"(SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM (VALUES $rows) fx(doc_id, text))"
   }
 }

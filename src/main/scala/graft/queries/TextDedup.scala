@@ -198,6 +198,23 @@ object TextDedup {
       .orderBy("doc_id"),
     Some(LangId.langIdSql))
 
+  // X8 language-ID parity on ACCENTED text. The sf0.01 corpus is 100%
+  // ASCII, so x3 alone never exercises the accented branch of the shared
+  // normalization (the exact gap VERDICT r5 #1 flagged). The multilingual
+  // fixture lives in code and is inlined into the oracle as VALUES, so
+  // DuckDB runs the identical KeepChars regex over the identical bytes.
+  private val x8 = Q(
+    "x8_langid_accented",
+    (s, _) => {
+      import s.implicits._
+      LangId.fixture.zipWithIndex
+        .map { case ((_, text), i) => (i.toLong, text) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), LangId.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+    Some(LangId.langIdSqlOver(LangId.fixtureRel)))
+
   // X5 BPE-ish regex token count (letter runs / digit runs / punct runs,
   // optionally space-prefixed — a GPT-2-style pre-tokenizer shape).
   private val x5 = Q(
@@ -378,5 +395,5 @@ object TextDedup {
             FROM s GROUP BY user_id, sid
             ORDER BY user_id, session_start"""))
 
-  val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, x1, x2, x3, x4, x5, x6, x7, st1, st2)
+  val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, x1, x2, x3, x4, x5, x6, x7, x8, st1, st2)
 }

@@ -10,35 +10,7 @@ import org.apache.spark.sql.functions._
   */
 class LangIdSpec extends SparkSpec {
 
-  private val fixture: Seq[(String, String)] = Seq(
-    // English
-    "en" -> "the quick brown fox jumps over the lazy dog and runs into the forest",
-    "en" -> "this is an example of a sentence that was written for testing the classifier",
-    "en" -> "machine learning systems are trained with large amounts of text data",
-    "en" -> "he was walking to the station when the rain started falling heavily",
-    "en" -> "the history of the kingdom is documented in several ancient books",
-    "en" -> "we have been working on this project for a long time with great results",
-    // German
-    "de" -> "der schnelle braune fuchs springt über den faulen hund und läuft in den wald",
-    "de" -> "dies ist ein beispiel für einen satz der zum testen geschrieben wurde",
-    "de" -> "maschinelles lernen wird mit großen mengen von textdaten trainiert",
-    "de" -> "er ging zum bahnhof als der regen anfing stark zu fallen",
-    "de" -> "die geschichte des königreichs ist in mehreren alten büchern dokumentiert",
-    "de" -> "wir arbeiten seit langer zeit an diesem projekt mit guten ergebnissen",
-    // Spanish
-    "es" -> "el rápido zorro marrón salta sobre el perro perezoso y corre por el bosque",
-    "es" -> "este es un ejemplo de una frase que fue escrita para probar el clasificador",
-    "es" -> "los sistemas de aprendizaje se entrenan con grandes cantidades de datos",
-    "es" -> "el caminaba hacia la estación cuando la lluvia comenzó a caer con fuerza",
-    "es" -> "la historia del reino está documentada en varios libros antiguos",
-    "es" -> "hemos estado trabajando en este proyecto durante mucho tiempo con buenos resultados",
-    // French
-    "fr" -> "le rapide renard brun saute par dessus le chien paresseux et court dans la forêt",
-    "fr" -> "ceci est un exemple de phrase qui a été écrite pour tester le classificateur",
-    "fr" -> "les systèmes d apprentissage sont entraînés avec de grandes quantités de données",
-    "fr" -> "il marchait vers la gare quand la pluie a commencé à tomber fortement",
-    "fr" -> "l histoire du royaume est documentée dans plusieurs livres anciens",
-    "fr" -> "nous travaillons sur ce projet depuis longtemps avec de bons résultats")
+  private val fixture = LangId.fixture
 
   test("≥0.9 accuracy on a 4-language distinct-vocabulary fixture") {
     import spark.implicits._
@@ -66,5 +38,30 @@ class LangIdSpec extends SparkSpec {
       assert(prof.forall(_.length == 3), s"$l has a non-trigram entry")
       assert(prof.distinct.size == prof.size, s"$l has duplicate trigrams")
     }
+  }
+
+  // VERDICT r5 #1 regression guards: the DuckDB twin must normalize with
+  // the SAME character class as the Spark expression (round 5 stripped
+  // [^a-z], silently diverging on accented text), and the parity fixture
+  // must actually contain accented text or the x8 oracle check is vacuous.
+  test("oracle twin keeps the accented character class") {
+    val sql = LangId.langIdSql
+    assert(sql.contains("àáâäãéèêëíìîïóòôöõúùûüçñß"),
+      s"twin regex lost the accented KeepChars class:\n$sql")
+    assert(!sql.contains("[^a-z]"), "twin fell back to the ASCII-only class")
+  }
+
+  test("parity fixture is majority accented and mixed-case") {
+    val accented = fixture.count(_._2.exists(_ > 127))
+    assert(accented * 2 > fixture.size,
+      s"only $accented/${fixture.size} fixture sentences contain non-ASCII")
+    assert(fixture.exists(_._2.exists(c => c.isUpper && c > 127)),
+      "no uppercase accented char — Unicode lower() parity unexercised")
+  }
+
+  test("fixture inlines safely into the oracle VALUES relation") {
+    val rel = LangId.fixtureRel
+    assert(fixture.forall(s => rel.contains(s._2.replace("'", "''"))))
+    assert(rel.contains("CAST(doc_id AS BIGINT)"))
   }
 }
