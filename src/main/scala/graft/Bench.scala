@@ -43,6 +43,15 @@ object Bench {
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Every unpartitioned window in the library is bounded by construction
+    // (k-row re-rank frames, single-row counts) — WindowExec's "No
+    // Partition Defined" warning is by-design noise here, and ~200 copies
+    // flood the bench tail the driver captures. Silence that ONE logger
+    // (everything else stays at WARN). A constant-literal partition key
+    // can't do it: Spark 4's EliminateWindowPartitions folds it away.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // JVM/JIT + scheduler warmup (not query work).
     spark.range(1000000).selectExpr("sum(id)").collect()
     // Full-codepath JIT warmup: run every query once against the SMALLEST
