@@ -9,8 +9,9 @@ import org.apache.spark.sql.types._
   * typed metadata — the Spark-side plumbing is real (schemas, mapPartitions
   * batching, deterministic partition-local processing). IMAGES are decoded
   * for real by [[imageIo]] (pure-JVM `javax.imageio`: PNG/JPEG/GIF/BMP);
-  * audio/video decoding stays STUBBED behind [[default]] with a
-  * deterministic fake (no AV libraries in this container) — a production
+  * AUDIO is decoded for real by [[wavPcm]] (pure-JVM RIFF/WAVE PCM parser).
+  * Only VIDEO decoding stays STUBBED behind [[default]] with a
+  * deterministic fake (no video libraries in this container) — a production
   * build swaps in a JNI/javacv-backed [[Codec]] with the same signature
   * and nothing else changes.
   *
@@ -122,6 +123,75 @@ object Multimodal {
       }
       out
     }
+    val embedDim: Int = default.embedDim
+    def embed(pixels: Array[Byte]): Array[Float] = default.embed(pixels)
+  }
+
+  /** REAL audio codec: a pure-JVM RIFF/WAVE PCM parser (public container
+    * format — RIFF chunks, "fmt " + "data", little-endian; 8-bit unsigned
+    * or 16-bit signed PCM). Audio maps onto the [[Codec]] contract the way
+    * images do: `decode` returns (frames, channels, samples) where
+    * `samples` is channel-major signed 8-bit — channel c's sample i at
+    * `samples(c * frames + i)` — exactly a `channels`-row "image", so
+    * `resize` (= nearest-neighbor resampling per channel) and the
+    * histogram `embed` reuse the image implementations unchanged.
+    * 16-bit samples keep their high byte; 8-bit (unsigned by spec) are
+    * re-centered to signed. Non-RIFF payloads fall back to the stub's
+    * fake-header format (mixed corpora, as with [[imageIo]]); RIFF
+    * payloads that are not parseable PCM throw, which the mapPartitions
+    * wrappers above turn into a null row, not a task failure.
+    */
+  object wavPcm extends Codec {
+    def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val isRiff = payload.length >= 44 &&
+        payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+        payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
+        payload(10) == 'V' && payload(11) == 'E'
+      if (!isRiff) return default.decode(payload)
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var pos = 12
+      var channels = 0; var bits = 0; var fmtSeen = false
+      var dataOff = -1; var dataLen = 0
+      while (pos + 8 <= payload.length && (dataOff < 0 || !fmtSeen)) {
+        val id = new String(payload, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = bb.getInt(pos + 4)
+        require(size >= 0, s"negative chunk size $size")
+        if (id == "fmt ") {
+          val audioFormat = bb.getShort(pos + 8) & 0xffff
+          require(audioFormat == 1, s"not integer PCM: format $audioFormat")
+          channels = bb.getShort(pos + 10) & 0xffff
+          bits = bb.getShort(pos + 22) & 0xffff
+          require(bits == 8 || bits == 16, s"unsupported bit depth $bits")
+          require(channels > 0, "zero channels")
+          fmtSeen = true
+        } else if (id == "data") {
+          dataOff = pos + 8
+          dataLen = math.min(size, payload.length - dataOff)
+        }
+        pos += 8 + size + (size & 1) // chunks are word-aligned: odd → pad byte
+      }
+      require(fmtSeen, "no fmt chunk")
+      require(dataOff >= 0, "no data chunk")
+      val bytesPerSample = bits / 8
+      val frames = dataLen / (bytesPerSample * channels)
+      val out = new Array[Byte](frames * channels)
+      var i = 0
+      while (i < frames) {
+        var c = 0
+        while (c < channels) {
+          val off = dataOff + (i * channels + c) * bytesPerSample
+          out(c * frames + i) =
+            if (bits == 8) ((payload(off) & 0xff) - 128).toByte // unsigned → signed
+            else (bb.getShort(off) >> 8).toByte                 // 16-bit LE high byte
+          c += 1
+        }
+        i += 1
+      }
+      (frames, channels, out)
+    }
+    def resize(pixels: Array[Byte], w: Int, h: Int, newW: Int, newH: Int): Array[Byte] =
+      imageIo.resize(pixels, w, h, newW, newH)
     val embedDim: Int = default.embedDim
     def embed(pixels: Array[Byte]): Array[Float] = default.embed(pixels)
   }

@@ -109,6 +109,77 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(v1.map(x => x.toDouble * x).sum - 1.0) < 1e-5)
   }
 
+  /** Real WAV fixture encoded by the JDK's OWN RIFF writer
+    * (javax.sound.sampled), so the parser under test is checked against an
+    * independent encoder, not a round-trip of itself. */
+  private def wavBytes(samples: Array[Array[Short]], bits: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val channels = samples.length
+    val frames = samples(0).length
+    val fmt = new AudioFormat(8000f, bits, channels, bits == 16, false) // 8-bit unsigned, LE
+    val raw = new Array[Byte](frames * channels * (bits / 8))
+    for (i <- 0 until frames; c <- 0 until channels) {
+      val s = samples(c)(i)
+      val off = (i * channels + c) * (bits / 8)
+      if (bits == 16) { raw(off) = (s & 0xff).toByte; raw(off + 1) = (s >> 8).toByte }
+      else raw(off) = ((s & 0xff) ^ 0x80).toByte // spec fixture: signed → unsigned
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(raw), fmt, frames)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("wavPcm codec: 16-bit stereo WAV decodes channel-major with high-byte samples") {
+    val left = Array.tabulate(40)(i => (i * 256).toShort)        // high byte = i
+    val right = Array.tabulate(40)(i => (-i * 256).toShort)      // high byte = -i
+    val (frames, channels, px) = Multimodal.wavPcm.decode(wavBytes(Array(left, right), 16))
+    assert(frames == 40 && channels == 2 && px.length == 80)
+    for (i <- 0 until 40) {
+      assert(px(i) == i.toByte, s"left[$i]")
+      assert(px(40 + i) == (-i).toByte, s"right[$i]")
+    }
+  }
+
+  test("wavPcm codec: 8-bit mono WAV re-centers unsigned samples to signed") {
+    val mono = Array.tabulate(16)(i => (i * 8 - 64).toShort)
+    val (frames, channels, px) = Multimodal.wavPcm.decode(wavBytes(Array(mono), 8))
+    assert(frames == 16 && channels == 1)
+    for (i <- 0 until 16) assert(px(i) == (i * 8 - 64).toByte, s"mono[$i]")
+  }
+
+  test("wavPcm through the Spark path: decode, resample, embed; corrupt RIFF → null") {
+    import spark.implicits._
+    val stereo = wavBytes(Array(
+      Array.tabulate(32)(i => (i * 100).toShort),
+      Array.tabulate(32)(i => (i * -100).toShort)), 16)
+    val corrupt = "RIFFxxxxWAVEjunk".getBytes ++ Array.fill[Byte](40)(0)
+    val df = Seq(
+      (1L, stereo),
+      (2L, corrupt),                                // RIFF magic but no fmt/data
+      (3L, Multimodal.fakePayload(4, 3, seed = 9))) // non-RIFF → stub fallback
+      .toDF("id", "payload")
+    val out = Multimodal.decode(df, "payload", codec = Multimodal.wavPcm)
+      .select("id", "decoded.width", "decoded.height").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getInt(2))))).toMap
+    assert(out(1L).contains((32, 2)))
+    assert(out(2L).isEmpty) // unparseable PCM → null row, not task failure
+    assert(out(3L).contains((4, 3)))
+    // resample 32 frames → 8 per channel through the engine resize path
+    val res = Multimodal.resize(df.filter($"id" === 1L), "payload", newW = 8, newH = 2,
+      codec = Multimodal.wavPcm).select("resized").head().getAs[Array[Byte]](0)
+    val (w, h, px) = Multimodal.default.decode(res)
+    assert(w == 8 && h == 2 && px.length == 16)
+    for (i <- 0 until 8) assert(px(i) == ((i * 4 * 100) >> 8).toByte, s"resampled[$i]")
+    // embed: L2-normalized and partition-invariant, same contract as images
+    val v1 = Multimodal.embed(df, "payload", codec = Multimodal.wavPcm)
+      .filter($"id" === 1L).select("media_vec").head().getSeq[Float](0)
+    val v2 = Multimodal.embed(df.repartition(3), "payload", codec = Multimodal.wavPcm)
+      .filter($"id" === 1L).select("media_vec").head().getSeq[Float](0)
+    assert(v1 == v2)
+    assert(math.abs(v1.map(x => x.toDouble * x).sum - 1.0) < 1e-5)
+  }
+
   test("sampleFrames: generator emits every stride-th frame with ids") {
     // payload body 12 bytes = 6 frames of 2 bytes; stride 2 → frames 0,2,4
     val payload = Multimodal.fakePayload(4, 3, seed = 7) // body = 12 bytes
