@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   * character-n-gram projection — platform-stable, no model weights), and
   * [[Embedders.precomputed]] slots in an embeddings table, matching the
   * reference's cache-first behavior (src/encode.py:63-66, 269-284).
-  * A production ONNX/JNI model implements the same trait.
+  * Production model inference implements the same trait: [[OnnxEmbedder]]
+  * (reflective optional-dependency ONNX session) is the wiring example,
+  * [[TinyNnEmbedder]] the jar-free model-style proof of swappability.
   */
 trait Embedder extends Serializable {
   def dim: Int
