@@ -172,6 +172,11 @@ object Vectors {
     "d7_lsh_neardup_pairs",
     (s, d) => {
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      // persisted like d3's signature table (computed once, consumed by the
+      // skew-capped join's two sides); the query fn can't unpersist what its
+      // caller hasn't acted on yet, so lifecycle is the harness's: Bench
+      // clearCaches after every query and Verify after every dump — same
+      // leak accounting as d3 sigs/pairs and the KS histograms.
       val b = Search.lshBuckets(e, "embedding", Sim2Dim, Sim2Bits, Sim2Tables)
         .select(col("vec_id"), col("bucket"))
         .persist()

@@ -41,19 +41,25 @@ def main():
         except Exception as e:
             print(f"WARMUP FAIL {name}: {e}", file=sys.stderr)
     samples = {n: [] for n in names}
+    errors = {}
     for _ in range(reps):
         for name in names:
             t0 = time.time()
             try:
                 run(name)
                 samples[name].append(time.time() - t0)
-            except Exception:
-                samples[name].append(float("nan"))
-    med = {n: statistics.median(v) for n, v in samples.items()}
+            except Exception as e:
+                # failed samples are DROPPED, named in errors, and printed —
+                # a NaN in the list would break median's sort order-dependently
+                # and let a partially failed run report a plausible total
+                errors[name] = str(e)[:200]
+                print(f"MEASURED FAIL {name}: {e}", file=sys.stderr)
+    med = {n: statistics.median(v) for n, v in samples.items() if v}
     total = sum(med.values())
     print(json.dumps({"metric": "duckdb_total", "value": round(total, 3),
                       "unit": "sec", "sf": sf_dir,
-                      "queries": {n: round(v, 3) for n, v in med.items()}}))
+                      "queries": {n: round(v, 3) for n, v in med.items()},
+                      "errors": errors}))
 
 
 if __name__ == "__main__":

@@ -90,6 +90,12 @@ def perturb_embeddings(table: pa.Table, rep: int) -> pa.Table:
     lens = set(offsets[1:] - offsets[:-1])
     assert len(lens) == 1, f"ragged embedding dims: {lens}"
     dim = lens.pop()
+    # rotation wraps at `dim`: replica dim would reproduce replica 0's
+    # vectors exactly, silently recreating the exact-duplicate blowup this
+    # function exists to avoid — fail loudly instead of degenerating
+    assert rep < dim, (
+        f"replication factor must stay below embedding dim {dim}: "
+        f"replica {rep}'s rotation wraps back onto replica 0")
     vals = col.values.to_numpy(zero_copy_only=False).reshape(-1, dim)
     rolled = np.roll(vals, rep % dim, axis=1).reshape(-1)
     new = pa.ListArray.from_arrays(col.offsets,
