@@ -66,27 +66,31 @@ object TextDedup {
 
   // D3 LSH candidate pairs: docs sharing any band bucket. The scale path:
   // candidate generation is a join on band hash, never an O(n²) compare.
-  // The signature table (n rows, 10 cols) is persisted — computed once,
-  // consumed by both band joins (the reference's build-index-then-search
-  // shape); at 100 TB this is the materialized signature table on disk.
+  // SINGLE-SCAN banding: both bands explode from one signature scan into
+  // one (doc_id, bucket) relation — 2n narrow rows, ONE skew-capped join
+  // instead of one per band (halves signature-table scans; at 100 TB this
+  // is the materialized bucket table on disk). Buckets are salted with
+  // their band index so a cross-band md5 equality can never pair docs —
+  // keeps the pair set identical to the per-band joins.
   private val d3 = Q(
     "d3_minhash_lsh_pairs",
     (s, d) => {
-      val sigs = bandedSigs(s, d)
-        .select("doc_id", "band0", "band1")
+      // persisted: cappedBandPairs scans its input twice (bucket stats +
+      // self-join); lifecycle = the harness clearCache, as with d7
+      val buckets = bandedSigs(s, d)
+        .select(col("doc_id"), explode(array(
+          concat(lit("0:"), col("band0")),
+          concat(lit("1:"), col("band1")))).as("bucket"))
         .persist()
-      // each candidate pair rides the union/distinct pipeline as ONE packed
-      // long via the shared 64-bit-safe packer (Search.packPair: a<<32|b,
-      // sound to 2³² ids with a loud overflow assert) — halves shuffle width.
+      // each candidate pair rides the distinct pipeline as ONE packed long
+      // via the shared 64-bit-safe packer (Search.packPair: a<<32|b, sound
+      // to 2³² ids with a loud overflow assert) — halves shuffle width.
       // skew guard: oversized buckets (near-constant corpora) fall back to
-      // star pairs via Search.cappedBandPairs — mirrored in the oracle SQL
-      def pairsOn(b: String): DataFrame =
-        graft.search.Search.cappedBandPairs(
-            sigs.select(col("doc_id"), col(b).as("bucket")), "doc_id", "bucket")
-          .select(graft.search.Search.packPair(col("a_id"), col("b_id")).as("pair"))
+      // star pairs via Search.cappedBandPairs — mirrored in the oracle SQL.
       // persist before the global sort: range-partitioning samples its
       // child, which would otherwise re-execute the join+distinct pipeline
-      val pairs = pairsOn("band0").unionByName(pairsOn("band1"))
+      val pairs = graft.search.Search.cappedBandPairs(buckets, "doc_id", "bucket")
+        .select(graft.search.Search.packPair(col("a_id"), col("b_id")).as("pair"))
         .distinct()
         .persist()
       pairs.select(graft.search.Search.unpackPair(col("pair")): _*)
@@ -100,27 +104,18 @@ object TextDedup {
                          min(md5('4:' || tok)) AS h4, min(md5('5:' || tok)) AS h5,
                          min(md5('6:' || tok)) AS h6, min(md5('7:' || tok)) AS h7
                          FROM tok GROUP BY doc_id),
-                 band AS (SELECT doc_id, md5(h0 || h1 || h2 || h3) AS band0,
-                                 md5(h4 || h5 || h6 || h7) AS band1 FROM sig),
-                 bs0 AS (SELECT band0 AS bucket, count(*) AS bn, min(doc_id) AS rep
-                         FROM band GROUP BY 1),
-                 bs1 AS (SELECT band1 AS bucket, count(*) AS bn, min(doc_id) AS rep
-                         FROM band GROUP BY 1),
+                 buck AS (SELECT doc_id, '0:' || md5(h0 || h1 || h2 || h3) AS bucket FROM sig
+                          UNION ALL
+                          SELECT doc_id, '1:' || md5(h4 || h5 || h6 || h7) FROM sig),
+                 bs AS (SELECT bucket, count(*) AS bn, min(doc_id) AS rep
+                        FROM buck GROUP BY 1),
                  pairs AS (
-                   SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM band a
-                   JOIN band b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
-                   JOIN bs0 s ON s.bucket = a.band0 WHERE s.bn <= 1000
+                   SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM buck a
+                   JOIN buck b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+                   JOIN bs s ON s.bucket = a.bucket WHERE s.bn <= 1000
                    UNION
-                   SELECT s.rep, a.doc_id FROM band a
-                   JOIN bs0 s ON s.bucket = a.band0
-                   WHERE s.bn > 1000 AND a.doc_id <> s.rep
-                   UNION
-                   SELECT a.doc_id, b.doc_id FROM band a
-                   JOIN band b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
-                   JOIN bs1 s ON s.bucket = a.band1 WHERE s.bn <= 1000
-                   UNION
-                   SELECT s.rep, a.doc_id FROM band a
-                   JOIN bs1 s ON s.bucket = a.band1
+                   SELECT s.rep, a.doc_id FROM buck a
+                   JOIN bs s ON s.bucket = a.bucket
                    WHERE s.bn > 1000 AND a.doc_id <> s.rep)
             SELECT DISTINCT a_id, b_id FROM pairs ORDER BY a_id, b_id"""))
 
