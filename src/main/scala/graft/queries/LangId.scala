@@ -91,19 +91,50 @@ object LangId {
     * diverged on exactly the accented trigrams the profiles carry.) */
   def langIdSql: String = langIdSqlOver("documents")
 
-  /** The twin over an arbitrary relation exposing (doc_id, text). */
+  /** The twin over an arbitrary relation exposing (doc_id, text).
+    *
+    * Same profiles, same normalization, same priority argmax — but shaped
+    * RELATIONALLY: the padded text materializes ONCE per row (the naive
+    * twin inlined the regexp_replace inside the per-position lambda,
+    * recomputing it for every trigram — the dominant cost), trigram
+    * occurrences unnest and hash-join a 180-row inline profile table,
+    * counts pivot per language, then the identical CASE (whose branches
+    * now compare scalar columns instead of re-running `list_filter(tris,
+    * t IN (...45 literals))` per branch). The naive twin cost ~300 s for
+    * 50K docs at sf1, which would have drowned the whole DuckDB baseline
+    * in one query; this one is ~1000× faster and is also exactly the
+    * plan a SQL engine should run at scale. Profile trigrams are distinct
+    * within a language (asserted in LangIdSpec), so join-count per
+    * (doc, lang) = Spark's filtered-occurrence count, multiplicity
+    * included; docs with no matching trigrams fall out of the join and
+    * re-enter with zero scores via the LEFT JOIN → 'und', matching the
+    * Spark expression's all-zero branch. */
   def langIdSqlOver(rel: String): String = {
     val pad = s"' ' || trim(regexp_replace(lower(text), '[^$KeepChars]+', ' ', 'g')) || ' '"
-    val tris = s"list_transform(range(1, length($pad) - 1), i -> substr($pad, i, 3))"
-    val exprs = profiles.map { case (l, prof) =>
-      l -> s"len(list_filter(tris, t -> t IN (${prof.map("'" + _ + "'").mkString(",")})))"
-    }
-    val best = s"greatest(${exprs.map(_._2).mkString(", ")})"
-    val chain = exprs.map { case (l, e) =>
-      s"WHEN $e = $best AND $best > 0 THEN '$l'"
+    val profRows = profiles.flatMap { case (l, prof) =>
+      prof.map(t => s"('$l', '$t')")
+    }.mkString(", ")
+    val pivots = profiles.map { case (l, _) =>
+      s"coalesce(max(CASE WHEN c.lang = '$l' THEN c.c END), 0) AS s_$l"
+    }.mkString(", ")
+    val best = s"greatest(${profiles.map(p => s"s_${p._1}").mkString(", ")})"
+    val chain = profiles.map { case (l, _) =>
+      s"WHEN s_$l = best AND best > 0 THEN '$l'"
     }.mkString(" ")
-    s"""SELECT doc_id, CASE $chain ELSE 'und' END AS lang_pred
-        FROM (SELECT doc_id, $tris AS tris FROM $rel)
+    s"""WITH base AS (SELECT doc_id, text FROM $rel),
+             pad AS (SELECT doc_id, $pad AS p FROM base),
+             tri AS (SELECT doc_id,
+                     unnest(list_transform(range(1, length(p) - 1),
+                                           i -> substr(p, i, 3))) AS t
+                     FROM pad),
+             prof(lang, t) AS (SELECT * FROM (VALUES $profRows) v(lang, t)),
+             cnt AS (SELECT doc_id, lang, count(*) AS c
+                     FROM tri JOIN prof USING (t) GROUP BY 1, 2),
+             sc AS (SELECT b.doc_id, $pivots
+                    FROM base b LEFT JOIN cnt c ON b.doc_id = c.doc_id
+                    GROUP BY b.doc_id)
+        SELECT doc_id, CASE $chain ELSE 'und' END AS lang_pred
+        FROM (SELECT *, $best AS best FROM sc)
         ORDER BY doc_id"""
   }
 

@@ -274,6 +274,61 @@ object TextDedup {
               string_split_regex(trim(text), '\s+'))), ' ')) AS fingerprint
             FROM documents ORDER BY doc_id"""))
 
+  // X9 END-TO-END CURATION PIPELINE — the composition a training-data
+  // user actually runs, as ONE hash-checked query: quality gate (alpha
+  // ratio + min tokens, the x2 signals) → exact-dedup keeper (d1's
+  // min-id-per-content-hash) → deterministic stratified mixture sample
+  // (x7's per-source hash-order 30%). Every stage is a narrow map or a
+  // single keyed shuffle; nothing materializes to the driver, so the
+  // same plan runs at 100 TB. Proves the operators COMPOSE: filters
+  // before shuffles (quality gate prunes the dedup shuffle), dedup
+  // before sampling (sample fractions apply to unique docs).
+  private val x9 = Q(
+    "x9_curation_pipeline",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = tokens(col("text"))
+      val quality = Tables.documents(s, d)
+        .withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("alpha_ratio",
+          length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+            length(col("text")))
+        .filter(col("alpha_ratio") >= 0.6 && col("n_tokens") >= 5)
+      val deduped = quality
+        .withColumn("h", md5(col("text")))
+        .withColumn("keep_id", min(col("doc_id")).over(
+          Window.partitionBy(col("h"))))
+        .filter(col("doc_id") === col("keep_id"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(concat_ws(":", col("doc_id"), lit("mix"))))
+      deduped
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .filter(col("rn") <= ceil(lit(0.3) * col("n")))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          (round(col("alpha_ratio"), 6) + 0.0).as("alpha_ratio"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH q AS (
+              SELECT doc_id, source, text,
+                     len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                     length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+                       / length(text) AS alpha_ratio
+              FROM documents),
+            qf AS (SELECT * FROM q WHERE alpha_ratio >= 0.6 AND n_tokens >= 5),
+            dd AS (SELECT *,
+                     min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+                   FROM qf),
+            kept AS (SELECT * FROM dd WHERE doc_id = keep_id),
+            r AS (SELECT *,
+                    row_number() OVER (PARTITION BY source
+                      ORDER BY md5(doc_id::VARCHAR || ':mix')) AS rn,
+                    count(*) OVER (PARTITION BY source) AS n
+                  FROM kept)
+            SELECT doc_id, source, n_tokens,
+                   round(alpha_ratio, 6) + 0.0 AS alpha_ratio
+            FROM r WHERE rn <= ceil(0.3 * n) ORDER BY doc_id"""))
+
   // ST1 event-time hourly window aggregation (batch twin of the
   // Structured Streaming tumbling-window pipeline in graft.streaming).
   private val st1 = Q(
@@ -390,5 +445,5 @@ object TextDedup {
             FROM s GROUP BY user_id, sid
             ORDER BY user_id, session_start"""))
 
-  val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, x1, x2, x3, x4, x5, x6, x7, x8, st1, st2)
+  val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, x1, x2, x3, x4, x5, x6, x7, x8, x9, st1, st2)
 }

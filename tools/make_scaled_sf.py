@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Build a scaled benchmark dataset by replicating a source SF directory.
 
-Usage: python3 tools/make_scaled_sf.py <src_sf_dir> <out_dir> <factor>
+Usage: python3 tools/make_scaled_sf.py <src_sf_dir> <out_dir> <factor> [tables]
+
+[tables]: optional comma-separated subset (e.g. "documents,embeddings")
+for spot-benches that only read a few tables — a factor-100 lineitem
+build is minutes of work a d3/d7/sim3 spot-bench never touches.
 
 Bench-only tooling (driver-side python, like tools/check_oracle.py): the
 correctness gate always runs on the driver's own testdata. This exists to
@@ -75,13 +79,18 @@ def family_strides(src):
 
 
 def perturb_embeddings(table: pa.Table, rep: int) -> pa.Table:
-    """Rotate each vector's components by `rep` positions. Rotations of a
-    random vector are near-orthogonal to the original, so replicas are
-    genuinely DIFFERENT vectors with identical marginal statistics — a
-    tiny additive perturbation instead would make every vector a
-    factor-way near-duplicate clique, growing near-dup pair counts
-    quadratically in the replication factor (a data artifact, not a
-    property of real 10x corpora)."""
+    """Apply a per-replica SIGNED PERMUTATION (rotate by rep % dim, then
+    flip signs under a replica-seeded deterministic mask). Signed
+    permutations are orthogonal, so WITHIN a replica all inner products —
+    and therefore the near-dup pair structure — are preserved exactly
+    (pair counts scale linearly with the factor), while distinct replicas
+    are mutually near-orthogonal, so no cross-replica near-dup clique
+    appears. A tiny additive perturbation instead would make every vector
+    a factor-way near-duplicate (quadratic pair blowup); pure rotation
+    wraps at factor == dim, reproducing replica 0 exactly — the sign mask
+    (collision probability 2^-dim per pair of replicas) removes that
+    ceiling, so factors beyond the embedding dim (sf10 = 100x) stay
+    sound."""
     if rep == 0:
         return table
     import numpy as np
@@ -90,14 +99,10 @@ def perturb_embeddings(table: pa.Table, rep: int) -> pa.Table:
     lens = set(offsets[1:] - offsets[:-1])
     assert len(lens) == 1, f"ragged embedding dims: {lens}"
     dim = lens.pop()
-    # rotation wraps at `dim`: replica dim would reproduce replica 0's
-    # vectors exactly, silently recreating the exact-duplicate blowup this
-    # function exists to avoid — fail loudly instead of degenerating
-    assert rep < dim, (
-        f"replication factor must stay below embedding dim {dim}: "
-        f"replica {rep}'s rotation wraps back onto replica 0")
     vals = col.values.to_numpy(zero_copy_only=False).reshape(-1, dim)
-    rolled = np.roll(vals, rep % dim, axis=1).reshape(-1)
+    signs = (np.random.RandomState(rep).randint(0, 2, dim) * 2 - 1
+             ).astype(np.float32)
+    rolled = (np.roll(vals, rep % dim, axis=1) * signs).reshape(-1)
     new = pa.ListArray.from_arrays(col.offsets,
                                    pa.array(rolled, pa.float32()))
     i = table.schema.get_field_index("embedding")
@@ -106,6 +111,7 @@ def perturb_embeddings(table: pa.Table, rep: int) -> pa.Table:
 
 def main():
     src, out, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    subset = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     os.makedirs(out, exist_ok=True)
     for name in COPY_ONCE:
         t = pq.read_table(f"{src}/{name}.parquet")
@@ -114,6 +120,8 @@ def main():
     strides = family_strides(src)
     print("family strides:", strides)
     for name, keys in KEYS.items():
+        if subset is not None and name not in subset:
+            continue
         t = pq.read_table(f"{src}/{name}.parquet")
         reps = []
         for rep in range(factor):
