@@ -35,12 +35,7 @@ object Eval {
     */
   def hardFilterTopK(items: DataFrame, idCol: String, textVecCol: String,
                      qText: Array[Double], filters: Seq[Filter], k: Int): Seq[Long] = {
-    val preds = filters.collect {
-      case DenseIntervalFilter(c, _, hi, false, _) => col(c) <= hi
-      case DensePointFilter(c, v, false, _) => col(c) <= v
-      case SparseFilter(c, sel, false, _) => col(c).isin(sel: _*)
-      case BinaryFilter(c, v, _) => col(c).cast("string") === v
-    }
+    val preds = filterPreds(filters)
     val filtered = if (preds.isEmpty) items else items.filter(preds.reduce(_ && _))
     filtered
       .withColumn("score", Search.dot(Search.asDouble(col(textVecCol)), typedLit(qText)))
@@ -48,6 +43,55 @@ object Eval {
       .limit(k)
       .select(col(idCol).cast("long"))
       .collect().map(_.getLong(0)).toSeq
+  }
+
+  /** The hard-filter predicate family (reference milvus filter strings,
+    * src/eval/milvus_experiment.py:72-89) — shared by the per-point and
+    * batched oracle paths. */
+  private def filterPreds(filters: Seq[Filter]): Seq[org.apache.spark.sql.Column] =
+    filters.collect {
+      case DenseIntervalFilter(c, _, hi, false, _) => col(c) <= hi
+      case DensePointFilter(c, v, false, _) => col(c) <= v
+      case SparseFilter(c, sel, false, _) => col(c).isin(sel: _*)
+      case BinaryFilter(c, v, _) => col(c).cast("string") === v
+    }
+
+  /** Batched [[hardFilterTopK]]: every point's oracle list in ONE scan via
+    * [[Search.multiTopK]] — the point's filter conjunction becomes its
+    * eligibility predicate, the shared text query is deduplicated to a
+    * single in-plan dot. Raw (un-rounded) scores, ascending-id tiebreak:
+    * the same ordering as the per-point path. */
+  def hardFilterTopKBatch(items: DataFrame, idCol: String, textVecCol: String,
+                          qText: Array[Double], filtersPerPoint: Seq[Seq[Filter]],
+                          k: Int): IndexedSeq[Seq[Long]] = {
+    val preds = filtersPerPoint.map { fs =>
+      val ps = filterPreds(fs)
+      if (ps.isEmpty) lit(true) else ps.reduce(_ && _)
+    }
+    Search.multiTopK(items, textVecCol, idCol,
+      Seq.fill(filtersPerPoint.size)(qText), k,
+      eligible = preds, roundScores = false).map(_.map(_._1))
+  }
+
+  /** Every seeded row sample in ONE aggregation job: the per-seed sample
+    * (orderBy md5(id:seed) LIMIT 1 — the distributed twin of pandas
+    * df.sample(random_state=seed), reference evaluate.py:176) re-expressed
+    * as min_by(struct(cols), md5(id:seed)). One full scan computes every
+    * seed's argmin with map-side partial aggregation, instead of one
+    * scan-and-topk job per seed; md5 keys are unique w.h.p. so the argmin
+    * equals the per-seed sort-limit row. */
+  def batchSamples(items: DataFrame, idCol: String, candidateCols: Seq[String],
+                   seeds: Seq[Int]): Map[Int, Map[String, Any]] = {
+    if (seeds.isEmpty) return Map.empty
+    val aggs = seeds.zipWithIndex.map { case (s, j) =>
+      min_by(struct(candidateCols.map(col): _*),
+        md5(concat_ws(":", col(idCol), lit(s)))).as(s"__s$j")
+    }
+    val row = items.agg(aggs.head, aggs.tail: _*).head()
+    seeds.zipWithIndex.map { case (s, j) =>
+      val st = row.getStruct(j)
+      s -> candidateCols.zipWithIndex.map { case (c, i) => c -> st.get(i) }.toMap
+    }.toMap
   }
 
   /** Fused-vector subject: encode the query against the layout, exact
@@ -95,40 +139,57 @@ object Eval {
     * the reference's exact seeding discipline — sample one row, choose m
     * random modalities, synthesize filters, run oracle (hard filter) and
     * subject (fused) top-k, score recall. `encodeAndSearch` is injected so
-    * the sweep drives any engine configuration.
+    * the sweep drives any engine configuration; it receives ALL points'
+    * filter sets at once so the engine can answer them in one batched scan
+    * ([[Search.multiTopK]]). The sweep itself runs exactly THREE jobs
+    * regardless of point count: one batched sample aggregation, one batched
+    * oracle scan, one batched subject search — the reference shape (one
+    * search per point) costs a full-scan job per point on Spark.
     */
   def sweep(items: DataFrame, idCol: String, textVecCol: String,
             qText: Array[Double],
             candidateCols: Seq[String], profiles: Map[String, ColumnProfile],
-            encodeAndSearch: (Seq[Filter], Int) => Seq[Long],
+            encodeAndSearch: (Seq[Seq[Filter]], Int) => Seq[Seq[Long]],
             k: Int = 10, repetitions: Int = 3): Seq[SweepPoint] = {
-    val n = candidateCols.size
-    (1 to n).flatMap { m =>
-      (0 until repetitions).map { i =>
-        val (seed, mods) = modalitiesFor(candidateCols, m, i)
-        // seeded row sample: deterministic hash order (distributed twin of
-        // pandas df.sample(random_state=seed), reference evaluate.py:176)
-        val sampled = items
-          .withColumn("__h", md5(concat_ws(":", col(idCol), lit(seed))))
-          .orderBy("__h").limit(1)
-          .select(candidateCols.map(col): _*).head()
-        val row = candidateCols.zipWithIndex.map { case (c, j) => c -> sampled.get(j) }.toMap
-        val filters = experimentFilters(row.filter(kv => mods.contains(kv._1)), profiles)
-        val oracle = hardFilterTopK(items, idCol, textVecCol, qText, filters, k)
-        val subject = encodeAndSearch(filters, k)
-        SweepPoint(m, i, seed, mods, recall(oracle, subject))
-      }
+    val (keys, filtersPer) = sweepPoints(items, idCol, candidateCols, profiles, repetitions)
+    val oracles = hardFilterTopKBatch(items, idCol, textVecCol, qText, filtersPer, k)
+    val subjects = encodeAndSearch(filtersPer, k)
+    keys.zipWithIndex.map { case ((m, i, seed, mods), j) =>
+      SweepPoint(m, i, seed, mods, recall(oracles(j), subjects(j)))
     }
+  }
+
+  /** Config-independent sweep-point prep, shared by [[sweep]] and
+    * [[fullSweep]]: the (m, i, seed, modalities) grid plus each point's
+    * synthesized filters from its batched seeded sample (ONE job for all
+    * points). */
+  private def sweepPoints(items: DataFrame, idCol: String,
+                          candidateCols: Seq[String],
+                          profiles: Map[String, ColumnProfile],
+                          repetitions: Int)
+      : (Seq[(Int, Int, Int, Seq[String])], Seq[Seq[Filter]]) = {
+    val n = candidateCols.size
+    val keys = for {
+      m <- 1 to n; i <- 0 until repetitions
+      (seed, mods) = modalitiesFor(candidateCols, m, i)
+    } yield (m, i, seed, mods)
+    val samples = batchSamples(items, idCol, candidateCols, keys.map(_._3))
+    val filtersPer = keys.map { case (_, _, seed, mods) =>
+      experimentFilters(samples(seed).filter(kv => mods.contains(kv._1)), profiles)
+    }
+    (keys, filtersPer)
   }
 
   final case class SweepResult(num_harmonics: Int, interval_epsilon: Double,
                                num_modalities: Int, repetition: Int, seed: Int,
                                recall: Double)
 
-  /** One grid config's subject engine: the search closure plus a release
-    * hook (unpersist the config's encoded index). [[fullSweep]] calls
-    * `close()` as soon as the config's points are evaluated. */
-  final case class SweepEngine(search: (Seq[Filter], Int) => Seq[Long],
+  /** One grid config's subject engine: the BATCHED search closure (all
+    * points' filter sets → all points' top-k lists, one scan via
+    * [[Search.multiTopK]]) plus a release hook (unpersist the config's
+    * encoded index). [[fullSweep]] calls `close()` as soon as the config's
+    * points are evaluated. */
+  final case class SweepEngine(search: (Seq[Seq[Filter]], Int) => Seq[Seq[Long]],
                                close: () => Unit = () => ())
 
   /** Full A11 sweep (reference src/eval/evaluate.py:156-242): the modality
@@ -137,9 +198,13 @@ object Eval {
     * rebuilds the subject engine per grid config (the reference re-encodes
     * products per parameterization the same way, evaluate.py:186-189).
     *
-    * Unlike the reference's fully nested loops, the row sample and the
-    * hard-filter oracle list are computed ONCE per (m, i) — they do not
-    * depend on the harmonics/ε parameterization.
+    * Unlike the reference's fully nested loops, the row samples and the
+    * hard-filter oracle lists do not depend on the harmonics/ε
+    * parameterization, and they are computed in TWO batched jobs for the
+    * whole point grid (one min_by sample aggregation + one multiTopK
+    * oracle scan); each grid config then answers every point with one
+    * batched subject scan. Total jobs: 2 + |configs|, independent of the
+    * modality-count × repetition grid size.
     *
     * Memory is bounded at `maxInFlightConfigs` encoded indexes: configs
     * are built, evaluated and RELEASED in bounded batches (a full
@@ -158,20 +223,10 @@ object Eval {
                 maxInFlightConfigs: Int = 2): Seq[SweepResult] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val n = candidateCols.size
-    val pointKeys = for { m <- 1 to n; i <- 0 until repetitions } yield (m, i)
-    // config-independent work, once per (m, i)
-    val perPoint = pointKeys.map { case (m, i) =>
-      val (seed, mods) = modalitiesFor(candidateCols, m, i)
-      val sampled = items
-        .withColumn("__h", md5(concat_ws(":", col(idCol), lit(seed))))
-        .orderBy("__h").limit(1)
-        .select(candidateCols.map(col): _*).head()
-      val row = candidateCols.zipWithIndex.map { case (c, j) => c -> sampled.get(j) }.toMap
-      val filters = experimentFilters(row.filter(kv => mods.contains(kv._1)), profiles)
-      val oracle = hardFilterTopK(items, idCol, textVecCol, qText, filters, k)
-      (m, i) -> ((seed, filters, oracle))
-    }.toMap
+    // config-independent work, batched: ONE sample job + ONE oracle job
+    // for the whole point grid
+    val (keys, filtersPer) = sweepPoints(items, idCol, candidateCols, profiles, repetitions)
+    val oracles = hardFilterTopKBatch(items, idCol, textVecCol, qText, filtersPer, k)
     val configs = for { kh <- harmonicsSweep; eps <- epsilonSweep } yield (kh, eps)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(maxInFlightConfigs, 1))
@@ -181,9 +236,12 @@ object Eval {
         val futs = batch.map { case (kh, eps) =>
           Future {
             val eng = engineFor(kh, eps)
-            try pointKeys.map { case (m, i) =>
-              val (seed, filters, oracle) = perPoint((m, i))
-              SweepResult(kh, eps, m, i, seed, recall(oracle, eng.search(filters, k)))
+            // one batched subject scan per grid config
+            try {
+              val subjects = eng.search(filtersPer, k)
+              keys.zipWithIndex.map { case ((m, i, seed, _), j) =>
+                SweepResult(kh, eps, m, i, seed, recall(oracles(j), subjects(j)))
+              }
             } finally eng.close()
           }
         }

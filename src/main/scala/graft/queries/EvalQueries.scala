@@ -121,10 +121,12 @@ object EvalQueries {
         val layout = ProductEncoder.layoutFor(Cands.map(profs), params)
         val indexed = ProductEncoder.encode(items, layout).persist()
         Eval.SweepEngine(
-          search = (filters, k) => {
-            val q = QueryEncoder.encode(layout, filters.map(f => f.column -> f).toMap,
-              params = QueryEncoder.Params(eps, params.rangeEpsilon))
-            Eval.fusedTopK(indexed, "doc_id", "fused_vec", q, k)
+          search = (filterSets, k) => {
+            val qs = filterSets.map(fs =>
+              QueryEncoder.encode(layout, fs.map(f => f.column -> f).toMap,
+                params = QueryEncoder.Params(eps, params.rangeEpsilon)))
+            // all points in ONE scan (batched twin of Eval.fusedTopK)
+            Search.multiTopK(indexed, "fused_vec", "doc_id", qs, k).map(_.map(_._1))
           },
           close = () => { indexed.unpersist(); () })
       }

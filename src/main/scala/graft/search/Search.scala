@@ -55,6 +55,98 @@ object Search {
       .select(col(idCol), col("score"))
   }
 
+  /** Batched exact top-k: ONE scan of the vector table answers every query
+    * in `queries` at once. The reference's experiment harness issues one
+    * FAISS search per sweep point (src/eval/evaluate.py:182-189); on Spark
+    * that shape costs a full scan JOB per point, and the ~0.1-0.3 s per-job
+    * floor dominates long before the scan does. This is the batch twin of
+    * [[fusedTopK]] / the hard-filter oracle: per-query result = top k rows
+    * by (score desc, id asc) among rows whose `eligible` predicate holds.
+    *
+    * Scores are computed IN-PLAN by the native codegen dot — identical
+    * arithmetic to [[fusedTopK]], including the 5-dp round + IEEE −0.0
+    * collapse when `roundScores` — so batched results are bit-identical to
+    * the per-query path. Identical query vectors are deduplicated: their
+    * dot is computed once per row (the sweep oracle issues P copies of the
+    * same text query under P different filters).
+    *
+    * Scale shape: narrow projection (id, scores, mask) → mapPartitions
+    * keeping q bounded k-heaps per partition → ≤ q·k candidate rows per
+    * partition → driver merges numPartitions·q·k rows. No shuffle, no
+    * per-query jobs: P searches cost one scan. Rows with a null vector are
+    * skipped (the per-query path's NULLS LAST never surfaces them either
+    * unless matches < k). Ties on (rounded) score break on the ascending
+    * long id, matching the per-query orderBy.
+    */
+  def multiTopK(vectors: DataFrame, vecCol: String, idCol: String,
+                queries: Seq[Array[Double]], k: Int,
+                eligible: Seq[Column] = Nil,
+                roundScores: Boolean = true): IndexedSeq[Seq[(Long, Double)]] = {
+    require(k > 0, s"k must be positive: $k")
+    require(eligible.isEmpty || eligible.size == queries.size,
+      s"eligible size ${eligible.size} != queries size ${queries.size}")
+    val nq = queries.size
+    if (nq == 0) return IndexedSeq.empty
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    // one score column per DISTINCT query vector
+    val distinctQ = scala.collection.mutable.LinkedHashMap.empty[Seq[Double], Int]
+    val qIdx: Array[Int] = queries.map(q =>
+      distinctQ.getOrElseUpdate(q.toSeq, distinctQ.size)).toArray
+    val vd = asDouble(col(vecCol))
+    val scoreCols = distinctQ.keysIterator.map { q =>
+      val s = dot(vd, typedLit(q.toArray))
+      coalesce(if (roundScores) round(s, 5) + 0.0 else s, lit(0.0))
+    }.toIndexedSeq
+    // a null vector nulls every score — fold that into the mask so the
+    // scores array stays non-nullable for the primitive encoder
+    val maskElems = (0 until nq).map { i =>
+      val e = if (eligible.isEmpty) lit(true)
+              else coalesce(eligible(i).cast("boolean"), lit(false))
+      e && vd.isNotNull
+    }
+    val rows = vectors.select(
+      col(idCol).cast("long").as("_1"),
+      array(scoreCols: _*).as("_2"),
+      array(maskElems: _*).as("_3")).as[(Long, Seq[Double], Seq[Boolean])]
+    val qIdxB = qIdx; val kB = k; val nqB = nq
+    // PriorityQueue dequeues its MAX; order so the max is the WORST kept
+    // entry (lowest score, then highest id)
+    val byWorst: Ordering[(Double, Long)] =
+      Ordering.by { case (s, i) => (-s, i) }
+    val candidates = rows.mapPartitions { it =>
+      val heaps = Array.fill(nqB)(
+        scala.collection.mutable.PriorityQueue.empty[(Double, Long)](byWorst))
+      it.foreach { case (id, scores, mask) =>
+        var i = 0
+        while (i < nqB) {
+          if (mask(i)) {
+            val s = scores(qIdxB(i)) + 0.0 // collapse IEEE −0.0 like the SQL path
+            val h = heaps(i)
+            if (h.size < kB) h.enqueue((s, id))
+            else {
+              val w = h.head
+              if (s > w._1 || (s == w._1 && id < w._2)) {
+                h.dequeue(); h.enqueue((s, id))
+              }
+            }
+          }
+          i += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+        h.iterator.map { case (s, id) => (i, id, s) }
+      }
+    }.collect()
+    val grouped = candidates.groupBy(_._1)
+    (0 until nq).map { i =>
+      grouped.getOrElse(i, Array.empty[(Int, Long, Double)])
+        .map { case (_, id, s) => (id, s) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(k).toSeq
+    }.toIndexedSeq
+  }
+
   /** K1 over the PACKED index format (binary column of little-endian
     * doubles — the on-disk/in-memory serving form; see
     * org.apache.spark.sql.graft.PackedVectors). Cached packed index +

@@ -27,11 +27,11 @@ class SweepSpec extends SparkSpec {
 
     def run(): Seq[Eval.SweepPoint] = Eval.sweep(
       items, "doc_id", "embedding", Vectors.QVEC, cands, profs,
-      encodeAndSearch = (filters, k) => {
-        val q = QueryEncoder.encode(layout,
-          filters.map(f => f.column -> withWeight(f, 2.0)).toMap,
-          textVec = Vectors.QVEC)
-        Eval.fusedTopK(indexed, "doc_id", "fused_vec", q, k * 3)
+      encodeAndSearch = (filterSets, k) => {
+        val qs = filterSets.map(fs => QueryEncoder.encode(layout,
+          fs.map(f => f.column -> withWeight(f, 2.0)).toMap,
+          textVec = Vectors.QVEC))
+        Search.multiTopK(indexed, "fused_vec", "doc_id", qs, k * 3).map(_.map(_._1))
       },
       k = 10, repetitions = 2)
 
@@ -56,11 +56,11 @@ class SweepSpec extends SparkSpec {
         textBlock = Some(TextBlock("embedding", 64)))
       val indexed = ProductEncoder.encode(items, layout).persist()
       Eval.SweepEngine(
-        search = (filters, k) => {
-          val q = QueryEncoder.encode(layout,
-            filters.map(f => f.column -> withWeight(f, 2.0)).toMap,
-            textVec = Vectors.QVEC, params = QueryEncoder.Params(eps, 0.01))
-          Eval.fusedTopK(indexed, "doc_id", "fused_vec", q, k * 3)
+        search = (filterSets, k) => {
+          val qs = filterSets.map(fs => QueryEncoder.encode(layout,
+            fs.map(f => f.column -> withWeight(f, 2.0)).toMap,
+            textVec = Vectors.QVEC, params = QueryEncoder.Params(eps, 0.01)))
+          Search.multiTopK(indexed, "fused_vec", "doc_id", qs, k * 3).map(_.map(_._1))
         },
         close = () => { indexed.unpersist(); () })
     }
