@@ -79,6 +79,84 @@ object Streaming {
       .toDF()
   }
 
+  /** One streaming dedup decision: `novel` docs are first-seen (keep);
+    * duplicates carry the retained representative they matched. */
+  final case class NearDupDecision(id: Long, novel: Boolean, dup_of: Long)
+
+  /** Per-bucket dedup state: the retained representative vectors. */
+  final case class BucketReps(reps: Seq[(Long, Seq[Double])])
+
+  /** Streaming near-duplicate FILTER — dedup-on-ingest for a continuously
+    * arriving corpus (the streaming twin of the batch LSH near-dup family,
+    * d7). Each doc is bucketed by a SINGLE-table LSH signature
+    * (Search.lshBuckets nTables=1, same seed-42 hyperplanes): one stateful
+    * group owns the whole novel-vs-duplicate decision, so the doc shuffles
+    * ONCE on its signature. Per bucket, flatMapGroupsWithState retains up
+    * to `maxPerBucket` representative vectors; an arriving doc is a
+    * duplicate of the first retained representative with cosine ≥ `tau`,
+    * else novel (first-seen wins — the doc joins the representatives).
+    * Rows inside a micro-batch are processed in ascending-id order, so
+    * per-batch output is deterministic; across batches, arrival order
+    * decides who is "first" — inherent to streaming dedup.
+    *
+    * Scale shape: state ≤ maxPerBucket·dim doubles per bucket over 2^nBits
+    * buckets — bounded regardless of stream length; the comparison work
+    * per doc is bounded by the cap (never O(corpus)). Single-table LSH is
+    * the recall lever: more bits → smaller buckets → faster but lower
+    * near-dup recall, exactly the batch path's trade; run the batch d7
+    * band join offline to reconcile what single-probe missed.
+    *
+    * Also runs on a STATIC DataFrame (Spark executes
+    * flatMapGroupsWithState with batch semantics: every group seen once,
+    * empty prior state) — the spec asserts streamed == batch on the same
+    * rows.
+    */
+  def nearDupFilter(docs: DataFrame, vecCol: String, idCol: String,
+                    dim: Int, nBits: Int, tau: Double,
+                    maxPerBucket: Int = 256, seed: Long = 42L)
+                   (implicit spark: SparkSession): DataFrame = {
+    import graft.search.Search
+    import spark.implicits._
+    val sig = Search.lshBuckets(
+        docs.select(col(idCol), col(vecCol)), vecCol, dim, nBits,
+        nTables = 1, seed = seed)
+      .select(col("bucket").getField("sig").as("sig"),
+        col(idCol).cast("long").as("id"),
+        Search.asDouble(col(vecCol)).as("v"))
+      .as[(Long, Long, Seq[Double])]
+    val tauB = tau; val capB = maxPerBucket
+    sig.groupByKey(_._1)
+      .flatMapGroupsWithState[BucketReps, NearDupDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Long, Seq[Double])],
+         state: GroupState[BucketReps]) =>
+          var kept: Vector[(Long, Array[Double])] = state.getOption
+            .map(_.reps.iterator.map { case (i, r) => (i, r.toArray) }.toVector)
+            .getOrElse(Vector.empty)
+          val out = rows.toSeq.sortBy(_._2).map { case (_, id, v) =>
+            val arr = v.toArray
+            kept.find { case (_, r) => cosineLocal(r, arr) >= tauB } match {
+              case Some((rid, _)) => NearDupDecision(id, novel = false, dup_of = rid)
+              case None =>
+                if (kept.size < capB) kept = kept :+ (id -> arr)
+                NearDupDecision(id, novel = true, dup_of = -1L)
+            }
+          }
+          state.update(BucketReps(kept.map { case (i, a) => (i, a.toSeq) }))
+          out.iterator
+      }.toDF()
+  }
+
+  /** Plain-Scala cosine with the same left-to-right accumulation as
+    * Search.cosine (dot/(√dot·√dot)) — the in-state comparison must agree
+    * with the batch path's arithmetic. NaN (zero vector) never matches. */
+  private def cosineLocal(a: Array[Double], b: Array[Double]): Double = {
+    var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+    ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
   /** Write helper: append stream to a parquet vector table with a
     * checkpoint — the durable incremental index. */
   def writeIndex(encoded: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =

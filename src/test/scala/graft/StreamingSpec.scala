@@ -144,4 +144,61 @@ class StreamingSpec extends SparkSpec {
     assert(latest(1L) == (1L, 3L, 10.0)) // 2+3+5 over two batches
     assert(latest(2L) == (2L, 1L, 10.0))
   }
+
+  test("streaming near-dup filter: first-seen wins, duplicates detected across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val dim = 8
+    val base = Array(0.3, -0.7, 0.5, 0.9, -0.2, 0.4, -0.6, 0.1)
+    val near = base.clone(); near(0) += 0.001 // cosine ≈ 1 AND same signature
+    val far = Array(-0.3, 0.7, -0.5, -0.9, 0.2, -0.4, 0.6, -0.1) // antipode
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = Streaming.nearDupFilter(
+        mem.toDF().toDF("id", "vec"), "vec", "id", dim, nBits = 4, tau = 0.9)
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append")
+      .start()
+    mem.addData((1L, base.toSeq), (2L, base.toSeq)) // 2 = exact dup of 1
+    q.processAllAvailable()
+    mem.addData((3L, near.toSeq), (4L, far.toSeq))  // state persists: 3 dups 1
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((true, -1L)), s"out=$out")
+    assert(out(2L) == ((false, 1L)), s"out=$out")
+    assert(out(3L) == ((false, 1L)), "cross-batch near-dup must hit batch-1 state")
+    assert(out(4L)._1, "antipodal vector must be novel")
+  }
+
+  test("streaming near-dup filter == static batch run on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val dim = 16
+    val rnd = new scala.util.Random(3)
+    // 30 random docs, every third an exact duplicate of the previous
+    val docs = (1L to 30L).scanLeft((0L, Seq.fill(dim)(0.0))) { case ((_, prev), i) =>
+      if (i % 3 == 0) (i, prev) else (i, Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+    }.tail
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = Streaming.nearDupFilter(
+        mem.toDF().toDF("id", "vec"), "vec", "id", dim, nBits = 6, tau = 0.95)
+      .writeStream.format("memory").queryName("dedup_parity").outputMode("append")
+      .start()
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dedup_parity").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSet
+    val batch = Streaming.nearDupFilter(
+        docs.toDF("id", "vec"), "vec", "id", dim, nBits = 6, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    // every third doc duplicates its predecessor: same vector → same
+    // signature → must be flagged
+    docs.filter(_._1 % 3 == 0).foreach { case (i, _) =>
+      assert(streamed.contains((i, false, i - 1)), s"doc $i not flagged as dup of ${i - 1}")
+    }
+  }
 }
