@@ -282,6 +282,72 @@ object Vectors {
         WHERE rk <= 5 ORDER BY q_id, rk"""
   }
 
+  // st3: batch twin of the STREAMING near-dup filter
+  // (Streaming.nearDupFilter — dedup-on-ingest): greedy first-seen-wins
+  // leader clustering per single-table LSH bucket; a doc is a duplicate of
+  // the first retained representative whose 5-dp-rounded cosine ≥ τ.
+  // flatMapGroupsWithState runs the identical code on this static table
+  // (batch semantics, ascending-id group order), and the DuckDB twin
+  // replays the EXACT sequential greedy with a recursive CTE — one
+  // iteration per in-bucket position (buckets advance in parallel), the
+  // per-bucket representative set carried as a STRUCT(id, emb) list — so
+  // the stateful decision itself is hash-checked, not just its
+  // ingredients. τ = 0.2 is a fixture threshold chosen to exercise BOTH
+  // branches on the synthetic corpus (seed-42 planes, first 3 of sim2's
+  // stream).
+  private val St3Bits = 3
+  private val St3Tau = 0.2
+  private val St3Cap = 256
+
+  private def st3PlanesSql: String = {
+    import org.apache.spark.sql.graft.LshSignatures
+    val planes = LshSignatures.planesFor(Sim2Dim, St3Bits, 1, 42L)
+    planes.zipWithIndex.map { case (p, b) =>
+      s"($b, [${p.mkString(",")}]::DOUBLE[])"
+    }.mkString(", ")
+  }
+
+  private val st3 = Q(
+    "st3_stream_neardup",
+    (s, d) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      graft.streaming.Streaming.nearDupFilter(
+          Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+          "embedding", "vec_id", dim = Sim2Dim, nBits = St3Bits,
+          tau = St3Tau, maxPerBucket = St3Cap)
+        .orderBy("id")
+    },
+    Some(s"""WITH RECURSIVE
+             planes(bit, p) AS (VALUES $st3PlanesSql),
+             nsigs AS (
+               SELECT e.vec_id,
+                 sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) >= 0
+                     THEN 1 << pl.bit ELSE 0 END)::BIGINT AS sig
+               FROM embeddings e, planes pl GROUP BY e.vec_id),
+             ndocs AS (
+               SELECT s.sig, s.vec_id AS id, e.embedding::DOUBLE[] AS emb,
+                 row_number() OVER (PARTITION BY s.sig ORDER BY s.vec_id) AS rn
+               FROM nsigs s JOIN embeddings e USING (vec_id)),
+             steps AS (
+               SELECT sig, 0::BIGINT AS rn,
+                 []::STRUCT(id BIGINT, emb DOUBLE[])[] AS reps,
+                 NULL::BIGINT AS id, NULL::BOOLEAN AS novel,
+                 NULL::BIGINT AS dup_of
+               FROM (SELECT DISTINCT sig FROM ndocs)
+               UNION ALL
+               SELECT d.sig, d.rn,
+                 CASE WHEN m.mid IS NULL AND len(s.reps) < $St3Cap
+                      THEN list_append(s.reps, {'id': d.id, 'emb': d.emb})
+                      ELSE s.reps END,
+                 d.id, m.mid IS NULL, coalesce(m.mid, -1)
+               FROM steps s
+               JOIN ndocs d ON d.sig = s.sig AND d.rn = s.rn + 1
+               CROSS JOIN LATERAL (SELECT list_filter(s.reps,
+                   r -> round(list_cosine_similarity(r.emb, d.emb), 5) >= $St3Tau
+                 )[1].id AS mid) m)
+             SELECT id, novel, dup_of FROM steps
+             WHERE id IS NOT NULL ORDER BY id"""))
+
   private val sim3 = Q(
     "sim3_knn_ivf",
     (s, d) => Search.knnIvf(
@@ -293,5 +359,5 @@ object Vectors {
       .orderBy("q_id", "rk"),
     Some(ivfSql))
 
-  val qs: Seq[Q] = Seq(k1, sim1, sim2, sim3, d5, d7, a5, a6)
+  val qs: Seq[Q] = Seq(k1, sim1, sim2, sim3, d5, d7, a5, a6, st3)
 }

@@ -93,8 +93,12 @@ object Streaming {
     * group owns the whole novel-vs-duplicate decision, so the doc shuffles
     * ONCE on its signature. Per bucket, flatMapGroupsWithState retains up
     * to `maxPerBucket` representative vectors; an arriving doc is a
-    * duplicate of the first retained representative with cosine ≥ `tau`,
-    * else novel (first-seen wins — the doc joins the representatives).
+    * duplicate of the first retained representative with 5-dp-rounded
+    * cosine ≥ `tau` (the dedup family's shared decision boundary — d5/d7
+    * threshold the same rounded score, and the rounding is what lets the
+    * batch twin be oracle-checked: `st3_stream_neardup` replays this exact
+    * greedy in a DuckDB recursive CTE), else novel (first-seen wins — the
+    * doc joins the representatives).
     * Rows inside a micro-batch are processed in ascending-id order, so
     * per-batch output is deterministic; across batches, arrival order
     * decides who is "first" — inherent to streaming dedup.
@@ -135,7 +139,7 @@ object Streaming {
             .getOrElse(Vector.empty)
           val out = rows.toSeq.sortBy(_._2).map { case (_, id, v) =>
             val arr = v.toArray
-            kept.find { case (_, r) => cosineLocal(r, arr) >= tauB } match {
+            kept.find { case (_, r) => round5(cosineLocal(r, arr)) >= tauB } match {
               case Some((rid, _)) => NearDupDecision(id, novel = false, dup_of = rid)
               case None =>
                 if (kept.size < capB) kept = kept :+ (id -> arr)
@@ -156,6 +160,14 @@ object Streaming {
     while (i < n) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
     ab / (math.sqrt(aa) * math.sqrt(bb))
   }
+
+  /** Driver-local twin of Spark's `round(x, 5) + 0.0` (BigDecimal HALF_UP
+    * on the shortest decimal representation, IEEE −0.0 collapsed) — the
+    * same rounding DuckDB's `round()` applies, so the duplicate decision
+    * is reproducible across all three evaluators. */
+  private def round5(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(5, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
 
   /** Write helper: append stream to a parquet vector table with a
     * checkpoint — the durable incremental index. */
