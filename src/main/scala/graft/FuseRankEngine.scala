@@ -105,6 +105,37 @@ final class FuseRankEngine private (
     }
   }
 
+  /** Batched retrieval: P queries answered in ONE scan of the index
+    * (Search.multiTopK — in-plan codegen dots, per-partition bounded
+    * heaps), then ONE broadcast gather of all P·k hit rows. The serving
+    * shape for query batches: per-query cost amortizes to 1/P of a scan
+    * instead of a scan job each (the reference answers its batches one
+    * FAISS search at a time, src/eval/experiment.py:27-28). Results are
+    * bit-identical to P [[search]] calls in Retrieval mode — same encode,
+    * same rounded scores, same (relevance desc, id) order — with a
+    * `query_idx` column (position in `queries`) prepended. */
+  def searchBatch(queries: Seq[(String, Seq[Filter])], k: Int = 10): DataFrame = {
+    val far = QueryEncoder.sparkFarthest(items, geoCols)
+    val qs = queries.map { case (text, filters) =>
+      QueryEncoder.encode(layout, filters.map(f => f.column -> f).toMap,
+        textVec = embedder.embed(text), transforms = transforms,
+        farthest = far,
+        params = QueryEncoder.Params(params.intervalEpsilon, params.rangeEpsilon))
+    }
+    val tops = Search.multiTopK(indexed, "fused_vec", idCol, qs, k)
+    val spark = items.sparkSession
+    import spark.implicits._
+    val hits = tops.zipWithIndex.flatMap { case (rs, qi) =>
+      rs.map { case (id, s) => (qi, id, s) }
+    }.toDF("query_idx", "__hit_id", "relevance")
+      .withColumn("__hit_id", col("__hit_id").cast(items.schema(idCol).dataType))
+      .withColumnRenamed("__hit_id", idCol)
+    val itemCols = items.columns.filterNot(_ == idCol).map(col)
+    items.join(broadcast(hits), Seq(idCol))
+      .select(col("query_idx") +: col(idCol) +: col("relevance") +: itemCols.toSeq: _*)
+      .orderBy(col("query_idx"), col("relevance").desc, col(idCol))
+  }
+
   /** Gather the full item rows for the k hits (reference iloc gather,
     * src/app.py:80). The k-row top-k is the SMALL side — broadcast IT and
     * stream the items table; at 100 TB broadcasting items would OOM every

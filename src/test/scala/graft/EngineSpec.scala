@@ -62,6 +62,25 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("searchBatch: one scan answers every query identically to per-query search") {
+    val batch = Seq(
+      ("north indian mughlai",
+        Seq[Filter](SparseFilter("City", Seq("Agra"), weight = 3.0),
+          DenseIntervalFilter("Average Cost for two", 200, 800, weight = 1.5))),
+      ("pizza", Seq.empty[Filter]),
+      ("chinese", Seq[Filter](BinaryFilter("Has Table booking", "Yes", weight = 2.0))))
+    val got = engine.searchBatch(batch, k = 8)
+      .select("query_idx", "row_id", "relevance").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    batch.zipWithIndex.foreach { case ((text, filters), qi) =>
+      val single = engine.search(text, filters, k = 8)
+        .select("row_id", "relevance").collect()
+        .map(r => (r.getInt(0), r.getDouble(1))).toSeq
+      assert(got(qi) == single, s"query $qi ('$text') diverged from search()")
+    }
+  }
+
   test("fitTransforms: best transform fitted and applied to filter bounds") {
     val items = restaurantItems
     val eng = FuseRankEngine.index(items, FuseRankConfig(
