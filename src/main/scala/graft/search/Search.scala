@@ -293,33 +293,40 @@ object Search {
     * narrow assignment projection + one (cid, dim) aggregation; only
     * nCentroids×dim rows ever reach the driver.
     */
-  /** `exactMeans = true` accumulates per-dimension sums in DECIMAL(28,6) —
-    * order-independent, so the fit is bit-reproducible across engines and
-    * partitionings (the mode the sim3 oracle twin replicates). The default
-    * `false` is the production mode: native codegen double sums — the
-    * centroid drift from summation order is fp-noise that does not move
-    * ANN quality, and the DECIMAL cast/agg overhead is the single biggest
-    * cost of the fit at scale. */
+  /** `exactMeans = true` accumulates per-dimension sums in exact
+    * DECIMAL(28,6) arithmetic (org.apache.spark.sql.graft.VectorSum's
+    * scaled-long twin of the decimal sum) — order-independent, so the fit
+    * is bit-reproducible across engines and partitionings (the mode the
+    * sim3 oracle twin replicates). The default `false` is the production
+    * mode: native double sums — the centroid drift from summation order
+    * is fp-noise that does not move ANN quality.
+    *
+    * Each Lloyd iteration is one narrow assignment projection + ONE
+    * whole-vector aggregation (VectorSum): the shuffle carries
+    * #partitions·#centroids array rows, never the n·dim exploded
+    * (cid, pos, val) rows of the naive shape — the exploded decimal
+    * aggregation was 88% of the sim3 sf10 spot-bench (≈38 s of 44 s;
+    * 3.5 s with VectorSum, identical centroids). */
   def ivfCentroids(vectors: DataFrame, vecCol: String, idCol: String,
                    nCentroids: Int, iters: Int,
                    exactMeans: Boolean = false): Array[Array[Double]] = {
-    import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.sql.graft.VectorSum
     val base = vectors.select(col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("v"))
     var cents: Array[Array[Double]] = base.orderBy("id").limit(nCentroids)
       .collect().map(_.getSeq[Double](1).toArray)
-    val sumExpr =
-      if (exactMeans) sum(col("val").cast(DecimalType(28, 6))).cast("double")
-      else sum(col("val"))
     for (_ <- 1 to iters) {
-      val means = base.withColumn("cid", ivfAssign(col("v"), cents))
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "val")))
-        .groupBy("cid", "pos")
-        .agg((sumExpr / count(lit(1))).as("m"))
+      val rows = base.withColumn("cid", ivfAssign(col("v"), cents))
+        .groupBy("cid")
+        .agg(VectorSum.sums(col("v"), exactMeans).as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val next = cents.map(_.clone())
-      means.foreach { r =>
-        next(r.getAs[Int]("cid"))(r.getAs[Int]("pos")) = r.getAs[Double]("m")
+      rows.foreach { r =>
+        val s = r.getSeq[Double](r.fieldIndex("s"))
+        val n = r.getLong(r.fieldIndex("n")).toDouble
+        // same IEEE division as the former sum.cast(double) / count plan
+        next(r.getAs[Int]("cid")) = s.map(_ / n).toArray
       }
       cents = next
     }
