@@ -184,40 +184,44 @@ object Eval {
                                num_modalities: Int, repetition: Int, seed: Int,
                                recall: Double)
 
-  /** One grid config's subject engine: the BATCHED search closure (all
-    * points' filter sets → all points' top-k lists, one scan via
-    * [[Search.multiTopK]]) plus a release hook (unpersist the config's
-    * encoded index). [[fullSweep]] calls `close()` as soon as the config's
-    * points are evaluated. */
-  final case class SweepEngine(search: (Seq[Seq[Filter]], Int) => Seq[Seq[Long]],
-                               close: () => Unit = () => ())
+  /** One harmonic-count's subject engine: ONE encoded index shared by every
+    * `interval_epsilon` in the grid (the product encode depends only on the
+    * harmonic count and `rangeEpsilon` — interval ε enters at query time,
+    * [[QueryEncoder.Params]]), with a BATCHED search closure: ε values ×
+    * points' filter sets → per-ε per-point top-k lists, ALL answered in one
+    * [[Search.multiTopK]] scan of the index. `close()` releases the index;
+    * [[fullSweep]] calls it as soon as the harmonic's points are evaluated. */
+  final case class SweepEngine(
+      search: (Seq[Double], Seq[Seq[Filter]], Int) => IndexedSeq[IndexedSeq[Seq[Long]]],
+      close: () => Unit = () => ())
 
   /** Full A11 sweep (reference src/eval/evaluate.py:156-242): the modality
     * sweep of [[sweep]] repeated over the `num_harmonics` ×
-    * `interval_epsilon` grid (reference config.yaml:7-8). `engineFor`
-    * rebuilds the subject engine per grid config (the reference re-encodes
-    * products per parameterization the same way, evaluate.py:186-189).
+    * `interval_epsilon` grid (reference config.yaml:7-8). The reference
+    * re-encodes products per (harmonics, ε) config (evaluate.py:186-189),
+    * but ε never reaches the product vectors — only the query encoding —
+    * so `engineFor` builds ONE index per harmonic count and each index
+    * answers its whole ε × point grid in one batched scan.
     *
-    * Unlike the reference's fully nested loops, the row samples and the
-    * hard-filter oracle lists do not depend on the harmonics/ε
-    * parameterization, and they are computed in TWO batched jobs for the
-    * whole point grid (one min_by sample aggregation + one multiTopK
-    * oracle scan); each grid config then answers every point with one
-    * batched subject scan. Total jobs: 2 + |configs|, independent of the
-    * modality-count × repetition grid size.
+    * The row samples and the hard-filter oracle lists depend on neither
+    * grid axis and are computed in TWO batched jobs for the whole point
+    * grid (one min_by sample aggregation + one multiTopK oracle scan).
+    * Total jobs: 2 + |harmonicsSweep| scans (and as many encodes),
+    * independent of the ε × modality-count × repetition grid size.
     *
-    * Memory is bounded at `maxInFlightConfigs` encoded indexes: configs
-    * are built, evaluated and RELEASED in bounded batches (a full
-    * reference-sized grid — 10 harmonics × 7 ε — would otherwise pin 70
-    * persisted indexes at once). Each batch runs on a dedicated
-    * fixed-size pool (Spark actions block; on ExecutionContext.global
-    * that either starves the pool or, with blocking{}, spawns unbounded
-    * threads). Results are identical to the nested-loop order.
+    * Memory is bounded at `maxInFlightConfigs` encoded indexes: harmonic
+    * engines are built, evaluated and RELEASED in bounded batches (a full
+    * reference-sized sweep — 10 harmonics at K up to 500 — would
+    * otherwise pin 10 wide persisted indexes at once). Each batch runs on
+    * a dedicated fixed-size pool (Spark actions block; on
+    * ExecutionContext.global that either starves the pool or, with
+    * blocking{}, spawns unbounded threads). Results are identical to the
+    * reference's nested-loop order.
     */
   def fullSweep(items: DataFrame, idCol: String, textVecCol: String,
                 qText: Array[Double],
                 candidateCols: Seq[String], profiles: Map[String, ColumnProfile],
-                engineFor: (Int, Double) => SweepEngine,
+                engineFor: Int => SweepEngine,
                 harmonicsSweep: Seq[Int], epsilonSweep: Seq[Double],
                 k: Int = 10, repetitions: Int = 3,
                 maxInFlightConfigs: Int = 2): Seq[SweepResult] = {
@@ -227,21 +231,21 @@ object Eval {
     // for the whole point grid
     val (keys, filtersPer) = sweepPoints(items, idCol, candidateCols, profiles, repetitions)
     val oracles = hardFilterTopKBatch(items, idCol, textVecCol, qText, filtersPer, k)
-    val configs = for { kh <- harmonicsSweep; eps <- epsilonSweep } yield (kh, eps)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(maxInFlightConfigs, 1))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
-      configs.grouped(math.max(maxInFlightConfigs, 1)).flatMap { batch =>
-        val futs = batch.map { case (kh, eps) =>
+      harmonicsSweep.grouped(math.max(maxInFlightConfigs, 1)).flatMap { batch =>
+        val futs = batch.map { kh =>
           Future {
-            val eng = engineFor(kh, eps)
-            // one batched subject scan per grid config
+            val eng = engineFor(kh)
+            // one batched subject scan answers the harmonic's full ε × point grid
             try {
-              val subjects = eng.search(filtersPer, k)
-              keys.zipWithIndex.map { case ((m, i, seed, _), j) =>
-                SweepResult(kh, eps, m, i, seed, recall(oracles(j), subjects(j)))
-              }
+              val perEps = eng.search(epsilonSweep, filtersPer, k)
+              for {
+                (eps, e) <- epsilonSweep.zipWithIndex
+                ((m, i, seed, _), j) <- keys.zipWithIndex
+              } yield SweepResult(kh, eps, m, i, seed, recall(oracles(j), perEps(e)(j)))
             } finally eng.close()
           }
         }

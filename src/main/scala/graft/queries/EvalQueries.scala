@@ -113,20 +113,26 @@ object EvalQueries {
         "doc_id", "vec_id", "embedding").persist()
       val profs = Profiler.profile(items, Cands)
       val zeroText = new Array[Double](64)
-      // one persisted encode per (harmonics, ε) config, shared by that
-      // config's sweep points; fullSweep releases it via close() as soon
-      // as the config's points are evaluated (bounded in-flight memory)
-      def engineFor(kh: Int, eps: Double): Eval.SweepEngine = {
-        val params = EncoderParams(numHarmonics = kh, intervalEpsilon = eps)
+      // one persisted encode per HARMONIC count, shared by every ε in the
+      // grid (interval ε is query-side only — QueryEncoder.Params — so the
+      // reference's per-(kh, ε) re-encode collapses to per-kh); fullSweep
+      // releases it via close() as soon as the harmonic's points are
+      // evaluated (bounded in-flight memory)
+      def engineFor(kh: Int): Eval.SweepEngine = {
+        val params = EncoderParams(numHarmonics = kh)
         val layout = ProductEncoder.layoutFor(Cands.map(profs), params)
         val indexed = ProductEncoder.encode(items, layout).persist()
         Eval.SweepEngine(
-          search = (filterSets, k) => {
-            val qs = filterSets.map(fs =>
-              QueryEncoder.encode(layout, fs.map(f => f.column -> f).toMap,
-                params = QueryEncoder.Params(eps, params.rangeEpsilon)))
-            // all points in ONE scan (batched twin of Eval.fusedTopK)
-            Search.multiTopK(indexed, "fused_vec", "doc_id", qs, k).map(_.map(_._1))
+          search = (epsList, filterSets, k) => {
+            // ε × points queries concatenated into ONE scan (batched twin
+            // of Eval.fusedTopK): row-major [ε][point]
+            val qs = for { eps <- epsList; fs <- filterSets }
+              yield QueryEncoder.encode(layout, fs.map(f => f.column -> f).toMap,
+                params = QueryEncoder.Params(eps, params.rangeEpsilon))
+            val flat = Search.multiTopK(indexed, "fused_vec", "doc_id", qs, k)
+              .map(_.map(_._1))
+            epsList.indices.map(e =>
+              filterSets.indices.map(j => flat(e * filterSets.size + j)))
           },
           close = () => { indexed.unpersist(); () })
       }

@@ -50,17 +50,22 @@ class SweepSpec extends SparkSpec {
       "doc_id", "vec_id", "embedding").persist()
     val cands = Seq("lang", "n_chars")
     val profs = Profiler.profile(items, cands)
-    def engineFor(kh: Int, eps: Double): Eval.SweepEngine = {
-      val params = EncoderParams(numHarmonics = kh, intervalEpsilon = eps)
+    def engineFor(kh: Int): Eval.SweepEngine = {
+      val params = EncoderParams(numHarmonics = kh)
       val layout = ProductEncoder.layoutFor(cands.map(profs), params,
         textBlock = Some(TextBlock("embedding", 64)))
       val indexed = ProductEncoder.encode(items, layout).persist()
       Eval.SweepEngine(
-        search = (filterSets, k) => {
-          val qs = filterSets.map(fs => QueryEncoder.encode(layout,
-            fs.map(f => f.column -> withWeight(f, 2.0)).toMap,
-            textVec = Vectors.QVEC, params = QueryEncoder.Params(eps, 0.01)))
-          Search.multiTopK(indexed, "fused_vec", "doc_id", qs, k * 3).map(_.map(_._1))
+        search = (epsList, filterSets, k) => {
+          // one scan per harmonic count: ε × points queries, row-major
+          val qs = for { eps <- epsList; fs <- filterSets }
+            yield QueryEncoder.encode(layout,
+              fs.map(f => f.column -> withWeight(f, 2.0)).toMap,
+              textVec = Vectors.QVEC, params = QueryEncoder.Params(eps, 0.01))
+          val flat = Search.multiTopK(indexed, "fused_vec", "doc_id", qs, k * 3)
+            .map(_.map(_._1))
+          epsList.indices.map(e =>
+            filterSets.indices.map(j => flat(e * filterSets.size + j)))
         },
         close = () => { indexed.unpersist(); () })
     }
