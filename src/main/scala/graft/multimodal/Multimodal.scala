@@ -7,13 +7,15 @@ import org.apache.spark.sql.types._
 
 /** Multimodal (image/audio/video) columns as opaque `binary` payloads with
   * typed metadata — the Spark-side plumbing is real (schemas, mapPartitions
-  * batching, deterministic partition-local processing). IMAGES are decoded
-  * for real by [[imageIo]] (pure-JVM `javax.imageio`: PNG/JPEG/GIF/BMP);
-  * AUDIO is decoded for real by [[wavPcm]] (pure-JVM RIFF/WAVE PCM parser).
-  * Only VIDEO decoding stays STUBBED behind [[default]] with a
-  * deterministic fake (no video libraries in this container) — a production
-  * build swaps in a JNI/javacv-backed [[Codec]] with the same signature
-  * and nothing else changes.
+  * batching, deterministic partition-local processing). All three media
+  * kinds decode for REAL on pure JVM: IMAGES via [[imageIo]]
+  * (`javax.imageio`: PNG/JPEG/GIF/BMP), AUDIO via [[wavPcm]] (RIFF/WAVE
+  * PCM parser), VIDEO via [[mjpegAvi]] (RIFF/AVI Motion-JPEG parser —
+  * frame extraction by chunk walk, per-frame JPEG decode via imageIo).
+  * [[default]] remains the deterministic fake-header codec for synthetic
+  * corpora and as the fallback for unrecognized payloads; codecs needing
+  * native libraries (H.264 etc.) swap in behind the same [[Codec]]
+  * signature and nothing else changes.
   *
   * Design for 100 TB: every operator here is a narrow mapPartitions (no
   * shuffle); payloads stay off-heap in Tungsten rows until the partition
@@ -194,6 +196,107 @@ object Multimodal {
       imageIo.resize(pixels, w, h, newW, newH)
     val embedDim: Int = default.embedDim
     def embed(pixels: Array[Byte]): Array[Float] = default.embed(pixels)
+  }
+
+  /** REAL video codec: a pure-JVM RIFF/AVI Motion-JPEG parser. AVI is the
+    * same RIFF container as WAV ('RIFF' <size> 'AVI ' then chunks; 'LIST'
+    * chunks nest, with their type FourCC in the first 4 payload bytes);
+    * MJPEG stores every video frame as a COMPLETE JPEG image in a '##dc'
+    * (compressed) or '##db' (uncompressed-flagged, still JPEG in MJPEG
+    * files) chunk inside the 'movi' LIST. [[aviFrames]] walks the chunk
+    * tree — skipping 'hdrl' stream headers and the 'idx1' index, which the
+    * frames don't need — and each extracted frame decodes through
+    * [[imageIo]] (JPEG via javax.imageio, zero native dependencies).
+    *
+    * `decode` maps video onto the [[Codec]] contract as a FILM STRIP:
+    * (w, h·nFrames, luma planes concatenated frame-major) — frame f's
+    * pixel (x, y) at `pixels((f*h + y)*w + x)` — exactly an nFrames-times-
+    * taller image, the same trick [[wavPcm]] uses for channels, so
+    * `resize` and `embed` reuse the image implementations unchanged.
+    * Non-RIFF-AVI payloads fall back to the stub's fake-header format
+    * (mixed corpora, as with [[imageIo]]/[[wavPcm]]); AVI payloads with no
+    * decodable frame throw, which the mapPartitions wrappers above turn
+    * into a null row, not a task failure. For per-frame rows (the
+    * generator shape) use [[sampleAviFrames]] — its output frames are
+    * plain JPEGs, so the image operators compose downstream.
+    */
+  object mjpegAvi extends Codec {
+    def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      if (!isAvi(payload)) return default.decode(payload)
+      val frames = aviFrames(payload).map(f => imageIo.decode(f))
+      require(frames.nonEmpty, "AVI with no video frames")
+      val (w, h, _) = frames.head
+      require(frames.forall { case (fw, fh, _) => fw == w && fh == h },
+        "MJPEG frames disagree on dimensions")
+      val strip = new Array[Byte](w * h * frames.size)
+      frames.zipWithIndex.foreach { case ((_, _, px), f) =>
+        System.arraycopy(px, 0, strip, f * w * h, w * h)
+      }
+      (w, h * frames.size, strip)
+    }
+    def resize(pixels: Array[Byte], w: Int, h: Int, newW: Int, newH: Int): Array[Byte] =
+      imageIo.resize(pixels, w, h, newW, newH)
+    val embedDim: Int = default.embedDim
+    def embed(pixels: Array[Byte]): Array[Float] = default.embed(pixels)
+  }
+
+  private def isAvi(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' '
+
+  /** Raw MJPEG frame payloads ('##dc'/'##db' chunks, stream order) from a
+    * RIFF/AVI container. Chunk sizes are little-endian and word-aligned
+    * (odd size → one pad byte), like every RIFF form. */
+  def aviFrames(payload: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    require(isAvi(payload), "not a RIFF/AVI payload")
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(from: Int, to: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val id = new String(payload, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = bb.getInt(pos + 4)
+        require(size >= 0 && pos + 8 + size <= payload.length,
+          s"bad RIFF chunk size $size at offset $pos")
+        if (id == "LIST") walk(pos + 12, pos + 8 + size) // type FourCC at pos+8
+        else if (id(0).isDigit && id(1).isDigit &&
+          (id.endsWith("dc") || id.endsWith("db")) && size > 0)
+          out += java.util.Arrays.copyOfRange(payload, pos + 8, pos + 8 + size)
+        pos += 8 + size + (size & 1)
+      }
+    }
+    walk(12, payload.length)
+    out.toIndexedSeq
+  }
+
+  /** Frame-sample REAL videos: every `stride`-th MJPEG frame of each AVI
+    * payload as its own row `(idCols…, frame_idx, frame)`, where `frame`
+    * is the complete extracted JPEG — directly consumable by the image
+    * operators ([[decode]]/[[embed]]/[[resize]] with [[imageIo]]), so a
+    * video pipeline is frame extraction composed with the image pipeline.
+    * Non-AVI payloads yield no rows (a corrupt blob must not kill a
+    * 100-TB job); use [[sampleFrames]] for the fixed-size synthetic
+    * format. Narrow (no shuffle), generator-shaped like sampleFrames. */
+  def sampleAviFrames(df: DataFrame, payloadCol: String, stride: Int,
+                      idCols: Seq[String]): DataFrame = {
+    val base = StructType(idCols.map(df.schema(_)))
+    val outSchema = base.add("frame_idx", IntegerType).add("frame", BinaryType)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = idCols.map(df.schema.fieldIndex)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](pIdx)
+        val frames =
+          if (payload == null) IndexedSeq.empty
+          else scala.util.Try(aviFrames(payload)).getOrElse(IndexedSeq.empty)
+        (0 until frames.size by math.max(stride, 1)).iterator.map { f =>
+          Row.fromSeq(idIdx.map(r.get) ++ Seq(f, frames(f)))
+        }
+      }
+    }(enc)
   }
 
   /** Build a fake payload (header + pixels) — test/fixture helper. */

@@ -191,4 +191,76 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Array[Byte]](2).length == 2))
     assert(frames.forall(_.getLong(0) == 9L))
   }
+
+  /** Real MJPEG/AVI fixture assembled from JPEG frames the JDK's own
+    * encoder produced: RIFF('AVI ' LIST(hdrl avih) LIST(movi 00dc…) idx1)
+    * — header and index chunks present so the parser proves it skips
+    * non-frame content, not just that it finds frames. */
+  private def aviBytes(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")); bb.putInt(body.length); bb.put(body)
+      bb.array() // word-aligned: odd body → one zero pad byte
+    }
+    def list(typ: String, bodies: Seq[Array[Byte]]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ bodies.flatten)
+    val body = "AVI ".getBytes("US-ASCII") ++
+      list("hdrl", Seq(chunk("avih", new Array[Byte](56)))) ++
+      list("movi", frames.map(f => chunk("00dc", f))) ++
+      chunk("idx1", new Array[Byte](16 * frames.size))
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(body.length); bb.put(body)
+    bb.array()
+  }
+
+  test("mjpegAvi codec: frame extraction, film-strip decode, odd-chunk padding") {
+    val f0 = imageBytes("jpg", w = 6, h = 4)
+    // force an odd-length frame (trailing byte after EOI, which JPEG decoders
+    // ignore) so the word-alignment pad path is actually exercised
+    val f1base = imageBytes("jpg", w = 6, h = 4)
+    val f1 = if (f1base.length % 2 == 0) f1base :+ 0.toByte else f1base
+    val f2 = imageBytes("jpg", w = 6, h = 4)
+    val avi = aviBytes(Seq(f0, f1, f2))
+    val got = Multimodal.aviFrames(avi)
+    assert(got.size == 3)
+    assert(got(0).toSeq == f0.toSeq && got(1).toSeq == f1.toSeq && got(2).toSeq == f2.toSeq)
+    // film strip: (w, h·n) with each slice equal to the frame's own decode
+    val (w, h, strip) = Multimodal.mjpegAvi.decode(avi)
+    assert(w == 6 && h == 4 * 3 && strip.length == 6 * 4 * 3)
+    Seq(f0, f1, f2).zipWithIndex.foreach { case (f, i) =>
+      val (fw, fh, px) = Multimodal.imageIo.decode(f)
+      assert(fw == 6 && fh == 4)
+      assert(strip.slice(i * 24, (i + 1) * 24).toSeq == px.toSeq, s"frame $i slice")
+    }
+    // non-AVI falls back to the stub's fake-header format
+    val (sw, sh, _) = Multimodal.mjpegAvi.decode(Multimodal.fakePayload(4, 3, seed = 5))
+    assert(sw == 4 && sh == 3)
+  }
+
+  test("sampleAviFrames: per-frame JPEG rows compose with the image pipeline") {
+    import spark.implicits._
+    val frames = Seq.fill(5)(imageBytes("jpg", w = 6, h = 4))
+    val df = Seq(
+      (1L, aviBytes(frames)),
+      (2L, Multimodal.fakePayload(4, 3, seed = 3)), // non-AVI → no rows
+      (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val out = Multimodal.sampleAviFrames(df, "payload", stride = 2, idCols = Seq("id"))
+    assert(out.schema.fieldNames.toSeq == Seq("id", "frame_idx", "frame"))
+    val rows = out.collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((1L, 0), (1L, 2), (1L, 4)))
+    // extracted frames are plain JPEGs: the image decode operator runs on them
+    val dec = Multimodal.decode(out, "frame", codec = Multimodal.imageIo)
+      .select("frame_idx", "decoded.width", "decoded.height").collect()
+    assert(dec.forall(r => r.getInt(1) == 6 && r.getInt(2) == 4))
+    // full video-to-feature path: strip decode → embed, partition-invariant
+    val v1 = Multimodal.embed(df, "payload", codec = Multimodal.mjpegAvi)
+      .filter($"id" === 1L).select("media_vec").head().getSeq[Float](0)
+    val v2 = Multimodal.embed(df.repartition(3), "payload", codec = Multimodal.mjpegAvi)
+      .filter($"id" === 1L).select("media_vec").head().getSeq[Float](0)
+    assert(v1 == v2)
+    assert(math.abs(v1.map(x => x.toDouble * x).sum - 1.0) < 1e-5)
+  }
 }
