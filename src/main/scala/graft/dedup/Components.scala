@@ -1,0 +1,94 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Connected components over a candidate-pair graph — the dedup-pipeline
+  * step between pair generation (MinHash/LSH/SimHash candidates, reference
+  * dedup behavior; see queries d3/d4/d6/d7) and "keep one document per
+  * duplicate cluster": every document gets the min doc-id of its component
+  * as its cluster representative.
+  *
+  * Algorithm: iterative min-label propagation with POINTER JUMPING
+  * (Shiloach–Vishkin style, the public large-graph CC recipe used by
+  * GraphX/GraphFrames): each round every node takes the min label among
+  * itself and its neighbors (one join + one groupBy = two shuffles), then
+  * label(v) ← label(label(v)) (one self-join) halves label-tree height, so
+  * convergence is O(log diameter) rounds, not O(diameter) — a 100-TB graph
+  * of near-dup cliques (diameter 1–2) and long chains (diameter up to
+  * thousands) both converge in a handful of rounds. The fixpoint (min id
+  * reachable) is unique, so results are independent of partitioning,
+  * iteration count, and join order — which is what makes the operator
+  * oracle-checkable against a recursive-CTE label closure.
+  */
+object Components {
+
+  /** (id, comp) for every node appearing in `edges` (undirected); comp =
+    * min node id in the connected component. Iterates to the fixpoint
+    * (bounded by `maxIter`, loud failure if not converged — never a
+    * silently-partial clustering). */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 50): DataFrame = {
+    val a = col(aCol).cast("long"); val b = col(bCol).cast("long")
+    // undirected adjacency, both directions; persisted — every round scans it
+    val adj = edges.select(a.as("src"), b.as("dst"))
+      .unionByName(edges.select(b.as("src"), a.as("dst")))
+      .distinct().persist()
+    // Each round's plan references the previous labels FOUR times (neighbor
+    // join + left join + both sides of the jump self-join), so carrying
+    // lineage across rounds grows the logical plan 4^rounds — analysis and
+    // codegen OOM the driver long before data size matters. Eager
+    // localCheckpoint materializes each round AND truncates lineage to the
+    // materialized blocks (on a cluster with dynamic allocation or flaky
+    // executors, swap for reliable checkpoint() — same contract).
+    // no checkpoint on the seed — it reads the persisted adjacency and the
+    // first round's checkpoint re-roots the lineage
+    var labels = adj.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    var it = 0
+    var changed = 1L
+    while (changed > 0 && it < maxIter) {
+      // neighbor-min: comp'(v) = min(comp(v), min over neighbors comp(u));
+      // the previous label rides along so convergence detection needs no
+      // second join — the changed-count scans the round's materialized
+      // blocks instead of re-deriving the round
+      val nbrMin = adj
+        .join(labels.select(col("id").as("src"), col("comp").as("srcComp")), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("srcComp")).as("nbrComp"))
+      val prop = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("comp").as("prev"),
+          least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
+      // pointer jumping: comp''(v) = comp'(comp'(v)). Labels are node ids
+      // and only ever decrease, so comp'(c) exists for every label c and
+      // the jump is monotone — inner join is total.
+      val next = prop.as("p")
+        .join(prop.select(col("id").as("c"), col("comp").as("cc")).as("m"),
+          col("p.comp") === col("m.c"))
+        .select(col("p.id").as("id"), col("m.cc").as("comp"),
+          (col("m.cc") =!= col("p.prev")).as("ch"))
+        .localCheckpoint(true)
+      changed = next.filter(col("ch")).count()
+      labels = next.select(col("id"), col("comp"))
+      it += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter iterations")
+    adj.unpersist()
+    labels
+  }
+
+  /** Cluster assignment for a document table: (docs ⟕ components), nodes
+    * with no candidate edge are singleton clusters of themselves, plus the
+    * component size — the table a dedup pipeline filters with
+    * `comp_id = doc_id` (keep representatives) or samples per cluster. */
+  def assign(docs: DataFrame, idCol: String, comps: DataFrame): DataFrame = {
+    val assigned = docs.select(col(idCol))
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("comp_id", coalesce(col("comp"), col(idCol)))
+      .drop("comp")
+    val sizes = assigned.groupBy(col("comp_id"))
+      .agg(count(lit(1)).as("comp_size"))
+    assigned.join(sizes, "comp_id")
+      .select(col(idCol), col("comp_id"), col("comp_size"))
+  }
+}

@@ -180,6 +180,74 @@ object TextDedup {
           ORDER BY doc_id"""
     })
 
+  // D8 dedup clusters: connected components over the d3 MinHash-LSH
+  // candidate graph — the pipeline step between candidate generation and
+  // "keep one document per duplicate cluster" (filter comp_id = doc_id).
+  //
+  // The edge set is STAR EDGES, not materialized pairs: two docs are
+  // candidates iff they share a band bucket, and (bucket-min-doc →
+  // member) edges produce EXACTLY the same connected components as the
+  // full co-bucket pair set while staying LINEAR in bucket rows — at
+  // 100 TB the quadratic pair list exists only for pair-scoring queries
+  // (d3/d7); clustering never needs it. Spark runs
+  // graft.dedup.Components (min-label propagation + pointer jumping,
+  // O(log diameter) shuffle rounds); the twin re-derives the identical
+  // fixpoint as a recursive-CTE label closure over the same star edges.
+  // The closure accumulates O(component²) label rows, so the query pins
+  // a fixed cohort (full corpus at sf0.001/sf0.01, caps sf0.1+ — the
+  // st3/rest1 fixed-input precedent for keeping the baseline honest).
+  private val D8DocCap = 3000
+  private val d8 = Q(
+    "d8_dedup_components",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < D8DocCap)
+      // same banded buckets as d3, cohort-filtered (filter pushes below
+      // the row-local signature projections to the scan)
+      val buckets = bandedSigs(s, d)
+        .filter(col("doc_id") < D8DocCap)
+        .select(col("doc_id"), explode(array(
+          concat(lit("0:"), col("band0")),
+          concat(lit("1:"), col("band1")))).as("bucket"))
+        .persist()
+      val reps = buckets.groupBy(col("bucket")).agg(min(col("doc_id")).as("rep"))
+      val edges = buckets.join(reps, "bucket")
+        .filter(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("a_id"), col("doc_id").as("b_id"))
+        .distinct()
+      // buckets persist until the harness clearCache (d3/d7 accounting);
+      // Components' per-round labels are eager localCheckpoints whose
+      // blocks the context cleaner frees once unreferenced
+      val comps = graft.dedup.Components.connectedComponents(edges, "a_id", "b_id")
+      graft.dedup.Components.assign(docs, "doc_id", comps).orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE
+         tok AS (SELECT DISTINCT doc_id,
+                 unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                 FROM documents WHERE doc_id < $D8DocCap),
+         sig AS (SELECT doc_id,
+                 min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1,
+                 min(md5('2:' || tok)) AS h2, min(md5('3:' || tok)) AS h3,
+                 min(md5('4:' || tok)) AS h4, min(md5('5:' || tok)) AS h5,
+                 min(md5('6:' || tok)) AS h6, min(md5('7:' || tok)) AS h7
+                 FROM tok GROUP BY doc_id),
+         buck AS (SELECT doc_id, '0:' || md5(h0 || h1 || h2 || h3) AS bucket FROM sig
+                  UNION ALL
+                  SELECT doc_id, '1:' || md5(h4 || h5 || h6 || h7) FROM sig),
+         bs AS (SELECT bucket, min(doc_id) AS rep FROM buck GROUP BY 1),
+         pairs AS (SELECT DISTINCT s.rep AS a_id, a.doc_id AS b_id
+                   FROM buck a JOIN bs s USING (bucket)
+                   WHERE a.doc_id <> s.rep),
+         e2 AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                UNION SELECT b_id, a_id FROM pairs),
+         lbl(id, comp) AS (
+           SELECT doc_id, doc_id FROM documents WHERE doc_id < $D8DocCap
+           UNION
+           SELECT e.dst, l.comp FROM e2 e JOIN lbl l ON l.id = e.src),
+         comp AS (SELECT id AS doc_id, min(comp) AS comp_id FROM lbl GROUP BY id),
+         sizes AS (SELECT comp_id, count(*) AS comp_size FROM comp GROUP BY comp_id)
+         SELECT c.doc_id, c.comp_id, s.comp_size
+         FROM comp c JOIN sizes s USING (comp_id) ORDER BY doc_id"""))
+
   // ---- text analysis ----
 
   // X3 language-ID: char-trigram profile scoring (Cavnar–Trenkle / CLD
@@ -445,5 +513,5 @@ object TextDedup {
             FROM s GROUP BY user_id, sid
             ORDER BY user_id, session_start"""))
 
-  val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, x1, x2, x3, x4, x5, x6, x7, x8, x9, st1, st2)
+  val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, d8, x1, x2, x3, x4, x5, x6, x7, x8, x9, st1, st2)
 }

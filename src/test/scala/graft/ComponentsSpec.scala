@@ -1,0 +1,61 @@
+package graft
+
+import graft.dedup.Components
+import org.apache.spark.sql.functions._
+
+/** Connected components for dedup clustering: fixpoint correctness on
+  * known graphs (chains exercise pointer jumping, cliques the common
+  * near-dup shape), singleton assignment, partitioning-invariance, and
+  * the loud non-convergence guard. */
+class ComponentsSpec extends SparkSpec {
+
+  private def edgeDf(es: Seq[(Long, Long)], parts: Int = 1) = {
+    import spark.implicits._
+    spark.sparkContext.parallelize(es, parts).toDF("a", "b")
+  }
+
+  private def compMap(es: Seq[(Long, Long)], parts: Int = 1): Map[Long, Long] =
+    Components.connectedComponents(edgeDf(es, parts), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain of diameter 7 converges to the min label") {
+    // 1-2-3-4-5-6-7-8: plain propagation needs 7 rounds; pointer jumping
+    // must still reach the unique fixpoint well inside maxIter
+    val m = compMap((1L to 7L).map(i => (i, i + 1)))
+    assert(m.keySet == (1L to 8L).toSet)
+    assert(m.values.toSet == Set(1L))
+  }
+
+  test("disjoint clique + chain + edge get distinct min labels") {
+    val clique = for { i <- 10L to 13L; j <- (i + 1) to 13L } yield (i, j)
+    val m = compMap(clique ++ Seq((1L, 2L), (2L, 3L), (20L, 21L)))
+    assert(m(1L) == 1L && m(2L) == 1L && m(3L) == 1L)
+    assert((10L to 13L).forall(m(_) == 10L))
+    assert(m(20L) == 20L && m(21L) == 20L)
+  }
+
+  test("result is identical across input partitionings") {
+    val es = Seq((5L, 9L), (9L, 2L), (7L, 8L), (3L, 5L), (11L, 2L))
+    assert(compMap(es, parts = 1) == compMap(es, parts = 4))
+  }
+
+  test("non-convergence fails loudly, never a partial clustering") {
+    val ex = intercept[IllegalArgumentException] {
+      Components.connectedComponents(edgeDf(Seq((1L, 2L), (2L, 3L))), "a", "b",
+        maxIter = 0)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("assign: singletons cluster as themselves, sizes count members") {
+    import spark.implicits._
+    val docs = (1L to 6L).toDF("doc_id")
+    val comps = Components.connectedComponents(
+      edgeDf(Seq((1L, 2L), (2L, 4L))), "a", "b")
+    val out = Components.assign(docs, "doc_id", comps)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 3L, 1L),
+      (4L, 1L, 3L), (5L, 5L, 1L), (6L, 6L, 1L)))
+  }
+}
