@@ -397,6 +397,49 @@ object TextDedup {
                    round(alpha_ratio, 6) + 0.0 AS alpha_ratio
             FROM r WHERE rn <= ceil(0.3 * n) ORDER BY doc_id"""))
 
+  // X10 distinct-count sketching: the KMV (k-minimum-values) native
+  // aggregate (org.apache.spark.sql.graft.KMinValues) estimates corpus
+  // cardinalities with O(k) mergeable state — at 100 TB a vocabulary or
+  // unique-document count never shuffles the distinct value set, only
+  // #partitions × k longs. Both estimator regimes run in ONE aggregation:
+  // distinct documents (n_docs > k → the (k−1)/h_k estimate) and distinct
+  // tokens (≤ k → the sketch holds the whole set, exact). The sketch is
+  // md5-deterministic, so DuckDB reproduces the identical estimates via
+  // ORDER BY hash LIMIT k — an approx operator with an EXACT oracle. The
+  // exact countDistinct columns ride along as the in-row accuracy witness
+  // (small-sf luxury; at scale you'd keep only the sketch).
+  private val X10K = 256
+  private val x10 = Q(
+    "x10_kmv_distinct",
+    (s, d) => {
+      import org.apache.spark.sql.graft.KMinValues._
+      Tables.documents(s, d)
+        .select(col("text"), explode(tokens(col("text"))).as("tok"))
+        .agg(
+          (round(kmvDistinct(hash52(col("text")), X10K), 6) + 0.0).as("est_docs"),
+          (round(kmvDistinct(hash52(col("tok")), X10K), 6) + 0.0).as("est_vocab"),
+          countDistinct(col("text")).as("n_docs"),
+          countDistinct(col("tok")).as("n_vocab"))
+    },
+    Some(s"""WITH tk AS (SELECT text, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                 FROM documents),
+         hd AS (SELECT DISTINCT ('0x' || substr(md5(text), 1, 13))::UBIGINT AS h FROM tk),
+         hv AS (SELECT DISTINCT ('0x' || substr(md5(tok), 1, 13))::UBIGINT AS h FROM tk),
+         kd AS (SELECT count(*) AS m, max(h) AS hk
+                FROM (SELECT h FROM hd ORDER BY h LIMIT $X10K)),
+         kv AS (SELECT count(*) AS m, max(h) AS hk
+                FROM (SELECT h FROM hv ORDER BY h LIMIT $X10K))
+         SELECT
+           CASE WHEN kd.m < $X10K THEN kd.m::DOUBLE
+                ELSE round(($X10K - 1)::DOUBLE / (kd.hk::DOUBLE / 4503599627370496.0), 6) + 0.0
+           END AS est_docs,
+           CASE WHEN kv.m < $X10K THEN kv.m::DOUBLE
+                ELSE round(($X10K - 1)::DOUBLE / (kv.hk::DOUBLE / 4503599627370496.0), 6) + 0.0
+           END AS est_vocab,
+           (SELECT count(DISTINCT text) FROM tk)::BIGINT AS n_docs,
+           (SELECT count(DISTINCT tok) FROM tk)::BIGINT AS n_vocab
+         FROM kd, kv"""))
+
   // ST1 event-time hourly window aggregation (batch twin of the
   // Structured Streaming tumbling-window pipeline in graft.streaming).
   private val st1 = Q(
@@ -513,5 +556,5 @@ object TextDedup {
             FROM s GROUP BY user_id, sid
             ORDER BY user_id, session_start"""))
 
-  val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, d8, x1, x2, x3, x4, x5, x6, x7, x8, x9, st1, st2)
+  val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, d8, x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, st1, st2)
 }
