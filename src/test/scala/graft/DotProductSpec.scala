@@ -123,4 +123,42 @@ class DotProductSpec extends SparkSpec {
       s"rerank gather broadcast is not on the top-k side:\n${plan.take(1200)}")
     eng.close()
   }
+
+  test("plan regression: KMV sketch aggregates partial+final (mergeable, map-side)") {
+    import org.apache.spark.sql.graft.KMinValues._
+    import spark.implicits._
+    val df = (1 to 100).map(_.toString).toDF("v").repartition(4)
+      .agg(kmvDistinct(hash52(col("v")), 16))
+    val plan = df.queryExecution.executedPlan.toString
+    // a TypedImperativeAggregate must run as two ObjectHashAggregate
+    // stages (partial per partition, final after a #groups-sized
+    // exchange) — complete-mode would ship every raw row to one task,
+    // which is the count-distinct shuffle the sketch exists to avoid
+    val aggs = "ObjectHashAggregate".r.findAllIn(plan).size
+    assert(aggs >= 2, s"expected partial+final ObjectHashAggregate:\n${plan.take(1200)}")
+    assert(plan.contains("partial_graft_kmv_distinct"), plan.take(1200))
+  }
+
+  test("plan regression: d8 star edges never enumerate co-bucket pairs") {
+    import graft.dedup.Components
+    import spark.implicits._
+    val buckets = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"))
+      .toDF("doc_id", "bucket")
+    val reps = buckets.groupBy(col("bucket")).agg(min(col("doc_id")).as("rep"))
+    val edges = buckets.join(reps, "bucket")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a_id"), col("doc_id").as("b_id"))
+    val plan = edges.queryExecution.executedPlan.toString
+    // the d8 edge relation is ONE keyed join against the per-bucket min
+    // (linear in bucket rows) — a bucket self-join here would rebuild the
+    // quadratic candidate set the star construction exists to avoid
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (1L, 3L), (4L, 5L)))
+    // and the components over stars equal the components over all pairs
+    val starComps = Components.connectedComponents(edges, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starComps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
 }
