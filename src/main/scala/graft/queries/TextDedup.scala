@@ -397,6 +397,77 @@ object TextDedup {
                    round(alpha_ratio, 6) + 0.0 AS alpha_ratio
             FROM r WHERE rn <= ceil(0.3 * n) ORDER BY doc_id"""))
 
+  // X11 benchmark-contamination screening: the decontamination step of a
+  // training-data pipeline — for every corpus document, the fraction of
+  // its word 5-gram shingles that appear ANYWHERE in a probe ("benchmark")
+  // set. Shingles are row-local (d4's transform/sequence shape) and ride
+  // as md5 hashes; the probe side collapses to its DISTINCT gram hashes.
+  // Scale shape: the benchmark set is always tiny next to a 100-TB corpus,
+  // so the membership test is a BROADCAST left-semi-shaped join on the
+  // gram hash (here: broadcast + left join + count of hits) — the corpus
+  // is scanned once, never shuffled on grams. Probe = doc_id < 20 (a
+  // stand-in benchmark; the operator is id-set-parameterized in spirit).
+  private val X11N = 5
+  private val X11ProbeCap = 20
+  /** `toks` MUST be a bound attribute (a `withColumn` alias), not the
+    * split expression itself: this template references it 5× per gram, and
+    * a textually repeated split re-tokenizes the document per access —
+    * O(n_grams × n) per row (measured 33 s for the sf0.1 gram pass;
+    * 0.3 s aliased). */
+  private def gramHashes(toks: Column): Column =
+    when(size(toks) >= X11N,
+      array_distinct(transform(sequence(lit(1), size(toks) - (X11N - 1)),
+        i => md5(concat_ws(" ", (0 until X11N).map(o =>
+          element_at(toks, i + o)): _*)))))
+      .otherwise(array().cast("array<string>"))
+  private val x11 = Q(
+    "x11_contamination",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("grams", gramHashes(col("toks")))
+      val probe = docs.filter(col("doc_id") < X11ProbeCap)
+        .select(explode(col("grams")).as("g")).distinct()
+      val corpus = docs.filter(col("doc_id") >= X11ProbeCap)
+        .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+          explode_outer(col("grams")).as("g"))
+      corpus.join(broadcast(probe.withColumn("hit", lit(1L))), Seq("g"), "left")
+        .groupBy(col("doc_id"), col("n_grams"))
+        .agg(coalesce(sum(col("hit")), lit(0L)).as("n_contaminated"))
+        .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+          (round(when(col("n_grams") > 0,
+              col("n_contaminated").cast("double") / col("n_grams"))
+            .otherwise(0.0), 6) + 0.0).as("contamination"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH g AS (
+           SELECT doc_id,
+                  CASE WHEN len(toks) >= $X11N THEN
+                    list_distinct(list_transform(range(1, len(toks) - ${X11N - 2}),
+                      i -> md5(${(0 until X11N).map(o =>
+                        if (o == 0) "toks[i]" else s"toks[i + $o]")
+                        .mkString(" || ' ' || ")})))
+                  ELSE [] END AS grams
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                 FROM documents)),
+         probe AS (SELECT DISTINCT unnest(grams) AS pg FROM g
+                   WHERE doc_id < $X11ProbeCap),
+         corpus AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS cg
+                    FROM g WHERE doc_id >= $X11ProbeCap),
+         hits AS (SELECT c.doc_id, c.n_grams,
+                    count(p.pg) AS n_contaminated
+                  FROM corpus c LEFT JOIN probe p ON c.cg = p.pg
+                  GROUP BY c.doc_id, c.n_grams),
+         empt AS (SELECT doc_id, 0 AS n_grams, 0 AS n_contaminated
+                  FROM g WHERE doc_id >= $X11ProbeCap AND len(grams) = 0)
+         SELECT doc_id, n_grams::BIGINT AS n_grams,
+                n_contaminated::BIGINT AS n_contaminated,
+                round(CASE WHEN n_grams > 0
+                      THEN n_contaminated::DOUBLE / n_grams ELSE 0.0 END, 6)
+                  + 0.0 AS contamination
+         FROM (SELECT * FROM hits UNION ALL SELECT * FROM empt)
+         ORDER BY doc_id"""))
+
   // X10 distinct-count sketching: the KMV (k-minimum-values) native
   // aggregate (org.apache.spark.sql.graft.KMinValues) estimates corpus
   // cardinalities with O(k) mergeable state — at 100 TB a vocabulary or
@@ -556,5 +627,5 @@ object TextDedup {
             FROM s GROUP BY user_id, sid
             ORDER BY user_id, session_start"""))
 
-  val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, d8, x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, st1, st2)
+  val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, d8, x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, st1, st2)
 }
