@@ -29,7 +29,14 @@ object Components {
     * silently-partial clustering). */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50): DataFrame = {
-    val a = col(aCol).cast("long"); val b = col(bCol).cast("long")
+    // ids that cast to null (null edge values, non-numeric id columns)
+    // would silently vanish from the joins — fail loudly instead
+    // (assert_true throws per offending row; coalesce passes the value)
+    def id(c: String) = coalesce(
+      assert_true(col(c).cast("long").isNotNull,
+        lit(s"null or non-numeric id in connectedComponents($c)")),
+      col(c).cast("long"))
+    val a = id(aCol); val b = id(bCol)
     // undirected adjacency, both directions; persisted — every round scans it
     val adj = edges.select(a.as("src"), b.as("dst"))
       .unionByName(edges.select(b.as("src"), a.as("dst")))
@@ -47,33 +54,34 @@ object Components {
       .withColumn("comp", col("id"))
     var it = 0
     var changed = 1L
-    while (changed > 0 && it < maxIter) {
-      // neighbor-min: comp'(v) = min(comp(v), min over neighbors comp(u));
-      // the previous label rides along so convergence detection needs no
-      // second join — the changed-count scans the round's materialized
-      // blocks instead of re-deriving the round
-      val nbrMin = adj
-        .join(labels.select(col("id").as("src"), col("comp").as("srcComp")), "src")
-        .groupBy(col("dst").as("id")).agg(min(col("srcComp")).as("nbrComp"))
-      val prop = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("comp").as("prev"),
-          least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
-      // pointer jumping: comp''(v) = comp'(comp'(v)). Labels are node ids
-      // and only ever decrease, so comp'(c) exists for every label c and
-      // the jump is monotone — inner join is total.
-      val next = prop.as("p")
-        .join(prop.select(col("id").as("c"), col("comp").as("cc")).as("m"),
-          col("p.comp") === col("m.c"))
-        .select(col("p.id").as("id"), col("m.cc").as("comp"),
-          (col("m.cc") =!= col("p.prev")).as("ch"))
-        .localCheckpoint(true)
-      changed = next.filter(col("ch")).count()
-      labels = next.select(col("id"), col("comp"))
-      it += 1
-    }
-    require(changed == 0,
-      s"connectedComponents did not converge in $maxIter iterations")
-    adj.unpersist()
+    try {
+      while (changed > 0 && it < maxIter) {
+        // neighbor-min: comp'(v) = min(comp(v), min over neighbors comp(u));
+        // the previous label rides along so convergence detection needs no
+        // second join — the changed-count scans the round's materialized
+        // blocks instead of re-deriving the round
+        val nbrMin = adj
+          .join(labels.select(col("id").as("src"), col("comp").as("srcComp")), "src")
+          .groupBy(col("dst").as("id")).agg(min(col("srcComp")).as("nbrComp"))
+        val prop = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("comp").as("prev"),
+            least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
+        // pointer jumping: comp''(v) = comp'(comp'(v)). Labels are node ids
+        // and only ever decrease, so comp'(c) exists for every label c and
+        // the jump is monotone — inner join is total.
+        val next = prop.as("p")
+          .join(prop.select(col("id").as("c"), col("comp").as("cc")).as("m"),
+            col("p.comp") === col("m.c"))
+          .select(col("p.id").as("id"), col("m.cc").as("comp"),
+            (col("m.cc") =!= col("p.prev")).as("ch"))
+          .localCheckpoint(true)
+        changed = next.filter(col("ch")).count()
+        labels = next.select(col("id"), col("comp"))
+        it += 1
+      }
+      require(changed == 0,
+        s"connectedComponents did not converge in $maxIter iterations")
+    } finally adj.unpersist() // also on the non-convergence throw — no leak
     labels
   }
 
@@ -82,13 +90,14 @@ object Components {
     * component size — the table a dedup pipeline filters with
     * `comp_id = doc_id` (keep representatives) or samples per cluster. */
   def assign(docs: DataFrame, idCol: String, comps: DataFrame): DataFrame = {
-    val assigned = docs.select(col(idCol))
+    // one pass over the join output: a window count per comp_id instead of
+    // a groupBy + self-join, which would execute the docs ⟕ components
+    // subtree twice
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("comp_id"))
+    docs.select(col(idCol))
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("comp_id", coalesce(col("comp"), col(idCol)))
-      .drop("comp")
-    val sizes = assigned.groupBy(col("comp_id"))
-      .agg(count(lit(1)).as("comp_size"))
-    assigned.join(sizes, "comp_id")
-      .select(col(idCol), col("comp_id"), col("comp_size"))
+      .select(col(idCol), col("comp_id"),
+        count(lit(1)).over(w).as("comp_size"))
   }
 }

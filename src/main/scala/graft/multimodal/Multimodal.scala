@@ -78,10 +78,29 @@ object Multimodal {
     }
   }
 
+  /** Row-major 8-bit luma of a decoded image (integer ITU-R BT.601:
+    * (299r + 587g + 114b + 500)/1000 — all-integer, platform-stable).
+    * Shared by [[imageIo]] and [[mjpegAvi]]'s strict per-frame path. */
+  private def lumaOf(img: java.awt.image.BufferedImage): (Int, Int, Array[Byte]) = {
+    val w = img.getWidth; val h = img.getHeight
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        px(y * w + x) = ((r * 299 + g * 587 + b * 114 + 500) / 1000).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, px)
+  }
+
   /** REAL image codec on pure-JVM `javax.imageio` — PNG/JPEG/GIF/BMP
     * decode with zero native dependencies. Decoded pixels are row-major
-    * 8-bit luma (integer ITU-R BT.601: (299r + 587g + 114b + 500)/1000 —
-    * all-integer arithmetic, so platform-stable). Non-image payloads fall
+    * 8-bit luma via [[lumaOf]]. Non-image payloads fall
     * back to the stub's fake-header format, so mixed corpora (some rows
     * real images, some synthetic) flow through one codec. `resize` is
     * 2-D nearest-neighbor with integer index math; `embed` is the same
@@ -92,22 +111,7 @@ object Multimodal {
     def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null) default.decode(payload)
-      else {
-        val w = img.getWidth; val h = img.getHeight
-        val px = new Array[Byte](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
-            px(y * w + x) = ((r * 299 + g * 587 + b * 114 + 500) / 1000).toByte
-            x += 1
-          }
-          y += 1
-        }
-        (w, h, px)
-      }
+      else lumaOf(img)
     }
     def resize(pixels: Array[Byte], w: Int, h: Int, newW: Int, newH: Int): Array[Byte] = {
       if (newW <= 0 || newH <= 0 || w <= 0 || h <= 0 || pixels.length < w * h)
@@ -223,12 +227,22 @@ object Multimodal {
   object mjpegAvi extends Codec {
     def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
       if (!isAvi(payload)) return default.decode(payload)
-      val frames = aviFrames(payload).map(f => imageIo.decode(f))
+      // STRICT per-frame decode: inside an AVI a non-JPEG chunk is corrupt
+      // media, never the stub's fake-header format — falling back there
+      // would pass garbage dims/pixels off as a successful decode
+      val frames = aviFrames(payload).map { f =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+        require(img != null, "undecodable MJPEG frame")
+        lumaOf(img)
+      }
       require(frames.nonEmpty, "AVI with no video frames")
       val (w, h, _) = frames.head
       require(frames.forall { case (fw, fh, _) => fw == w && fh == h },
         "MJPEG frames disagree on dimensions")
-      val strip = new Array[Byte](w * h * frames.size)
+      val total = w.toLong * h * frames.size
+      require(total <= Int.MaxValue,
+        s"film strip exceeds array bounds: $w x $h x ${frames.size}")
+      val strip = new Array[Byte](total.toInt)
       frames.zipWithIndex.foreach { case ((_, _, px), f) =>
         System.arraycopy(px, 0, strip, f * w * h, w * h)
       }

@@ -64,6 +64,30 @@ object TextDedup {
       .withColumn("band1", md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))))
   }
 
+  /** Single-scan band-salted bucket relation — the candidate-generation
+    * input shared by d3 (pair scoring) and d8 (clustering); the salt
+    * prevents cross-band md5 equality from pairing docs. One definition so
+    * the two queries (and their oracle twins) can never diverge on the
+    * banding scheme. */
+  private def bandBuckets(s: SparkSession, d: String): DataFrame =
+    bandedSigs(s, d)
+      .select(col("doc_id"), explode(array(
+        concat(lit("0:"), col("band0")),
+        concat(lit("1:"), col("band1")))).as("bucket"))
+
+  /** Row-local word n-gram shingles over a BOUND token-array attribute
+    * (never the split expression itself — a textually repeated split
+    * re-tokenizes the document per element access, O(n_grams × n_tokens)
+    * per row; see x11). Guarded: fewer than n tokens → empty array (the
+    * twins' `range(1, len − n + 2)` is empty there too; an unguarded
+    * `sequence` would run DESCENDING and hit index 0). Shared by d4
+    * (bigrams), x6 (trigrams) and x11 (5-grams). */
+  private def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+
   // D3 LSH candidate pairs: docs sharing any band bucket. The scale path:
   // candidate generation is a join on band hash, never an O(n²) compare.
   // SINGLE-SCAN banding: both bands explode from one signature scan into
@@ -77,11 +101,7 @@ object TextDedup {
     (s, d) => {
       // persisted: cappedBandPairs scans its input twice (bucket stats +
       // self-join); lifecycle = the harness clearCache, as with d7
-      val buckets = bandedSigs(s, d)
-        .select(col("doc_id"), explode(array(
-          concat(lit("0:"), col("band0")),
-          concat(lit("1:"), col("band1")))).as("bucket"))
-        .persist()
+      val buckets = bandBuckets(s, d).persist()
       // each candidate pair rides the distinct pipeline as ONE packed long
       // via the shared 64-bit-safe packer (Search.packPair: a<<32|b, sound
       // to 2³² ids with a loud overflow assert) — halves shuffle width.
@@ -126,10 +146,7 @@ object TextDedup {
       val sh = Tables.documents(s, d)
         .filter(col("doc_id") < 40)
         .withColumn("toks", tokens(col("text")))
-        .withColumn("shingles", array_distinct(
-          transform(sequence(lit(1), size(col("toks")) - 1),
-            i => concat(element_at(col("toks"), i), lit(" "),
-              element_at(col("toks"), i + 1)))))
+        .withColumn("shingles", array_distinct(wordNgrams(col("toks"), 2)))
         .select(col("doc_id"), col("shingles"))
       val a = sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh"))
       val b = sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"))
@@ -201,13 +218,11 @@ object TextDedup {
     "d8_dedup_components",
     (s, d) => {
       val docs = Tables.documents(s, d).filter(col("doc_id") < D8DocCap)
-      // same banded buckets as d3, cohort-filtered (filter pushes below
-      // the row-local signature projections to the scan)
-      val buckets = bandedSigs(s, d)
+      // the SAME bucket relation as d3 (shared bandBuckets), cohort-
+      // filtered (the doc_id predicate pushes below the generate and the
+      // row-local signature projections to the scan)
+      val buckets = bandBuckets(s, d)
         .filter(col("doc_id") < D8DocCap)
-        .select(col("doc_id"), explode(array(
-          concat(lit("0:"), col("band0")),
-          concat(lit("1:"), col("band1")))).as("bucket"))
         .persist()
       val reps = buckets.groupBy(col("bucket")).agg(min(col("doc_id")).as("rep"))
       val edges = buckets.join(reps, "bucket")
@@ -409,17 +424,11 @@ object TextDedup {
   // stand-in benchmark; the operator is id-set-parameterized in spirit).
   private val X11N = 5
   private val X11ProbeCap = 20
-  /** `toks` MUST be a bound attribute (a `withColumn` alias), not the
-    * split expression itself: this template references it 5× per gram, and
-    * a textually repeated split re-tokenizes the document per access —
-    * O(n_grams × n) per row (measured 33 s for the sf0.1 gram pass;
-    * 0.3 s aliased). */
+  /** Distinct md5 hashes of the document's word 5-grams ([[wordNgrams]];
+    * `toks` MUST be a bound attribute — see the helper's aliasing note:
+    * unaliased, this path measured 33 s instead of 0.3 s at sf0.1). */
   private def gramHashes(toks: Column): Column =
-    when(size(toks) >= X11N,
-      array_distinct(transform(sequence(lit(1), size(toks) - (X11N - 1)),
-        i => md5(concat_ws(" ", (0 until X11N).map(o =>
-          element_at(toks, i + o)): _*)))))
-      .otherwise(array().cast("array<string>"))
+    array_distinct(transform(wordNgrams(toks, X11N), g => md5(g)))
   private val x11 = Q(
     "x11_contamination",
     (s, d) => {
@@ -532,23 +541,16 @@ object TextDedup {
   // Row-local array math (no explode/shuffle) — scale-safe like d2/d6.
   private val x6 = Q(
     "x6_repetition_ratio",
-    (s, d) => {
-      val tok = split(trim(col("text")), "\\s+")
-      val nTok = size(tok)
-      val tri = when(nTok >= 3,
-        transform(sequence(lit(1), nTok - 2), i =>
-          concat_ws(" ", element_at(tok, i), element_at(tok, i + 1),
-            element_at(tok, i + 2))))
-        .otherwise(array().cast("array<string>"))
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          (round(size(array_distinct(tok)).cast("double") / nTok, 6) + 0.0)
-            .as("distinct_word_ratio"),
-          (round(when(size(tri) > 0,
-              size(array_distinct(tri)).cast("double") / size(tri))
-            .otherwise(1.0), 6) + 0.0).as("distinct_trigram_ratio"))
-        .orderBy("doc_id")
-    },
+    (s, d) => Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("tri", wordNgrams(col("toks"), 3))
+      .select(col("doc_id"),
+        (round(size(array_distinct(col("toks"))).cast("double")
+          / size(col("toks")), 6) + 0.0).as("distinct_word_ratio"),
+        (round(when(size(col("tri")) > 0,
+            size(array_distinct(col("tri"))).cast("double") / size(col("tri")))
+          .otherwise(1.0), 6) + 0.0).as("distinct_trigram_ratio"))
+      .orderBy("doc_id"),
     Some("""WITH t AS (SELECT doc_id,
               string_split_regex(trim(text), '\s+') AS tok FROM documents),
             x AS (SELECT doc_id, tok, len(tok) AS n,

@@ -237,6 +237,15 @@ class MultimodalSpec extends SparkSpec {
     // non-AVI falls back to the stub's fake-header format
     val (sw, sh, _) = Multimodal.mjpegAvi.decode(Multimodal.fakePayload(4, 3, seed = 5))
     assert(sw == 4 && sh == 3)
+    // but INSIDE an AVI, a non-JPEG frame chunk is corrupt media — strict
+    // decode throws (→ null row through the Spark wrappers), never a
+    // fake-header misparse passing garbage off as pixels
+    val badAvi = aviBytes(Seq(Array.fill[Byte](32)(7)))
+    intercept[IllegalArgumentException] { Multimodal.mjpegAvi.decode(badAvi) }
+    import spark.implicits._
+    val viaSpark = Multimodal.decode(Seq((9L, badAvi)).toDF("id", "payload"),
+      "payload", codec = Multimodal.mjpegAvi).select("decoded").head()
+    assert(viaSpark.isNullAt(0))
   }
 
   test("sampleAviFrames: per-frame JPEG rows compose with the image pipeline") {
