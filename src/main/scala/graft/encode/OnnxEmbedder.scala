@@ -91,7 +91,10 @@ final case class OnnxEmbedder(
     inputName: String = "input_ids",
     override val maxLen: Int = 128) extends ModelEmbedder {
 
-  @transient private lazy val envAndSession: (AnyRef, AnyRef) =
+  /** Session AND the reflective handles, resolved once per executor JVM:
+    * forward() runs once per row in the embedColumn UDF hot path, so the
+    * Class.forName/getMethod lookups must not repeat per call. */
+  @transient private lazy val rt: OnnxEmbedder.Rt =
     try {
       val envCls = Class.forName("ai.onnxruntime.OrtEnvironment")
       val env = envCls.getMethod("getEnvironment").invoke(null)
@@ -100,7 +103,15 @@ final case class OnnxEmbedder(
       val session = envCls
         .getMethod("createSession", classOf[String], optsCls)
         .invoke(env, modelPath, opts)
-      (env, session)
+      val runM = session.getClass.getMethod("run", classOf[java.util.Map[_, _]])
+      OnnxEmbedder.Rt(env, session,
+        createTensor = Class.forName("ai.onnxruntime.OnnxTensor")
+          .getMethod("createTensor",
+            envCls, classOf[java.nio.LongBuffer], classOf[Array[Long]]),
+        run = runM,
+        resultGet = runM.getReturnType.getMethod("get", classOf[Int]),
+        getValue = Class.forName("ai.onnxruntime.OnnxValue")
+          .getMethod("getValue"))
     } catch {
       case _: ClassNotFoundException => throw new IllegalStateException(
         "OnnxEmbedder needs the onnxruntime JVM binding on the classpath " +
@@ -110,24 +121,28 @@ final case class OnnxEmbedder(
     }
 
   protected def forward(ids: Array[Long]): Array[Array[Float]] = {
-    val (env, session) = envAndSession
-    val envCls = Class.forName("ai.onnxruntime.OrtEnvironment")
-    val tensorCls = Class.forName("ai.onnxruntime.OnnxTensor")
-    val tensor = tensorCls
-      .getMethod("createTensor", envCls, classOf[java.nio.LongBuffer], classOf[Array[Long]])
-      .invoke(null, env, java.nio.LongBuffer.wrap(ids), Array(1L, ids.length.toLong))
+    val r = rt
+    val tensor = r.createTensor
+      .invoke(null, r.env, java.nio.LongBuffer.wrap(ids), Array(1L, ids.length.toLong))
     try {
-      val result = session.getClass
-        .getMethod("run", classOf[java.util.Map[_, _]])
-        .invoke(session, java.util.Collections.singletonMap(inputName, tensor))
+      val result = r.run
+        .invoke(r.session, java.util.Collections.singletonMap(inputName, tensor))
       try {
-        val out0 = result.getClass.getMethod("get", classOf[Int])
-          .invoke(result, Integer.valueOf(0))
-        out0.getClass.getMethod("getValue").invoke(out0)
-          .asInstanceOf[Array[Array[Array[Float]]]](0)
+        val out0 = r.resultGet.invoke(result, Integer.valueOf(0))
+        r.getValue.invoke(out0).asInstanceOf[Array[Array[Array[Float]]]](0)
       } finally result.asInstanceOf[AutoCloseable].close()
     } finally tensor.asInstanceOf[AutoCloseable].close()
   }
+}
+
+object OnnxEmbedder {
+  /** Per-JVM reflective runtime: the native env/session plus the resolved
+    * Method handles [[OnnxEmbedder.forward]] needs. */
+  final case class Rt(env: AnyRef, session: AnyRef,
+                      createTensor: java.lang.reflect.Method,
+                      run: java.lang.reflect.Method,
+                      resultGet: java.lang.reflect.Method,
+                      getValue: java.lang.reflect.Method)
 }
 
 /** A REAL (non-hashing-projection) neural embedder with deterministic

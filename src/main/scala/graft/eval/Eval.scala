@@ -36,7 +36,13 @@ object Eval {
   def hardFilterTopK(items: DataFrame, idCol: String, textVecCol: String,
                      qText: Array[Double], filters: Seq[Filter], k: Int): Seq[Long] = {
     val preds = filterPreds(filters)
-    val filtered = if (preds.isEmpty) items else items.filter(preds.reduce(_ && _))
+    val filtered0 = if (preds.isEmpty) items else items.filter(preds.reduce(_ && _))
+    // only scoreable rows rank: a row with no text vector has no index
+    // entry in the reference oracle (Milvus only returns embedded rows),
+    // and the batched twin (multiTopK's null mask) skips them — without
+    // this filter the two paths diverge when matches < k (the desc sort's
+    // NULLS LAST would back-fill null-score rows here only)
+    val filtered = filtered0.filter(col(textVecCol).isNotNull)
     filtered
       .withColumn("score", Search.dot(Search.asDouble(col(textVecCol)), typedLit(qText)))
       .orderBy(col("score").desc, col(idCol))

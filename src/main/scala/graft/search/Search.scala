@@ -85,6 +85,15 @@ object Search {
     require(k > 0, s"k must be positive: $k")
     require(eligible.isEmpty || eligible.size == queries.size,
       s"eligible size ${eligible.size} != queries size ${queries.size}")
+    // tie-break and the downstream gather are by LONG id: a non-integral
+    // id would cast to null (encoder crash) or reorder ties vs the
+    // per-query paths' orderBy — refuse loudly instead
+    val idType = vectors.schema(idCol).dataType
+    require({
+      import org.apache.spark.sql.types._
+      idType == LongType || idType == IntegerType ||
+        idType == ShortType || idType == ByteType
+    }, s"multiTopK needs an integral id column; '$idCol' is $idType")
     val nq = queries.size
     if (nq == 0) return IndexedSeq.empty
     val spark = vectors.sparkSession
@@ -99,17 +108,20 @@ object Search {
       coalesce(if (roundScores) round(s, 5) + 0.0 else s, lit(0.0))
     }.toIndexedSeq
     // a null vector nulls every score — fold that into the mask so the
-    // scores array stays non-nullable for the primitive encoder
-    val maskElems = (0 until nq).map { i =>
-      val e = if (eligible.isEmpty) lit(true)
-              else coalesce(eligible(i).cast("boolean"), lit(false))
-      e && vd.isNotNull
-    }
+    // scores array stays non-nullable for the primitive encoder. With no
+    // eligibility predicates every element would be the identical
+    // null-check: serialize it ONCE per row, not nq times
+    val sharedMask = eligible.isEmpty
+    val maskElems =
+      if (sharedMask) IndexedSeq(vd.isNotNull)
+      else (0 until nq).map { i =>
+        coalesce(eligible(i).cast("boolean"), lit(false)) && vd.isNotNull
+      }
     val rows = vectors.select(
       col(idCol).cast("long").as("_1"),
       array(scoreCols: _*).as("_2"),
       array(maskElems: _*).as("_3")).as[(Long, Seq[Double], Seq[Boolean])]
-    val qIdxB = qIdx; val kB = k; val nqB = nq
+    val qIdxB = qIdx; val kB = k; val nqB = nq; val sharedB = sharedMask
     // PriorityQueue dequeues its MAX; order so the max is the WORST kept
     // entry (lowest score, then highest id)
     val byWorst: Ordering[(Double, Long)] =
@@ -120,7 +132,7 @@ object Search {
       it.foreach { case (id, scores, mask) =>
         var i = 0
         while (i < nqB) {
-          if (mask(i)) {
+          if (mask(if (sharedB) 0 else i)) {
             val s = scores(qIdxB(i)) + 0.0 // collapse IEEE −0.0 like the SQL path
             val h = heaps(i)
             if (h.size < kB) h.enqueue((s, id))
@@ -311,8 +323,11 @@ object Search {
                    nCentroids: Int, iters: Int,
                    exactMeans: Boolean = false): Array[Array[Double]] = {
     import org.apache.spark.sql.graft.VectorSum
-    val base = vectors.select(col(idCol).cast("long").as("id"),
-      asDouble(col(vecCol)).as("v"))
+    // null vectors contribute nothing to the fit (the former posexplode
+    // formulation dropped them by construction; IvfAssign's null cid group
+    // would otherwise surface as a null sum and NPE the driver loop)
+    val base = vectors.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
     var cents: Array[Array[Double]] = base.orderBy("id").limit(nCentroids)
       .collect().map(_.getSeq[Double](1).toArray)
     for (_ <- 1 to iters) {

@@ -164,9 +164,13 @@ object Streaming {
   /** Driver-local twin of Spark's `round(x, 5) + 0.0` (BigDecimal HALF_UP
     * on the shortest decimal representation, IEEE −0.0 collapsed) — the
     * same rounding DuckDB's `round()` applies, so the duplicate decision
-    * is reproducible across all three evaluators. */
+    * is reproducible across all three evaluators. NaN (the zero-vector
+    * cosine) maps to NaN, so `>= tau` is false — a no-match, exactly like
+    * the twin's `round(NaN, 5) >= tau`; BigDecimal.valueOf(NaN) would
+    * THROW instead, killing the task on a legal zero embedding. */
   private def round5(x: Double): Double =
-    java.math.BigDecimal.valueOf(x)
+    if (x.isNaN) Double.NaN
+    else java.math.BigDecimal.valueOf(x)
       .setScale(5, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
 
   /** Write helper: append stream to a parquet vector table with a

@@ -84,4 +84,26 @@ class MultiTopKSpec extends SparkSpec {
       assert(batched(s) == expected, s"seed $s sample diverged")
     }
   }
+
+  test("oracle parity when null vectors coexist with fewer than k matches") {
+    // 3 embedded rows + 2 null-vector rows; the filter admits rows 1,2,4
+    // (one of them null-vector) and k exceeds the scoreable matches — both
+    // oracle paths must return exactly the scoreable rows, never nulls as
+    // back-fill
+    import spark.implicits._
+    val items = Seq(
+      (1L, "a", Seq(1.0, 0.0)),
+      (2L, "a", Seq(0.5, 0.5)),
+      (3L, "b", Seq(0.0, 1.0)),
+      (4L, "a", null.asInstanceOf[Seq[Double]]),
+      (5L, "b", null.asInstanceOf[Seq[Double]]))
+      .toDF("id", "grp", "vec")
+    val q = Array(1.0, 1.0)
+    val filters = Seq(SparseFilter("grp", Seq("a")))
+    val single = Eval.hardFilterTopK(items, "id", "vec", q, filters, k = 5)
+    val batched = Eval.hardFilterTopKBatch(items, "id", "vec", q,
+      Seq(filters), k = 5).head
+    assert(single == Seq(1L, 2L), s"per-point oracle: $single")
+    assert(batched == single, s"batched $batched vs per-point $single")
+  }
 }
