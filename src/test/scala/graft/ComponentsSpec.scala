@@ -47,6 +47,29 @@ class ComponentsSpec extends SparkSpec {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("random graphs match a driver-side union-find golden") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      // sparse random graph: many small components, some chains
+      val n = 120
+      val es = Seq.fill(90)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver golden: plain union-find with min-label normalization
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val golden = nodes.map(v => v -> find(v)).toMap
+      assert(compMap(es, parts = 3) == golden, s"trial $trial diverged")
+    }
+  }
+
   test("assign: singletons cluster as themselves, sizes count members") {
     import spark.implicits._
     val docs = (1L to 6L).toDF("doc_id")
