@@ -38,15 +38,21 @@ object TextDedup {
     */
   private def sigCols(n: Int): Seq[Int] = 0 until n
 
-  private def minhash(j: Int): Column =
-    array_min(transform(array_distinct(tokens(col("text"))),
-      t => md5(concat(lit(s"$j:"), t))))
+  /** `dtoks` MUST be a bound attribute: all 8 signature columns reference
+    * it, and an unbound expression would re-split + re-distinct the
+    * document once PER HASH (the x11 aliasing lesson — see wordNgrams). */
+  private def minhash(dtoks: Column, j: Int): Column =
+    array_min(transform(dtoks, t => md5(concat(lit(s"$j:"), t))))
+
+  private def withDistinctToks(df: DataFrame): DataFrame =
+    df.withColumn("__dtoks", array_distinct(tokens(col("text"))))
 
   // D2 MinHash signatures (8 hashes).
   private val d2 = Q(
     "d2_minhash_sig",
-    (s, d) => Tables.spread(Tables.documents(s, d))
-      .select(col("doc_id") +: sigCols(8).map(j => minhash(j).as(s"h$j")): _*)
+    (s, d) => withDistinctToks(Tables.spread(Tables.documents(s, d)))
+      .select(col("doc_id") +:
+        sigCols(8).map(j => minhash(col("__dtoks"), j).as(s"h$j")): _*)
       .orderBy("doc_id"),
     Some(s"""SELECT doc_id,
              ${sigCols(8).map(j => s"min(md5('$j:' || tok)) AS h$j").mkString(", ")}
@@ -57,8 +63,9 @@ object TextDedup {
   /** Shared MinHash-signature plan for banding (2 bands × 4 hashes);
     * signatures row-local, see above. */
   private def bandedSigs(s: SparkSession, d: String): DataFrame = {
-    val sigs = Tables.spread(Tables.documents(s, d))
-      .select(col("doc_id") +: sigCols(8).map(j => minhash(j).as(s"h$j")): _*)
+    val sigs = withDistinctToks(Tables.spread(Tables.documents(s, d)))
+      .select(col("doc_id") +:
+        sigCols(8).map(j => minhash(col("__dtoks"), j).as(s"h$j")): _*)
     sigs
       .withColumn("band0", md5(concat(col("h0"), col("h1"), col("h2"), col("h3"))))
       .withColumn("band1", md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))))
@@ -174,13 +181,17 @@ object TextDedup {
   private val d6 = Q(
     "d6_simhash",
     (s, d) => {
-      val dtoks = array_distinct(tokens(col("text")))
       val highs = Seq("8", "9", "a", "b", "c", "d", "e", "f")
       val bits = (0 until 16).map { j =>
-        val nHigh = size(filter(dtoks, t => substring(md5(t), j + 1, 1).isin(highs: _*)))
-        when(nHigh * 2 > size(dtoks), lit(1L << j)).otherwise(lit(0L))
+        val nHigh = size(filter(col("__md5s"),
+          h => substring(h, j + 1, 1).isin(highs: _*)))
+        when(nHigh * 2 > size(col("__md5s")), lit(1L << j)).otherwise(lit(0L))
       }
-      Tables.spread(Tables.documents(s, d))
+      // per-token md5 hashed ONCE into a bound array: the 16 bit
+      // expressions read different nibbles of the SAME hash, so the
+      // original per-bit filter re-split + re-hashed every token 16×
+      withDistinctToks(Tables.spread(Tables.documents(s, d)))
+        .withColumn("__md5s", transform(col("__dtoks"), t => md5(t)))
         .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
         .orderBy("doc_id")
     },
