@@ -18,6 +18,13 @@ import scala.collection.concurrent.TrieMap
   * successful one.
   */
 object Bench {
+  /** Quiet-machine median of the calibration probe on the reference
+    * local[32] container (pinned 2026-08-13 from solo probe runs of
+    * 0.72–0.81 s under ~1.1× ambient load, deflated to the quiet level
+    * that produced BASELINE.md's 34.5 s suite median; override with
+    * SPARK_GRAFT_CALIB_BASELINE when re-baselining on other hardware). */
+  val CalibrationBaseline: Double = 0.70
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -52,8 +59,27 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
-    // JVM/JIT + scheduler warmup (not query work).
-    spark.range(1000000).selectExpr("sum(id)").collect()
+    // JVM/JIT + scheduler warmup (not query work) — doubles as the
+    // AMBIENT-LOAD CALIBRATION probe: the probe's workload never changes,
+    // so its time varies only with machine load. Recording it in the bench
+    // JSON lets a reader separate co-tenant noise from code regressions
+    // mechanically (BENCH_r06's uniform ~1.5× inflation vs the quiet
+    // BASELINE medians was exactly this). Median of 3 de-noises the probe;
+    // the first (discarded) run is the JIT warmup.
+    def calibProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(4000000L)
+        .selectExpr("sum(cast(id as double) * id)", "count(distinct id % 1024)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibProbe()
+    val calibration = Seq(calibProbe(), calibProbe(), calibProbe()).sorted.apply(1)
+    // quiet-machine probe median, pinned alongside BASELINE.md's medians;
+    // calib_ratio far from 1 (>1.25 flagged) means the per-query numbers
+    // of THIS run carry ambient load in that proportion
+    val calibBase = sys.env.get("SPARK_GRAFT_CALIB_BASELINE")
+      .map(_.toDouble).getOrElse(CalibrationBaseline)
+    val calibRatio = calibration / calibBase
     // Full-codepath JIT warmup: run every query once against the SMALLEST
     // scale factor (different directory — no page-cache or result reuse on
     // the measured data). This compiles the parquet reader, Tungsten
@@ -175,6 +201,9 @@ object Bench {
     val detail = jmap(
       Seq("total" -> total.toString, "wall" -> wall.toString,
         "reps" -> reps.toString, "threads" -> threads.toString,
+        "calibration" -> calibration.toString,
+        "calib_ratio" -> calibRatio.toString,
+        "calib_warn" -> (calibRatio > 1.25 || calibRatio < 0.75).toString,
         "sf" -> ("\"" + sfDir + "\""),
         "queries" -> jmap(results.toSeq.sortBy(_._1).map { case (k, v) => k -> v.toString }),
         "samples" -> jmap(samples.toSeq.sortBy(_._1).map { case (k, v) =>
@@ -183,7 +212,7 @@ object Bench {
     scala.util.Try(java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calibration":${fmt(calibration)},"calib_ratio":${fmt(calibRatio)},"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -90,14 +90,20 @@ object Components {
     * component size — the table a dedup pipeline filters with
     * `comp_id = doc_id` (keep representatives) or samples per cluster. */
   def assign(docs: DataFrame, idCol: String, comps: DataFrame): DataFrame = {
-    // one pass over the join output: a window count per comp_id instead of
-    // a groupBy + self-join, which would execute the docs ⟕ components
-    // subtree twice
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("comp_id"))
-    docs.select(col(idCol))
+    // comp_size via groupBy + join, NOT Window.partitionBy(comp_id): a
+    // degenerate corpus whose duplicates collapse into one giant component
+    // would put the entire component into a single window partition — a
+    // straggler/spill at exactly the scale this operator exists for. The
+    // groupBy keeps partial (map-side) aggregation, and the re-join's
+    // skewed probe side is splittable by AQE skew handling — a window
+    // partition is not. Costs re-executing the docs ⟕ comps subtree (two
+    // scans), the standard trade for a skew-safe shape.
+    val joined = docs.select(col(idCol))
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .withColumn("comp_id", coalesce(col("comp"), col(idCol)))
-      .select(col(idCol), col("comp_id"),
-        count(lit(1)).over(w).as("comp_size"))
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("comp_id"))
+    val sizes = joined.groupBy(col("comp_id"))
+      .agg(count(lit(1)).as("comp_size"))
+    joined.join(sizes, Seq("comp_id"))
+      .select(col(idCol), col("comp_id"), col("comp_size"))
   }
 }

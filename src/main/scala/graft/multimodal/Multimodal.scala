@@ -272,8 +272,11 @@ object Multimodal {
       while (pos + 8 <= to) {
         val id = new String(payload, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
         val size = bb.getInt(pos + 4)
-        require(size >= 0 && pos + 8 + size <= payload.length,
-          s"bad RIFF chunk size $size at offset $pos")
+        // bound against the ENCLOSING list's end, not just the payload: a
+        // malformed nested LIST whose children overrun their parent must
+        // fail loudly, not be walked twice as both child and sibling
+        require(size >= 0 && pos + 8 + size <= to,
+          s"bad RIFF chunk size $size at offset $pos (container ends at $to)")
         if (id == "LIST") walk(pos + 12, pos + 8 + size) // type FourCC at pos+8
         else if (id(0).isDigit && id(1).isDigit &&
           (id.endsWith("dc") || id.endsWith("db")) && size > 0)

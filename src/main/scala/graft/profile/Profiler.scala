@@ -74,34 +74,57 @@ object Profiler {
     (s"$c.${st.fields(0).name}", s"$c.${st.fields(1).name}")
   }
 
-  /** One-pass profile of the given columns. Geolocation columns are passed
+  /** Two-phase profile of the given columns. Geolocation columns are passed
     * as "lon,lat" pairs via `geoCols` and profiled for nulls only.
+    *
+    * Phase 1 gathers counts/nulls/nunique/min/max for every column in one
+    * aggregation pass; vocabularies are collected in a SECOND pass that
+    * runs only for columns whose exact phase-1 `countDistinct` is within
+    * [[MaxVocab]]. Collecting the set first and checking the cap after
+    * (the old shape) would build and ship multi-GB `collect_set` buffers
+    * for a pathological high-cardinality column (URLs / free text
+    * mislabeled as a modality) and OOM executors before the loud `require`
+    * could fire. Common case stays ≤2 jobs; tables with no vocabulary
+    * columns stay at 1.
     */
   def profile(df: DataFrame, cols: Seq[String]): Map[String, ColumnProfile] = {
     if (cols.isEmpty) return Map.empty
     val schema = df.schema
+    def vocabEligible(c: String): Boolean =
+      !isNumeric(schema(c).dataType) && !isGeoStruct(schema(c).dataType)
     val aggs: Seq[Column] = cols.flatMap { c =>
       val numeric = isNumeric(schema(c).dataType)
-      val geo = isGeoStruct(schema(c).dataType)
       Seq(
         count(lit(1)).as(s"${c}__n"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
         countDistinct(col(c)).as(s"${c}__nd"),
         (if (numeric) min(col(c)).cast("double") else lit(null).cast("double")).as(s"${c}__min"),
-        (if (numeric) max(col(c)).cast("double") else lit(null).cast("double")).as(s"${c}__max"),
-        // vocabulary only for non-numeric scalar columns (sorted; see class
-        // doc); geo structs carry no vocabulary
-        (if (!numeric && !geo)
-          sort_array(collect_set(col(c).cast("string")))
-        else array().cast("array<string>")).as(s"${c}__vals"))
+        (if (numeric) max(col(c)).cast("double") else lit(null).cast("double")).as(s"${c}__max"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    // loud cap check from the EXACT distinct counts, before any
+    // vocabulary bytes move
+    cols.filter(vocabEligible).foreach { c =>
+      val nd = row.getAs[Long](s"${c}__nd")
+      require(nd <= MaxVocab,
+        s"column $c has $nd distinct values — above MaxVocab=$MaxVocab")
+    }
+    // phase 2: sorted vocabulary for the (now proven small) non-numeric
+    // scalar columns; geo structs and numeric columns carry no vocabulary
+    val vocabCols = cols.filter(vocabEligible)
+    val vocab: Map[String, Seq[String]] =
+      if (vocabCols.isEmpty) Map.empty
+      else {
+        val vAggs = vocabCols.map(c =>
+          sort_array(collect_set(col(c).cast("string"))).as(s"${c}__vals"))
+        val vRow = df.agg(vAggs.head, vAggs.tail: _*).head()
+        vocabCols.map(c =>
+          c -> vRow.getSeq[String](vRow.fieldIndex(s"${c}__vals")).toList).toMap
+      }
     cols.map { c =>
       val nd = row.getAs[Long](s"${c}__nd")
       val numeric = isNumeric(schema(c).dataType)
-      val vals: Seq[String] = row.getSeq[String](row.fieldIndex(s"${c}__vals")).toList
-      require(numeric || vals.size <= MaxVocab,
-        s"column $c has ${vals.size} distinct values — above MaxVocab=$MaxVocab")
+      val vals: Seq[String] = vocab.getOrElse(c, Nil)
       // Precedence matches the reference EXACTLY (src/app.py:46-50):
       // nunique()==2 is checked FIRST, so even a tuple/geo-typed column
       // with two distinct values classifies Binary, then tuple-valued →

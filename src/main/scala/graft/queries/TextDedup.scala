@@ -504,17 +504,29 @@ object TextDedup {
     "x10_kmv_distinct",
     (s, d) => {
       import org.apache.spark.sql.graft.KMinValues._
+      // h_doc is BOUND before the token explode: an md5 of the whole
+      // document evaluated inside the post-explode agg would re-hash the
+      // full text once per token row (cost × token count × doc length).
+      // The bound attribute fans out as a cheap column reference instead
+      // (same withColumn discipline as x11's gram pass).
       Tables.documents(s, d)
-        .select(col("text"), explode(tokens(col("text"))).as("tok"))
+        .withColumn("h_doc", hash52(col("text")))
+        .select(col("text"), col("h_doc"), explode(tokens(col("text"))).as("tok"))
         .agg(
-          (round(kmvDistinct(hash52(col("text")), X10K), 6) + 0.0).as("est_docs"),
+          (round(kmvDistinct(col("h_doc"), X10K), 6) + 0.0).as("est_docs"),
           (round(kmvDistinct(hash52(col("tok")), X10K), 6) + 0.0).as("est_vocab"),
           countDistinct(col("text")).as("n_docs"),
           countDistinct(col("tok")).as("n_vocab"))
     },
-    Some(s"""WITH tk AS (SELECT text, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    // twin mirrors the hash-once shape: h_doc computed in the per-document
+    // CTE, carried through the unnest
+    Some(s"""WITH dd AS (SELECT text,
+                  ('0x' || substr(md5(text), 1, 13))::UBIGINT AS h_doc
                  FROM documents),
-         hd AS (SELECT DISTINCT ('0x' || substr(md5(text), 1, 13))::UBIGINT AS h FROM tk),
+         tk AS (SELECT text, h_doc,
+                  unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                 FROM dd),
+         hd AS (SELECT DISTINCT h_doc AS h FROM tk),
          hv AS (SELECT DISTINCT ('0x' || substr(md5(tok), 1, 13))::UBIGINT AS h FROM tk),
          kd AS (SELECT count(*) AS m, max(h) AS hk
                 FROM (SELECT h FROM hd ORDER BY h LIMIT $X10K)),

@@ -122,10 +122,19 @@ object Search {
       array(scoreCols: _*).as("_2"),
       array(maskElems: _*).as("_3")).as[(Long, Seq[Double], Seq[Boolean])]
     val qIdxB = qIdx; val kB = k; val nqB = nq; val sharedB = sharedMask
+    // All score comparisons use java.lang.Double.compare — the IEEE total
+    // order Spark's `desc` sort applies — so a non-finite score (NaN dot
+    // from a NaN/∞ vector element) ranks exactly like the per-query
+    // orderBy path: NaN above +∞ above every finite score. Naive `>`/`==`
+    // would silently never admit NaN once the heap fills.
     // PriorityQueue dequeues its MAX; order so the max is the WORST kept
-    // entry (lowest score, then highest id)
-    val byWorst: Ordering[(Double, Long)] =
-      Ordering.by { case (s, i) => (-s, i) }
+    // entry (lowest score in total order, then highest id)
+    val byWorst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
     val candidates = rows.mapPartitions { it =>
       val heaps = Array.fill(nqB)(
         scala.collection.mutable.PriorityQueue.empty[(Double, Long)](byWorst))
@@ -138,7 +147,8 @@ object Search {
             if (h.size < kB) h.enqueue((s, id))
             else {
               val w = h.head
-              if (s > w._1 || (s == w._1 && id < w._2)) {
+              val c = java.lang.Double.compare(s, w._1)
+              if (c > 0 || (c == 0 && id < w._2)) {
                 h.dequeue(); h.enqueue((s, id))
               }
             }
@@ -154,7 +164,10 @@ object Search {
     (0 until nq).map { i =>
       grouped.getOrElse(i, Array.empty[(Int, Long, Double)])
         .map { case (_, id, s) => (id, s) }
-        .sortBy { case (id, s) => (-s, id) }
+        .sortWith { case ((idA, sA), (idB, sB)) =>
+          val c = java.lang.Double.compare(sB, sA) // desc, NaN first
+          c < 0 || (c == 0 && idA < idB)
+        }
         .take(k).toSeq
     }.toIndexedSeq
   }

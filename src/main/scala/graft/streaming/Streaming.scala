@@ -137,6 +137,14 @@ object Streaming {
           var kept: Vector[(Long, Array[Double])] = state.getOption
             .map(_.reps.iterator.map { case (i, r) => (i, r.toArray) }.toVector)
             .getOrElse(Vector.empty)
+          // Per-BATCH memory is O(this micro-batch's rows in this bucket):
+          // the deterministic ascending-id processing order requires
+          // sorting the group's rows, which means materializing them. The
+          // bound is the trigger size (operator config), not the corpus —
+          // persistent STATE stays capped at maxPerBucket reps. A
+          // deployment with huge triggers and hot buckets should shrink
+          // the trigger or add LSH bits; dropping the sort would trade
+          // determinism for incremental processing.
           val out = rows.toSeq.sortBy(_._2).map { case (_, id, v) =>
             val arr = v.toArray
             kept.find { case (_, r) => round5(cosineLocal(r, arr)) >= tauB } match {

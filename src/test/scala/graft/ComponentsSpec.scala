@@ -70,6 +70,20 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("assign: one giant component sizes correctly (skew shape)") {
+    // every doc collapses into component 1 — the degenerate corpus that
+    // used to hit a single-partition window; sizes must still be exact
+    import spark.implicits._
+    val n = 500L
+    val docs = (1L to n).toDF("doc_id")
+    val comps = Components.connectedComponents(
+      edgeDf((1L until n).map(i => (i, i + 1)), parts = 4), "a", "b")
+    val out = Components.assign(docs, "doc_id", comps).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == n)
+    assert(out.forall { case (_, comp, size) => comp == 1L && size == n })
+  }
+
   test("assign: singletons cluster as themselves, sizes count members") {
     import spark.implicits._
     val docs = (1L to 6L).toDF("doc_id")

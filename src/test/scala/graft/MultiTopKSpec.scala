@@ -71,6 +71,37 @@ class MultiTopKSpec extends SparkSpec {
     assert(masked(1).isEmpty, "all-ineligible query must return no rows")
   }
 
+  test("non-finite scores rank like the per-query desc sort (NaN first)") {
+    // row 3 carries a NaN element (NaN dot), row 5 an overflow-to-∞ pair;
+    // Spark's desc sort puts NaN above +∞ above finite — the heap must
+    // agree, with raw AND rounded scores, instead of never admitting NaN
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.5, 0.5)),
+      (3L, Seq(Double.NaN, 1.0)), (4L, Seq(0.9, 0.1)),
+      (5L, Seq(Double.MaxValue, Double.MaxValue)),
+      (6L, Seq(0.2, 0.2)), (7L, Seq(0.8, 0.0))
+    ).toDF("id", "vec")
+    val q = Array(Double.MaxValue, 1.0) // MaxValue*MaxValue overflows to ∞
+    for (round <- Seq(true, false)) {
+      val batched = Search.multiTopK(vecs, "vec", "id", Seq(q), k = 3,
+        roundScores = round)
+      val single =
+        if (round) Search.fusedTopK(vecs, "vec", "id", q, 3)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        else vecs.select(col("id"),
+            Search.dot(Search.asDouble(col("vec")), typedLit(q)).as("score"))
+          .orderBy(col("score").desc, col("id")).limit(3)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // == on NaN is false — compare ids and bit patterns
+      assert(batched(0).map(_._1) == single.map(_._1),
+        s"round=$round ids: ${batched(0)} vs $single")
+      assert(batched(0).map(t => java.lang.Double.doubleToLongBits(t._2)) ==
+        single.map(t => java.lang.Double.doubleToLongBits(t._2)),
+        s"round=$round scores: ${batched(0)} vs $single")
+    }
+  }
+
   test("batchSamples == per-seed orderBy(md5).limit(1) sample") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val cands = Seq("lang", "n_chars")
