@@ -84,6 +84,13 @@ abstract class ModelEmbedder extends Embedder {
   * `last_hidden_state` layout), then pooled by the base class. `modelPath`
   * must resolve on every executor — ship it with `--files` and resolve via
   * `SparkFiles.get`, or use a cluster filesystem path.
+  *
+  * The reflective wiring is EXECUTED in CI: `OnnxEmbedderSpec` runs this
+  * exact class against a committed ONNX model
+  * (src/test/resources/models/tiny_matmul.onnx) through a test-scope
+  * double of the public `ai.onnxruntime` API whose session genuinely
+  * parses and evaluates the protobuf — so every Class.forName/getMethod
+  * string and tensor shape here has run, not just compiled.
   */
 final case class OnnxEmbedder(
     modelPath: String,
@@ -118,6 +125,13 @@ final case class OnnxEmbedder(
           "(com.microsoft.onnxruntime:onnxruntime). It is an optional " +
           "dependency: add the jar to spark.executor.extraClassPath / " +
           "--jars, or use HashingEmbedder / a precomputed embeddings table.")
+      // a reflective invoke wraps the real failure (unreadable/corrupt
+      // model, bad session options) — unwrap it so the task error names
+      // the model path, not java.lang.reflect internals
+      case e: java.lang.reflect.InvocationTargetException =>
+        throw new IllegalStateException(
+          s"OnnxEmbedder could not create an ONNX session for '$modelPath': " +
+            s"${e.getCause}", e.getCause)
     }
 
   protected def forward(ids: Array[Long]): Array[Array[Float]] = {

@@ -72,11 +72,17 @@ class ModelEmbedderSpec extends SparkSpec {
     assert(out(1L).zip(manual).forall { case (x, y) => math.abs(x - y) < 1e-12 })
   }
 
-  test("OnnxEmbedder: cheap to construct, fails fast and actionably without the jar") {
-    val e = OnnxEmbedder("/models/encoder.onnx", dim = 384) // no IO yet
-    assert(e.tokenize("hello world").length == 2) // tokenizer works jar-free
+  test("OnnxEmbedder: cheap to construct, fails fast and actionably on a bad model path") {
+    // the test classpath carries the ai.onnxruntime API double (see
+    // OnnxEmbedderSpec), so Class.forName succeeds here; first use must
+    // still be the first IO, and a missing model file must fail naming
+    // the path, not with reflective-invoke noise. (The jar-ABSENT branch
+    // — the ClassNotFoundException → "add the jar" message — can't run
+    // in this JVM anymore; it is pinned by construction: the only
+    // statement ahead of it is Class.forName.)
+    val e = OnnxEmbedder("/no/such/encoder.onnx", dim = 384) // no IO yet
+    assert(e.tokenize("hello world").length == 2) // tokenizer works session-free
     val err = intercept[IllegalStateException](e.embed("hello world"))
-    assert(err.getMessage.contains("onnxruntime"))
-    assert(err.getMessage.contains("HashingEmbedder")) // names the fallback
+    assert(err.getMessage.contains("/no/such/encoder.onnx"))
   }
 }
