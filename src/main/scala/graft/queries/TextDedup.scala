@@ -82,6 +82,28 @@ object TextDedup {
         concat(lit("0:"), col("band0")),
         concat(lit("1:"), col("band1")))).as("bucket"))
 
+  /** Star edges of the MinHash-LSH candidate graph: one (bucket-min-doc →
+    * member) edge per band-bucket membership — provably the same connected
+    * components as the full co-bucket pair set while staying LINEAR in
+    * bucket rows (every co-bucket pair is connected through the bucket's
+    * rep). The dedup-clustering edge input (d8), public as the pipeline
+    * building block; also the sf0.1-scale CC witness input in
+    * ComponentsSpec. `docCap` restricts the cohort (d8's oracle pins one);
+    * the default is the whole corpus. The bucket relation is persisted
+    * (scanned for reps + the join); lifecycle = caller's clearCache, as
+    * with d3/d7. */
+  def starEdges(s: SparkSession, d: String,
+                docCap: Long = Long.MaxValue): DataFrame = {
+    val buckets = bandBuckets(s, d)
+      .filter(col("doc_id") < docCap)
+      .persist()
+    val reps = buckets.groupBy(col("bucket")).agg(min(col("doc_id")).as("rep"))
+    buckets.join(reps, "bucket")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a_id"), col("doc_id").as("b_id"))
+      .distinct()
+  }
+
   /** Row-local word n-gram shingles over a BOUND token-array attribute
     * (never the split expression itself — a textually repeated split
     * re-tokenizes the document per element access, O(n_grams × n_tokens)
@@ -229,20 +251,14 @@ object TextDedup {
     "d8_dedup_components",
     (s, d) => {
       val docs = Tables.documents(s, d).filter(col("doc_id") < D8DocCap)
-      // the SAME bucket relation as d3 (shared bandBuckets), cohort-
-      // filtered (the doc_id predicate pushes below the generate and the
-      // row-local signature projections to the scan)
-      val buckets = bandBuckets(s, d)
-        .filter(col("doc_id") < D8DocCap)
-        .persist()
-      val reps = buckets.groupBy(col("bucket")).agg(min(col("doc_id")).as("rep"))
-      val edges = buckets.join(reps, "bucket")
-        .filter(col("doc_id") =!= col("rep"))
-        .select(col("rep").as("a_id"), col("doc_id").as("b_id"))
-        .distinct()
-      // buckets persist until the harness clearCache (d3/d7 accounting);
-      // Components' per-round labels are eager localCheckpoints whose
-      // blocks the context cleaner frees once unreferenced
+      // the SAME bucket relation as d3 (shared bandBuckets inside
+      // starEdges), cohort-filtered (the doc_id predicate pushes below
+      // the generate and the row-local signature projections to the
+      // scan); buckets persist until the harness clearCache (d3/d7
+      // accounting); Components' per-round labels are eager
+      // localCheckpoints whose blocks the context cleaner frees once
+      // unreferenced
+      val edges = starEdges(s, d, D8DocCap)
       val comps = graft.dedup.Components.connectedComponents(edges, "a_id", "b_id")
       graft.dedup.Components.assign(docs, "doc_id", comps).orderBy("doc_id")
     },
