@@ -171,6 +171,73 @@ class StreamingSpec extends SparkSpec {
     assert(out(4L)._1, "antipodal vector must be novel")
   }
 
+  test("reconciliation: streaming near-dup recall vs the batch d7 pair set") {
+    // The documented story (Streaming.nearDupFilter scaladoc): single-table
+    // LSH dedup-on-ingest trades recall for one shuffle; run the batch
+    // multi-table pair join (d7) offline to reconcile what single-probe
+    // missed. This QUANTIFIES that trade on the real sf0.01 corpus: of the
+    // docs the batch pair set proves have an earlier near-duplicate, how
+    // many did the streaming filter drop?
+    import graft.search.Search
+    implicit val s = spark
+    val dim = 64
+    val tau = 0.40 // d7's threshold
+    val base = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // the sf0.01 embeddings carry NO near-verbatim vector pairs (cos ≥ 0.9
+    // count is zero — synthetic vectors, not text-derived), so the
+    // must-catch tier below would be vacuous on the raw table: append
+    // verbatim CLONES of every 97th vector under fresh (later) ids —
+    // identical vectors agree on every hyperplane sign by construction
+    val maxId = base.agg(max(col("vec_id"))).head().getLong(0)
+    val e = base.unionByName(base.filter(col("vec_id") % 97 === 0)
+      .select((col("vec_id") + maxId + 1).as("vec_id"), col("embedding")))
+    // batch truth: the exact d7 shape — multi-table LSH candidates,
+    // skew-capped join, exact cosine on candidates only
+    val b = Search.lshBuckets(e, "embedding", dim, nBits = 4, nTables = 8)
+      .select(col("vec_id"), col("bucket")).persist()
+    val cand = Search.cappedBandPairs(b, "vec_id", "bucket")
+      .select(Search.packPair(col("a_id"), col("b_id")).as("pair")).distinct()
+      .select(Search.unpackPair(col("pair")): _*)
+    val en = e.withColumn("__d", Search.asDouble(col("embedding")))
+      .withColumn("__n", Search.l2Norm(col("__d")))
+    val pairs = cand
+      .join(en.select(col("vec_id").as("a_id"), col("__d").as("a_emb"),
+        col("__n").as("a_n")), "a_id")
+      .join(en.select(col("vec_id").as("b_id"), col("__d").as("b_emb"),
+        col("__n").as("b_n")), "b_id")
+      .withColumn("cosine",
+        round(Search.dot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n")), 5) + 0.0)
+      .filter(col("cosine") >= tau)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs.nonEmpty, "sf0.01 corpus has no batch near-dup pairs at tau")
+    // pair emission guarantees a_id < b_id, so the b side is the LATER doc
+    // — the one ascending-id streaming ingest should have dropped
+    val shouldDrop = pairs.map(_._2).toSet
+    val strongDrop = pairs.filter(_._3 >= 0.9).map(_._2).toSet
+    val dec = Streaming.nearDupFilter(e, "embedding", "vec_id",
+        dim, nBits = 3, tau = tau, maxPerBucket = 256)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    def recallOf(ids: Set[Long]): Double =
+      if (ids.isEmpty) 1.0 else ids.count(id => !dec(id)).toDouble / ids.size
+    val recall = recallOf(shouldDrop)
+    val strongRecall = recallOf(strongDrop)
+    info(s"batch pairs=${pairs.size}, docs-with-earlier-dup=${shouldDrop.size} " +
+      s"(strong cos>=0.9: ${strongDrop.size}), recall=$recall, strong=$strongRecall")
+    assert(strongDrop.nonEmpty, "strong tier must not be vacuous")
+    // Floors pinned from the measured run: borderline cos≈τ pairs mostly
+    // land in different single-table buckets — exactly the documented
+    // trade batch d7 reconciles offline — while near-verbatim duplicates
+    // agree on every hyperplane sign and MUST all be caught. A drop below
+    // either floor means bucketing/state/greedy-matching regressed, not
+    // data drift (inputs are pinned).
+    assert(recall >= 0.30, s"streaming-vs-batch recall $recall below floor")
+    assert(strongRecall >= 0.99,
+      s"strong-pair (near-verbatim) recall $strongRecall below floor")
+    spark.catalog.clearCache() // the persisted bucket relation
+  }
+
   test("streaming near-dup filter == static batch run on the same rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
