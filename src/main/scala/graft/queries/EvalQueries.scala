@@ -113,15 +113,18 @@ object EvalQueries {
         "doc_id", "vec_id", "embedding").persist()
       val profs = Profiler.profile(items, Cands)
       val zeroText = new Array[Double](64)
-      // one persisted encode per HARMONIC count, shared by every ε in the
-      // grid (interval ε is query-side only — QueryEncoder.Params — so the
-      // reference's per-(kh, ε) re-encode collapses to per-kh); fullSweep
-      // releases it via close() as soon as the harmonic's points are
-      // evaluated (bounded in-flight memory)
+      // one encode per HARMONIC count, shared by every ε in the grid
+      // (interval ε is query-side only — QueryEncoder.Params — so the
+      // reference's per-(kh, ε) re-encode collapses to per-kh). The
+      // encode is NOT persisted: the harmonic's whole ε × point grid is
+      // answered by ONE batched multiTopK scan, so the encode pipelines
+      // into that single pass — a persist would pay a full block
+      // materialization (500K × ~40-double vectors at sf10) for an index
+      // that is never scanned again
       def engineFor(kh: Int): Eval.SweepEngine = {
         val params = EncoderParams(numHarmonics = kh)
         val layout = ProductEncoder.layoutFor(Cands.map(profs), params)
-        val indexed = ProductEncoder.encode(items, layout).persist()
+        val indexed = ProductEncoder.encode(items, layout)
         Eval.SweepEngine(
           search = (epsList, filterSets, k) => {
             // ε × points queries concatenated into ONE scan (batched twin
@@ -133,8 +136,7 @@ object EvalQueries {
               .map(_.map(_._1))
             epsList.indices.map(e =>
               filterSets.indices.map(j => flat(e * filterSets.size + j)))
-          },
-          close = () => { indexed.unpersist(); () })
+          })
       }
       val rs = Eval.fullSweep(items, "doc_id", "embedding", zeroText,
         Cands, profs, engineFor, HarmonicsSweep, EpsilonSweep,
