@@ -74,8 +74,10 @@ object Profiler {
     (s"$c.${st.fields(0).name}", s"$c.${st.fields(1).name}")
   }
 
-  /** Two-phase profile of the given columns. Geolocation columns are passed
-    * as "lon,lat" pairs via `geoCols` and profiled for nulls only.
+  /** Two-phase profile of the given columns (geolocation STRUCT columns
+    * are detected from the type — [[isGeoStruct]] — and carry no
+    * vocabulary; split lon/lat pairs are the engine's `geoCols` concern,
+    * not the profiler's).
     *
     * Phase 1 gathers counts/nulls/nunique/min/max for every column in one
     * aggregation pass; vocabularies are collected in a SECOND pass that

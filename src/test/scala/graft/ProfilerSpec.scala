@@ -34,7 +34,18 @@ class ProfilerSpec extends SparkSpec {
       spark.sparkContext.clearJobGroup()
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
     }
-    (out, spark.sparkContext.statusTracker.getJobIdsForGroup(group).length)
+    // statusTracker is fed by the async listener bus — poll until the
+    // count is stable so a slow bus can't under-report the job count
+    def count() = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    var last = count()
+    var stable = 0
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (stable < 3 && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      val c = count()
+      if (c == last) stable += 1 else { stable = 0; last = c }
+    }
+    (out, last)
   }
 
   test("common-case profile runs at most 2 jobs and matches single-pass results") {
