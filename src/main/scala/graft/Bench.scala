@@ -79,6 +79,11 @@ object Bench {
     // of THIS run carry ambient load in that proportion
     val calibBase = sys.env.get("SPARK_GRAFT_CALIB_BASELINE")
       .map(_.toDouble).getOrElse(CalibrationBaseline)
+    // validate NOW, not at the final println: a zero/NaN baseline would
+    // survive the whole measured suite and then crash fmt() (and write
+    // Infinity into BENCH_DETAIL.json) after the work is done
+    require(calibBase > 0 && java.lang.Double.isFinite(calibBase),
+      s"SPARK_GRAFT_CALIB_BASELINE must be a positive finite seconds value: $calibBase")
     val calibRatio = calibration / calibBase
     // Full-codepath JIT warmup: run every query once against the SMALLEST
     // scale factor (different directory — no page-cache or result reuse on

@@ -195,8 +195,12 @@ object Eval {
     * harmonic count and `rangeEpsilon` — interval ε enters at query time,
     * [[QueryEncoder.Params]]), with a BATCHED search closure: ε values ×
     * points' filter sets → per-ε per-point top-k lists, ALL answered in one
-    * [[Search.multiTopK]] scan of the index. `close()` releases the index;
-    * [[fullSweep]] calls it as soon as the harmonic's points are evaluated. */
+    * [[Search.multiTopK]] scan of the index. `close()` is the optional
+    * release hook for engines that pin resources (e.g. a persisted index
+    * scanned by more than one action — SweepSpec's); [[fullSweep]] calls
+    * it as soon as the harmonic's points are evaluated. The production
+    * a11 engine pipelines its encode into the single scan and needs no
+    * close (EvalQueries). */
   final case class SweepEngine(
       search: (Seq[Double], Seq[Seq[Filter]], Int) => IndexedSeq[IndexedSeq[Seq[Long]]],
       close: () => Unit = () => ())
@@ -215,10 +219,12 @@ object Eval {
     * Total jobs: 2 + |harmonicsSweep| scans (and as many encodes),
     * independent of the ε × modality-count × repetition grid size.
     *
-    * Memory is bounded at `maxInFlightConfigs` encoded indexes: harmonic
-    * engines are built, evaluated and RELEASED in bounded batches (a full
-    * reference-sized sweep — 10 harmonics at K up to 500 — would
-    * otherwise pin 10 wide persisted indexes at once). Each batch runs on
+    * At most `maxInFlightConfigs` harmonic engines are in flight at once:
+    * engines are built, evaluated and closed in bounded batches, so an
+    * engine that DOES pin resources (a persisted index) never has more
+    * than that many pinned at a time (a full reference-sized sweep — 10
+    * harmonics at K up to 500 — would otherwise pin 10 wide indexes at
+    * once). Each batch runs on
     * a dedicated fixed-size pool (Spark actions block; on
     * ExecutionContext.global that either starves the pool or, with
     * blocking{}, spawns unbounded threads). Results are identical to the

@@ -274,8 +274,10 @@ object Multimodal {
         val size = bb.getInt(pos + 4)
         // bound against the ENCLOSING list's end, not just the payload: a
         // malformed nested LIST whose children overrun their parent must
-        // fail loudly, not be walked twice as both child and sibling
-        require(size >= 0 && pos + 8 + size <= to,
+        // fail loudly, not be walked twice as both child and sibling.
+        // The sum is LONG: a hostile size near Int.MaxValue would wrap an
+        // int sum negative and slip past the check
+        require(size >= 0 && pos + 8 + size.toLong <= to,
           s"bad RIFF chunk size $size at offset $pos (container ends at $to)")
         if (id == "LIST") walk(pos + 12, pos + 8 + size) // type FourCC at pos+8
         else if (id(0).isDigit && id(1).isDigit &&

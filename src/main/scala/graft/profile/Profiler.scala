@@ -104,24 +104,32 @@ object Profiler {
         (if (numeric) max(col(c)).cast("double") else lit(null).cast("double")).as(s"${c}__max"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val vocabCols = cols.filter(vocabEligible)
     // loud cap check from the EXACT distinct counts, before any
     // vocabulary bytes move
-    cols.filter(vocabEligible).foreach { c =>
+    vocabCols.foreach { c =>
       val nd = row.getAs[Long](s"${c}__nd")
       require(nd <= MaxVocab,
         s"column $c has $nd distinct values — above MaxVocab=$MaxVocab")
     }
     // phase 2: sorted vocabulary for the (now proven small) non-numeric
     // scalar columns; geo structs and numeric columns carry no vocabulary
-    val vocabCols = cols.filter(vocabEligible)
     val vocab: Map[String, Seq[String]] =
       if (vocabCols.isEmpty) Map.empty
       else {
         val vAggs = vocabCols.map(c =>
           sort_array(collect_set(col(c).cast("string"))).as(s"${c}__vals"))
         val vRow = df.agg(vAggs.head, vAggs.tail: _*).head()
-        vocabCols.map(c =>
-          c -> vRow.getSeq[String](vRow.fieldIndex(s"${c}__vals")).toList).toMap
+        vocabCols.map { c =>
+          val vals = vRow.getSeq[String](vRow.fieldIndex(s"${c}__vals")).toList
+          // phases run as two jobs: a non-deterministic or live-updating
+          // source can grow between them, so the cap must hold on the
+          // set actually collected, not only on the phase-1 count
+          require(vals.size <= MaxVocab,
+            s"column $c collected ${vals.size} distinct values — above " +
+              s"MaxVocab=$MaxVocab (input changed between profile phases?)")
+          c -> vals
+        }.toMap
       }
     cols.map { c =>
       val nd = row.getAs[Long](s"${c}__nd")

@@ -76,8 +76,8 @@ class ComponentsSpec extends SparkSpec {
     // against an independent driver-side union-find. Bounded collect —
     // star edges are ≤ #bucket-memberships (2 per doc), not doc pairs.
     val edgesDf = graft.queries.TextDedup.starEdges(spark, sf("sf0.1"))
-    val es = edgesDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     try {
+      val es = edgesDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(es.nonEmpty, "sf0.1 corpus produced no candidate edges")
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {

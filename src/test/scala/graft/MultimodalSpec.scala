@@ -248,6 +248,35 @@ class MultimodalSpec extends SparkSpec {
     assert(viaSpark.isNullAt(0))
   }
 
+  test("aviFrames: corrupt sizes fail loudly — child overruns parent LIST, int-overflow size") {
+    val f0 = imageBytes("jpg", w = 6, h = 4)
+    val avi = aviBytes(Seq(f0))
+    // find the movi LIST and corrupt its FIRST CHILD's size to reach past
+    // the list's end (but still inside the payload) — the round-7 bound:
+    // a child escaping its parent must throw, not be walked as a sibling
+    def indexOf(hay: Array[Byte], needle: Array[Byte]): Int =
+      hay.indices.indexWhere(i => i + needle.length <= hay.length &&
+        needle.indices.forall(j => hay(i + j) == needle(j)))
+    val moviAt = indexOf(avi, "movi".getBytes("US-ASCII"))
+    assert(moviAt > 0)
+    val childSizeAt = moviAt + 4 + 4 // movi fourcc, child id, then its size
+    def withIntAt(at: Int, v: Int): Array[Byte] = {
+      val c = avi.clone()
+      java.nio.ByteBuffer.wrap(c, at, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v)
+      c
+    }
+    val escaping = withIntAt(childSizeAt, avi.length - (childSizeAt + 4) - 2)
+    val e1 = intercept[IllegalArgumentException](Multimodal.aviFrames(escaping))
+    assert(e1.getMessage.contains("bad RIFF chunk size"))
+    // hostile size near Int.MaxValue: an int sum would wrap negative and
+    // slip past the bound — must still be the loud size error, never a
+    // StringIndexOutOfBounds from a wrapped cursor
+    val hostile = withIntAt(childSizeAt, 0x7FFFFFF0)
+    val e2 = intercept[IllegalArgumentException](Multimodal.aviFrames(hostile))
+    assert(e2.getMessage.contains("bad RIFF chunk size"))
+  }
+
   test("sampleAviFrames: per-frame JPEG rows compose with the image pipeline") {
     import spark.implicits._
     val frames = Seq.fill(5)(imageBytes("jpg", w = 6, h = 4))

@@ -196,46 +196,49 @@ class StreamingSpec extends SparkSpec {
     // skew-capped join, exact cosine on candidates only
     val b = Search.lshBuckets(e, "embedding", dim, nBits = 4, nTables = 8)
       .select(col("vec_id"), col("bucket")).persist()
-    val cand = Search.cappedBandPairs(b, "vec_id", "bucket")
-      .select(Search.packPair(col("a_id"), col("b_id")).as("pair")).distinct()
-      .select(Search.unpackPair(col("pair")): _*)
-    val en = e.withColumn("__d", Search.asDouble(col("embedding")))
-      .withColumn("__n", Search.l2Norm(col("__d")))
-    val pairs = cand
-      .join(en.select(col("vec_id").as("a_id"), col("__d").as("a_emb"),
-        col("__n").as("a_n")), "a_id")
-      .join(en.select(col("vec_id").as("b_id"), col("__d").as("b_emb"),
-        col("__n").as("b_n")), "b_id")
-      .withColumn("cosine",
-        round(Search.dot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n")), 5) + 0.0)
-      .filter(col("cosine") >= tau)
-      .select(col("a_id"), col("b_id"), col("cosine"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-    assert(pairs.nonEmpty, "sf0.01 corpus has no batch near-dup pairs at tau")
-    // pair emission guarantees a_id < b_id, so the b side is the LATER doc
-    // — the one ascending-id streaming ingest should have dropped
-    val shouldDrop = pairs.map(_._2).toSet
-    val strongDrop = pairs.filter(_._3 >= 0.9).map(_._2).toSet
-    val dec = Streaming.nearDupFilter(e, "embedding", "vec_id",
-        dim, nBits = 3, tau = tau, maxPerBucket = 256)
-      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
-    def recallOf(ids: Set[Long]): Double =
-      if (ids.isEmpty) 1.0 else ids.count(id => !dec(id)).toDouble / ids.size
-    val recall = recallOf(shouldDrop)
-    val strongRecall = recallOf(strongDrop)
-    info(s"batch pairs=${pairs.size}, docs-with-earlier-dup=${shouldDrop.size} " +
-      s"(strong cos>=0.9: ${strongDrop.size}), recall=$recall, strong=$strongRecall")
-    assert(strongDrop.nonEmpty, "strong tier must not be vacuous")
-    // Floors pinned from the measured run: borderline cos≈τ pairs mostly
-    // land in different single-table buckets — exactly the documented
-    // trade batch d7 reconciles offline — while near-verbatim duplicates
-    // agree on every hyperplane sign and MUST all be caught. A drop below
-    // either floor means bucketing/state/greedy-matching regressed, not
-    // data drift (inputs are pinned).
-    assert(recall >= 0.30, s"streaming-vs-batch recall $recall below floor")
-    assert(strongRecall >= 0.99,
-      s"strong-pair (near-verbatim) recall $strongRecall below floor")
-    spark.catalog.clearCache() // the persisted bucket relation
+    try {
+      val cand = Search.cappedBandPairs(b, "vec_id", "bucket")
+        .select(Search.packPair(col("a_id"), col("b_id")).as("pair")).distinct()
+        .select(Search.unpackPair(col("pair")): _*)
+      val en = e.withColumn("__d", Search.asDouble(col("embedding")))
+        .withColumn("__n", Search.l2Norm(col("__d")))
+      val pairs = cand
+        .join(en.select(col("vec_id").as("a_id"), col("__d").as("a_emb"),
+          col("__n").as("a_n")), "a_id")
+        .join(en.select(col("vec_id").as("b_id"), col("__d").as("b_emb"),
+          col("__n").as("b_n")), "b_id")
+        .withColumn("cosine",
+          round(Search.dot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n")), 5) + 0.0)
+        .filter(col("cosine") >= tau)
+        .select(col("a_id"), col("b_id"), col("cosine"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(pairs.nonEmpty, "sf0.01 corpus has no batch near-dup pairs at tau")
+      // pair emission guarantees a_id < b_id, so the b side is the LATER doc
+      // — the one ascending-id streaming ingest should have dropped
+      val shouldDrop = pairs.map(_._2).toSet
+      val strongDrop = pairs.filter(_._3 >= 0.9).map(_._2).toSet
+      val dec = Streaming.nearDupFilter(e, "embedding", "vec_id",
+          dim, nBits = 3, tau = tau, maxPerBucket = 256)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+      def recallOf(ids: Set[Long]): Double =
+        if (ids.isEmpty) 1.0 else ids.count(id => !dec(id)).toDouble / ids.size
+      val recall = recallOf(shouldDrop)
+      val strongRecall = recallOf(strongDrop)
+      info(s"batch pairs=${pairs.size}, docs-with-earlier-dup=${shouldDrop.size} " +
+        s"(strong cos>=0.9: ${strongDrop.size}), recall=$recall, strong=$strongRecall")
+      assert(strongDrop.nonEmpty, "strong tier must not be vacuous")
+      // Floors pinned from the measured run: borderline cos≈τ pairs mostly
+      // land in different single-table buckets — exactly the documented
+      // trade batch d7 reconciles offline — while near-verbatim duplicates
+      // agree on every hyperplane sign and MUST all be caught. A drop below
+      // either floor means bucketing/state/greedy-matching regressed, not
+      // data drift (inputs are pinned).
+      assert(recall >= 0.30, s"streaming-vs-batch recall $recall below floor")
+      assert(strongRecall >= 0.99,
+        s"strong-pair (near-verbatim) recall $strongRecall below floor")
+      // finally: a failed assert must not leak the persisted bucket
+      // relation into the rest of the shared-session suite
+    } finally spark.catalog.clearCache()
   }
 
   test("streaming near-dup filter == static batch run on the same rows") {
