@@ -86,6 +86,26 @@ class OnnxEmbedderSpec extends SparkSpec {
     }
   }
 
+  test("fuses into the engine path (fuseInto) like any other embedder") {
+    import graft.encode.Embedders
+    import spark.implicits._
+    val e = OnnxEmbedder(modelPath, dim = Dim)
+    val df = Seq((1L, "red canvas shoes", "footwear"), (2L, "blue wool hat", "headwear"))
+      .toDF("id", "name", "category")
+    val out = Embedders.fuseInto(df, e, Map("name" -> 0.7, "category" -> 0.3), "vec")
+      .select("id", "vec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // reference fusion law by hand: Σ wᵢ·embᵢ, L2 (src/embed.py:36-40)
+    val manual = {
+      val n = e.embed("red canvas shoes"); val c = e.embed("footwear")
+      val s = n.zip(c).map { case (x, y) => 0.7 * x + 0.3 * y }
+      val nn = math.sqrt(s.map(x => x * x).sum)
+      s.map(_ / nn).toSeq
+    }
+    assert(out(1L).zip(manual).forall { case (x, y) => math.abs(x - y) < 1e-12 })
+    assert(math.abs(out(2L).map(x => x * x).sum - 1.0) < 1e-9)
+  }
+
   test("per-call tensors and results are closed (no native-handle leak)") {
     val e = OnnxEmbedder(modelPath, dim = Dim)
     val before = ai.onnxruntime.OnnxTensor.LIVE.get()
