@@ -1,0 +1,83 @@
+package graft.pack
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training batches: assign each document a position
+  * in a stream of fixed token-budget bins (GPT-style packed pretraining
+  * batches concatenate documents in a deterministic order and cut every
+  * `budget` tokens). The operator computes, per document, the EXCLUSIVE
+  * running token total in ascending-id order and derives the bin id and
+  * intra-bin offset — everything a downstream packer needs to materialize
+  * examples, without ever materializing the concatenation.
+  *
+  * Scale shape — a distributed PREFIX SUM, not a window: the naive
+  * `sum(n) OVER (ORDER BY id)` is a single-partition window at 100 TB
+  * (the exact shape this library bans elsewhere). Instead:
+  * range-partition by id + sort within partitions (a shuffle, but every
+  * partition independent), ONE tiny aggregation collecting
+  * #partitions per-partition totals to the driver (bounded by the
+  * partition count, not the data), then one narrow pass adding each
+  * partition's broadcast base offset to its local running sum. Total: one
+  * range shuffle + one #partitions-row collect + one narrow map — the
+  * classic two-pass parallel prefix sum.
+  */
+object Packing {
+
+  /** Per-row packing assignment: `(id, n_tok, tok_start, bin_id,
+    * bin_offset)` where `tok_start` is the exclusive prefix sum of
+    * `nTokCol` in ascending `idCol` order, `bin_id = tok_start / budget`
+    * and `bin_offset = tok_start % budget`. `idCol` must be integral and
+    * unique (ties would make within-partition order, and thus the prefix
+    * sum, nondeterministic — documents carry unique ids).
+    *
+    * The range-partitioned relation is persisted (scanned once for the
+    * per-partition totals and once for the output pass); lifecycle =
+    * caller's clearCache, the d3/d7 bucket-relation precedent.
+    */
+  def packByBudget(df: DataFrame, idCol: String, nTokCol: String,
+                   budget: Long, numParts: Int = 0): DataFrame = {
+    require(budget > 0, s"token budget must be positive: $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+    val parted = df
+      .select(col(idCol).cast("long").as("__id"),
+        col(nTokCol).cast("long").as("__n"))
+      .repartitionByRange(parts, col("__id"))
+      .sortWithinPartitions("__id")
+      .withColumn("__pid", spark_partition_id())
+      .as[(Long, Long, Int)]
+      .persist()
+    // pass 1: per-partition token totals — #partitions rows to the driver,
+    // independent of data volume
+    val partTotals: Map[Int, Long] = parted
+      .groupBy(col("__pid")).agg(sum(col("__n")).as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // exclusive base offset per partition (driver-side running sum over a
+    // #partitions-sized map; empty partitions simply contribute 0)
+    val bases: Map[Int, Long] = {
+      var acc = 0L
+      (0 until parts).map { p =>
+        val b = p -> acc
+        acc += partTotals.getOrElse(p, 0L)
+        b
+      }.toMap
+    }
+    val budgetB = budget
+    // pass 2: narrow — rows arrive in stored (sorted) order per partition
+    parted.mapPartitions { it =>
+      var cum = 0L
+      var first = true
+      it.map { case (id, n, pid) =>
+        if (first) { cum = bases(pid); first = false }
+        require(n >= 0, s"negative token count $n for id $id")
+        val start = cum
+        cum += n
+        (id, n, start, start / budgetB, start % budgetB)
+      }
+    }.toDF(idCol, "n_tok", "tok_start", "bin_id", "bin_offset")
+  }
+}

@@ -559,6 +559,33 @@ object TextDedup {
            (SELECT count(DISTINCT tok) FROM tk)::BIGINT AS n_vocab
          FROM kd, kv"""))
 
+  // X12 sequence packing: per-document bin assignment for fixed
+  // token-budget training batches (GPT-style packed pretraining:
+  // documents concatenate in ascending-id order, cut every Budget
+  // tokens). The Spark side is graft.pack.Packing's DISTRIBUTED PREFIX
+  // SUM (range partition + per-partition running sums + #partitions
+  // broadcast base offsets — no single-partition window); the DuckDB
+  // twin states the same quantity as the textbook window cumsum it can
+  // afford single-node. Same tokens() as x1.
+  private val X12Budget = 2048L
+  private val x12 = Q(
+    "x12_token_pack",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      graft.pack.Packing.packByBudget(toks, "doc_id", "n_tok", X12Budget)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n
+             FROM documents),
+           c AS (SELECT doc_id, n,
+               (sum(n) OVER (ORDER BY doc_id))::BIGINT AS cum FROM t)
+           SELECT doc_id, n AS n_tok, (cum - n) AS tok_start,
+                  ((cum - n) // $X12Budget) AS bin_id,
+                  ((cum - n) % $X12Budget) AS bin_offset
+           FROM c ORDER BY doc_id"""))
+
   // ST1 event-time hourly window aggregation (batch twin of the
   // Structured Streaming tumbling-window pipeline in graft.streaming).
   private val st1 = Q(
@@ -668,5 +695,6 @@ object TextDedup {
             FROM s GROUP BY user_id, sid
             ORDER BY user_id, session_start"""))
 
-  val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, d8, x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, st1, st2)
+  val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, d8, x1, x2, x3, x4, x5, x6, x7,
+    x8, x9, x10, x11, x12, st1, st2)
 }
