@@ -571,6 +571,10 @@ object TextDedup {
   private val x12 = Q(
     "x12_token_pack",
     (s, d) => {
+      // same tokens() as x1. (A split-free `regexp_count(trim(text),
+      // '\s+') + 1` — identical semantics — was measured SLOWER at sf10:
+      // 7.3 s vs 5.1 s; Matcher.find-per-separator loses to the split
+      // fast path despite the array allocation. Keep the array count.)
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
       graft.pack.Packing.packByBudget(toks, "doc_id", "n_tok", X12Budget)
