@@ -43,9 +43,21 @@ object Packing {
     val parts =
       if (numParts > 0) numParts
       else spark.sessionState.conf.numShufflePartitions
+    // null ids/counts would vanish into the long encoder with an opaque
+    // error (or silently skew the sums) — fail naming the column instead
+    // (assert_true throws per offending row; coalesce passes the value)
+    def guarded(c: String, as: String) = coalesce(
+      assert_true(col(c).cast("long").isNotNull,
+        lit(s"null or non-numeric $c in packByBudget")),
+      col(c).cast("long")).as(as)
+    // __pid is a per-row COLUMN pinned at cache-build time, NOT
+    // TaskContext.getPartitionId() read later: the task partition id is
+    // plan-context-dependent — a downstream coalesce(1) (Verify's output
+    // write) runs every cached partition inside task 0, which would hand
+    // partition 0's base offset to every row. The stored column survives
+    // any downstream re-partitioning; the oracle gate caught exactly this.
     val parted = df
-      .select(col(idCol).cast("long").as("__id"),
-        col(nTokCol).cast("long").as("__n"))
+      .select(guarded(idCol, "__id"), guarded(nTokCol, "__n"))
       .repartitionByRange(parts, col("__id"))
       .sortWithinPartitions("__id")
       .withColumn("__pid", spark_partition_id())
@@ -67,13 +79,23 @@ object Packing {
       }.toMap
     }
     val budgetB = budget
-    // pass 2: narrow — rows arrive in stored (sorted) order per partition
+    // pass 2: narrow — rows arrive in stored (sorted) order per partition;
+    // the base offset comes from each ROW's own __pid, so the arithmetic
+    // is correct even when a downstream stage folds several cached
+    // partitions into one task
     parted.mapPartitions { it =>
       var cum = 0L
-      var first = true
+      var prevPid = -1
+      var prevId = Long.MinValue
       it.map { case (id, n, pid) =>
-        if (first) { cum = bases(pid); first = false }
+        if (pid != prevPid) { cum = bases(pid); prevPid = pid; prevId = Long.MinValue }
+        // the documented unique-id precondition, enforced: duplicate ids
+        // tie-break nondeterministically in the sort and would silently
+        // vary tok_start run to run (range partitioning co-locates equal
+        // keys, so the per-partition check is complete)
+        require(id > prevId, s"duplicate id $id in packByBudget input")
         require(n >= 0, s"negative token count $n for id $id")
+        prevId = id
         val start = cum
         cum += n
         (id, n, start, start / budgetB, start % budgetB)

@@ -53,20 +53,59 @@ class PackingSpec extends SparkSpec {
       (300L, 0L, 5L, 1L, 1L), (4000L, 5L, 5L, 1L, 1L)))
   }
 
+  test("downstream coalesce(1) cannot corrupt base offsets (Verify's write shape)") {
+    // regression: a TaskContext-based partition id read in the output pass
+    // sees task id 0 for EVERY cached partition once a downstream
+    // coalesce(1) folds them into one task — every partition silently got
+    // partition 0's base offset (caught by the oracle gate, round 7). The
+    // per-row __pid column must keep the arithmetic correct under exactly
+    // this plan shape.
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (1L to 300L).map(i => (i, rnd.nextInt(50).toLong))
+    val df = rows.toDF("doc_id", "n_tok").repartition(4)
+    try {
+      val out = Packing.packByBudget(df, "doc_id", "n_tok", 100L, numParts = 6)
+        .coalesce(1).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1).toSeq
+      assert(out == golden(rows, 100L))
+    } finally spark.catalog.clearCache()
+  }
+
+  private def messageChain(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).toSeq
+
   test("negative token counts fail loudly") {
     val ex = intercept[Exception] {
       run(Seq((1L, 3L), (2L, -1L)), 10L, 2)
     }
-    assert(ex.getMessage.contains("negative token count") ||
-      Option(ex.getCause).exists(_.getMessage.contains("negative token count")))
+    assert(messageChain(ex).exists(_.contains("negative token count")))
+  }
+
+  test("duplicate ids fail loudly (nondeterministic order, not silent drift)") {
+    val ex = intercept[Exception] {
+      run(Seq((1L, 3L), (7L, 2L), (7L, 5L), (9L, 1L)), 10L, 2)
+    }
+    assert(messageChain(ex).exists(_.contains("duplicate id 7")))
+  }
+
+  test("null token counts fail naming the column, not with an encoder error") {
+    import spark.implicits._
+    val df = Seq((1L, Some(3L)), (2L, None)).toDF("doc_id", "n_tok")
+    val ex = intercept[Exception] {
+      try Packing.packByBudget(df, "doc_id", "n_tok", 10L, numParts = 2).collect()
+      finally spark.catalog.clearCache()
+    }
+    assert(messageChain(ex).exists(_.contains("null or non-numeric n_tok")))
   }
 
   test("x12 on real sf0.001 documents matches an independent cumsum") {
-    import graft.queries.TextDedup // ensure registration
-    val out = SparkEntry.queries("x12_token_pack")(spark, sf("sf0.001"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     try {
+      val out = SparkEntry.queries("x12_token_pack")(spark, sf("sf0.001"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       assert(out.nonEmpty)
       // independent golden from the raw table, driver-side
       val raw = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
@@ -74,7 +113,8 @@ class PackingSpec extends SparkSpec {
           size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(out.toSeq == golden(raw, 2048L))
-      // prefix sums are strictly ordered by construction
+      // prefix sums are non-decreasing by construction (zero-token docs
+      // repeat the previous tok_start, so NOT strictly increasing)
       assert(out.map(_._3).toSeq == out.map(_._3).sorted.toSeq)
     } finally spark.catalog.clearCache()
   }
