@@ -78,6 +78,35 @@ object Multimodal {
     }
   }
 
+  /** Decode cap: max pixels a single image/frame may declare (64M ≈ an
+    * 8K×8K frame → 64 MB luma). A hostile JPEG/PNG header claiming
+    * 60000×60000 would otherwise make ImageIO allocate gigabytes BEFORE
+    * any post-decode check could run — on a 100-TB corpus of untrusted
+    * blobs that is an executor OOM, not a null row. */
+  val MaxDecodePixels: Long = 1L << 26
+
+  /** ImageIO decode with the dimension cap enforced from the HEADER
+    * (ImageReader.getWidth/getHeight read metadata only): the cap check
+    * happens before any pixel allocation. Returns null when no installed
+    * reader claims the payload (the mixed-corpus fallback contract). */
+  private def readImageGuarded(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return null
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val w = reader.getWidth(0).toLong
+        val h = reader.getHeight(0).toLong
+        require(w > 0 && h > 0 && w * h <= MaxDecodePixels,
+          s"image dimensions ${w}x$h exceed the $MaxDecodePixels-pixel decode cap")
+        reader.read(0)
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
   /** Row-major 8-bit luma of a decoded image (integer ITU-R BT.601:
     * (299r + 587g + 114b + 500)/1000 — all-integer, platform-stable).
     * Shared by [[imageIo]] and [[mjpegAvi]]'s strict per-frame path. */
@@ -109,7 +138,7 @@ object Multimodal {
     */
   object imageIo extends Codec {
     def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      val img = readImageGuarded(payload)
       if (img == null) default.decode(payload)
       else lumaOf(img)
     }
@@ -164,6 +193,9 @@ object Multimodal {
         val size = bb.getInt(pos + 4)
         require(size >= 0, s"negative chunk size $size")
         if (id == "fmt ") {
+          // the reads below reach pos+23 — a truncated fmt chunk must be
+          // the loud parse error, not a raw buffer IndexOutOfBounds
+          require(pos + 24 <= payload.length, s"truncated fmt chunk at $pos")
           val audioFormat = bb.getShort(pos + 8) & 0xffff
           require(audioFormat == 1, s"not integer PCM: format $audioFormat")
           channels = bb.getShort(pos + 10) & 0xffff
@@ -175,7 +207,13 @@ object Multimodal {
           dataOff = pos + 8
           dataLen = math.min(size, payload.length - dataOff)
         }
-        pos += 8 + size + (size & 1) // chunks are word-aligned: odd → pad byte
+        // LONG cursor advance, clamped to the payload end: a declared size
+        // overrunning the payload (truncated tail — common in cut-off
+        // streams; dataLen is already clamped by the min above) just ends
+        // the walk, while a hostile near-Int.MaxValue size can no longer
+        // wrap the int cursor negative and read out of bounds next round
+        val next = pos.toLong + 8 + size + (size & 1) // word-aligned: odd → pad
+        pos = if (next > payload.length) payload.length else next.toInt
       }
       require(fmtSeen, "no fmt chunk")
       require(dataOff >= 0, "no data chunk")
@@ -231,7 +269,7 @@ object Multimodal {
       // media, never the stub's fake-header format — falling back there
       // would pass garbage dims/pixels off as a successful decode
       val frames = aviFrames(payload).map { f =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+        val img = readImageGuarded(f)
         require(img != null, "undecodable MJPEG frame")
         lumaOf(img)
       }
@@ -267,7 +305,12 @@ object Multimodal {
     val bb = java.nio.ByteBuffer.wrap(payload)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    def walk(from: Int, to: Int): Unit = {
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      // recursion bound: real AVIs nest 2-3 LISTs deep; a crafted payload
+      // of thousands of nested LISTs (12 bytes each) would otherwise
+      // StackOverflowError — an Error scala.util.Try does NOT catch, so
+      // it would kill the task instead of nulling the row
+      require(depth <= 32, s"RIFF LIST nesting deeper than 32 at offset $from")
       var pos = from
       while (pos + 8 <= to) {
         val id = new String(payload, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
@@ -279,14 +322,14 @@ object Multimodal {
         // int sum negative and slip past the check
         require(size >= 0 && pos + 8 + size.toLong <= to,
           s"bad RIFF chunk size $size at offset $pos (container ends at $to)")
-        if (id == "LIST") walk(pos + 12, pos + 8 + size) // type FourCC at pos+8
+        if (id == "LIST") walk(pos + 12, pos + 8 + size, depth + 1) // type FourCC at pos+8
         else if (id(0).isDigit && id(1).isDigit &&
           (id.endsWith("dc") || id.endsWith("db")) && size > 0)
           out += java.util.Arrays.copyOfRange(payload, pos + 8, pos + 8 + size)
         pos += 8 + size + (size & 1)
       }
     }
-    walk(12, payload.length)
+    walk(12, payload.length, depth = 0)
     out.toIndexedSeq
   }
 

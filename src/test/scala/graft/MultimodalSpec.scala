@@ -277,6 +277,93 @@ class MultimodalSpec extends SparkSpec {
     assert(e2.getMessage.contains("bad RIFF chunk size"))
   }
 
+  test("deeply nested LIST chunks fail loudly, never StackOverflowError") {
+    // a crafted payload of thousands of nested LISTs would recurse once
+    // per level — StackOverflowError is FATAL (uncaught by Try) and would
+    // kill the task; the depth cap must turn it into the loud parse error
+    val depth = 5000
+    val innerSize = 4 // just the type FourCC
+    val bb = java.nio.ByteBuffer.allocate(12 + depth * 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + depth * 12)
+      .put("AVI ".getBytes("US-ASCII"))
+    for (level <- depth to 1 by -1) {
+      bb.put("LIST".getBytes("US-ASCII")).putInt(innerSize + (level - 1) * 12)
+        .put("movi".getBytes("US-ASCII"))
+    }
+    val e = intercept[IllegalArgumentException](Multimodal.aviFrames(bb.array()))
+    assert(e.getMessage.contains("nesting"))
+  }
+
+  test("hostile image header dims are capped BEFORE pixel allocation") {
+    // valid PNG, width/height patched to 60000×60000 (IHDR big-endian at
+    // offsets 16/20): the old ImageIO.read path would try to allocate the
+    // full raster before any check — the guarded reader must refuse from
+    // the header alone
+    val png = imageBytes("png", w = 6, h = 4)
+    val hostile = png.clone()
+    val big = java.nio.ByteBuffer.allocate(4).putInt(60000).array()
+    System.arraycopy(big, 0, hostile, 16, 4)
+    System.arraycopy(big, 0, hostile, 20, 4)
+    val e = intercept[IllegalArgumentException](Multimodal.imageIo.decode(hostile))
+    assert(e.getMessage.contains("decode cap"))
+  }
+
+  test("fuzz: mutated media payloads never throw fatal errors or hang") {
+    // the 100-TB contract: a corrupt blob must null the row (any
+    // Exception is caught by the Spark wrappers), NEVER kill the task
+    // with an Error (StackOverflow/OOM) or spin. 150 seeded mutations per
+    // codec family: random byte flips and random 4-byte little-endian
+    // patches (sizes/offsets are where parsers break).
+    val rnd = new scala.util.Random(31)
+    val wav = {
+      // reuse the valid fixtures other tests build: a tiny 16-bit WAV via
+      // the JDK encoder
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+      val samples = new Array[Byte](8000)
+      rnd.nextBytes(samples)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(samples), fmt, 2000),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val avi = aviBytes(Seq.fill(3)(imageBytes("jpg", w = 6, h = 4)))
+    val png = imageBytes("png", w = 8, h = 8)
+    def mutate(base: Array[Byte]): Array[Byte] = {
+      val c = base.clone()
+      if (rnd.nextBoolean()) {
+        // flip 1-4 random bytes
+        (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+          c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+        }
+      } else {
+        // patch a random aligned int (hits size fields)
+        val at = rnd.nextInt(math.max(1, c.length - 4))
+        java.nio.ByteBuffer.wrap(c, at, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          .putInt(rnd.nextInt())
+      }
+      c
+    }
+    val codecs: Seq[(String, Array[Byte] => Any)] = Seq(
+      ("wavPcm", p => Multimodal.wavPcm.decode(p)),
+      ("mjpegAvi", p => Multimodal.mjpegAvi.decode(p)),
+      ("aviFrames", p => if (p.length >= 12) scala.util.Try(Multimodal.aviFrames(p)) else ()),
+      ("imageIo", p => Multimodal.imageIo.decode(p)))
+    for ((name, base) <- Seq(("wav", wav), ("avi", avi), ("png", png));
+         i <- 1 to 150) {
+      val m = mutate(base)
+      codecs.foreach { case (cname, f) =>
+        try f(m)
+        catch { case _: Exception => () } // Exceptions → null row: fine
+        // Errors (SOE/OOM) propagate and fail the test loudly
+        val _ = (name, i, cname)
+      }
+    }
+  }
+
   test("sampleAviFrames: per-frame JPEG rows compose with the image pipeline") {
     import spark.implicits._
     val frames = Seq.fill(5)(imageBytes("jpg", w = 6, h = 4))
