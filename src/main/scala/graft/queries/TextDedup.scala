@@ -571,12 +571,16 @@ object TextDedup {
   private val x12 = Q(
     "x12_token_pack",
     (s, d) => {
-      // same tokens() as x1. (A split-free `regexp_count(trim(text),
-      // '\s+') + 1` — identical semantics — was measured SLOWER at sf10:
-      // 7.3 s vs 5.1 s; Matcher.find-per-separator loses to the split
-      // fast path despite the array allocation. Keep the array count.)
+      // token counts via the NATIVE byte-scan expression — provably equal
+      // to x1's size(split(trim, \s+)) (TokenCountSpec property + this
+      // oracle hash) with no regex engine or token-array materialization;
+      // the regex split was nearly all of x12's sf10 cost (5.1 s), and a
+      // regexp_count rewrite measured SLOWER (7.3 s — Matcher.find per
+      // separator), so counting bytes is the right kernel
       val toks = Tables.documents(s, d)
-        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+        .select(col("doc_id"),
+          org.apache.spark.sql.graft.TokenCount.tokenCount(col("text"))
+            .cast("long").as("n_tok"))
       graft.pack.Packing.packByBudget(toks, "doc_id", "n_tok", X12Budget)
         .orderBy("doc_id")
     },
