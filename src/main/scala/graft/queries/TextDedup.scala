@@ -341,7 +341,10 @@ object TextDedup {
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars_m"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
+        // the native byte-scan count — == size(tokens(text)) by
+        // TokenCountSpec's property test and this oracle hash
+        org.apache.spark.sql.graft.TokenCount.tokenCount(col("text"))
+          .cast("long").as("n_tokens"))
       .orderBy("doc_id"),
     Some("""SELECT doc_id, length(text) AS n_chars_m,
             len(string_split_regex(trim(text), '\s+')) AS n_tokens
