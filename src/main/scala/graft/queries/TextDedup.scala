@@ -400,9 +400,11 @@ object TextDedup {
     "x9_curation_pipeline",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val toks = tokens(col("text"))
       val quality = Tables.documents(s, d)
-        .withColumn("n_tokens", size(toks).cast("long"))
+        // only the COUNT is consumed — the native byte scan, not a
+        // materialized token array (same kernel as x1/x12)
+        .withColumn("n_tokens",
+          org.apache.spark.sql.graft.TokenCount.tokenCount(col("text")).cast("long"))
         .withColumn("alpha_ratio",
           length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
             length(col("text")))

@@ -350,7 +350,7 @@ class MultimodalSpec extends SparkSpec {
     val codecs: Seq[(String, Array[Byte] => Any)] = Seq(
       ("wavPcm", p => Multimodal.wavPcm.decode(p)),
       ("mjpegAvi", p => Multimodal.mjpegAvi.decode(p)),
-      ("aviFrames", p => if (p.length >= 12) scala.util.Try(Multimodal.aviFrames(p)) else ()),
+      ("aviFrames", p => Multimodal.aviFrames(p)),
       ("imageIo", p => Multimodal.imageIo.decode(p)))
     for ((name, base) <- Seq(("wav", wav), ("avi", avi), ("png", png));
          i <- 1 to 150) {
