@@ -599,6 +599,122 @@ object TextDedup {
                   ((cum - n) % $X12Budget) AS bin_offset
            FROM c ORDER BY doc_id"""))
 
+  // X13 TF-IDF keyword extraction — top-3 salient terms per document.
+  // tf = term count in the doc, df = #docs containing the term,
+  // idf = (N+1)/(df+1): the smoothed inverse-document-frequency RATIO.
+  // The usual ln() around the ratio is deliberately omitted — ln is the
+  // one operation IEEE 754 does not require correctly rounded, so
+  // ln-based scores could rank-flip between engines; /, * and int→double
+  // are exact-rounded, making `score` bit-identical in Spark and DuckDB
+  // (per-term idf ORDERING is unchanged since ln is monotone; the
+  // tf-vs-idf trade-off is the ratio variant's).
+  // Plan shape at 100 TB: one explode feeds a (doc,term) aggregate
+  // (map-side partial combine absorbs stopword skew), the df table is
+  // vocab-sized (≪ corpus) so its join back is a broadcast, and the only
+  // other wide op is the per-doc top-3 window keyed on doc_id — never on
+  // the skewed term.
+  private val x13 = Q(
+    "x13_tfidf_topterms",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val nTotal = docs.agg(count(lit(1)).as("n_total"))
+      // tf is ROW-LOCAL: the native TermFreqs expression collapses
+      // explode + groupBy(doc, term) into one byte scan per document, so
+      // the corpus never shuffles raw token rows and nothing needs a
+      // persist (the builtin shape paid a corpus-sized exchange — sf1
+      // 5.1 s, 3.1 s with a persist; see TermFreqs's scaladoc for why
+      // the higher-order-function rewrite is NOT the answer).
+      val tf = docs
+        .select(col("doc_id"),
+          explode(org.apache.spark.sql.graft.TermFreqs.termFreqs(col("text"))).as("te"))
+        .select(col("doc_id"), col("te.term").as("term"), col("te.tf").as("tf"))
+      // df over tf rows: keys are already distinct per doc, and the
+      // partial aggregate reduces each partition to vocab-sized state, so
+      // the exchange moves ~vocab × partitions rows, not the corpus
+      val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(dfTab), "term")
+        .crossJoin(broadcast(nTotal))
+        .withColumn("score",
+          col("tf") * (col("n_total") + lit(1)).cast("double")
+            / (col("df") + lit(1)).cast("double"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"),
+          (round(col("score"), 6) + lit(0.0)).as("score"))
+        .orderBy("doc_id", "rank")
+    },
+    Some("""WITH tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+              FROM (SELECT doc_id,
+                      unnest(string_split_regex(trim(text), '\s+')) AS tok
+                    FROM documents)
+              GROUP BY doc_id, tok),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(*) AS n_total FROM documents),
+            -- (n+1)/(df+1) forced through DOUBLE: DuckDB would otherwise
+            -- run DECIMAL arithmetic on the 1.0 literals and round(...,6)
+            -- could disagree with Spark's IEEE-double chain in the last
+            -- decimal. Integer +1 then ::DOUBLE is exact on both engines.
+            sc AS (SELECT tf.doc_id, tf.term,
+                     tf.tf * (n.n_total + 1)::DOUBLE / (df.df + 1)::DOUBLE AS score
+                   FROM tf JOIN df USING (term) CROSS JOIN n),
+            r AS (SELECT doc_id, term, score,
+                    row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, term) AS rank
+                  FROM sc)
+            SELECT doc_id, rank, term, round(score, 6) + 0.0 AS score
+            FROM r WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
+  // X14 frequency subsampling for language rebalancing (the word2vec
+  // subsampling rule applied to training-data mixture construction):
+  // f_l = c_l / N is the language's corpus share; a doc survives with
+  // p_keep(l) = min(1, sqrt(t / f_l)), t = 0.05 — overrepresented
+  // languages (en at ~41%) are thinned toward balance, rare ones kept
+  // whole. The survival draw is the deterministic 52-bit md5 uniform
+  // (doc survives iff u < p_keep·2^52), so the SAMPLE ITSELF is
+  // hash-checkable cross-engine: /, sqrt, * are IEEE-exact-rounded and
+  // the uniform is an integer — no ln, no engine RNG.
+  // Scale shape (contrast x7's exact-fraction window): counts are ONE
+  // tiny aggregate broadcast back; the keep decision is a narrow filter
+  // pipelined into the scan — no window, no per-group sort, so at
+  // 100 TB this is scan-speed. p_keep is SF-invariant when language
+  // shares are (c_l ∝ N).
+  private val X14T = 0.05
+  private val x14 = Q(
+    "x14_freq_subsample",
+    (s, d) => {
+      import org.apache.spark.sql.graft.KMinValues
+      import org.apache.spark.sql.graft.KMinValues.hash52
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("c_l"))
+      val nTotal = docs.agg(count(lit(1)).as("n_total"))
+      docs.select(col("doc_id"), col("lang"),
+          hash52(concat_ws(":", col("doc_id"), lit("mix"))).as("u"))
+        .join(broadcast(counts), "lang")
+        .crossJoin(broadcast(nTotal))
+        .withColumn("p_keep",
+          least(lit(1.0), sqrt(lit(X14T) * col("n_total") / col("c_l"))))
+        .filter(col("u").cast("double") < col("p_keep") * lit(KMinValues.HashSpace))
+        .select(col("doc_id"), col("lang"),
+          (round(col("p_keep"), 6) + lit(0.0)).as("p_keep"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH c AS (SELECT lang, count(*) AS c_l FROM documents GROUP BY lang),
+            n AS (SELECT count(*) AS n_total FROM documents),
+            u AS (SELECT doc_id, lang,
+                    ('0x' || substr(md5(doc_id::VARCHAR || ':mix'), 1, 13))::UBIGINT AS u
+                  FROM documents),
+            -- the t literal is forced to DOUBLE (DuckDB would otherwise
+            -- compute t*n in DECIMAL; Spark's chain is pure double)
+            p AS (SELECT u.doc_id, u.lang, u.u,
+                    least(1.0, sqrt(CAST($X14T AS DOUBLE) * n.n_total / c.c_l)) AS p_keep
+                  FROM u JOIN c USING (lang) CROSS JOIN n)
+            SELECT doc_id, lang, round(p_keep, 6) + 0.0 AS p_keep
+            FROM p WHERE u::DOUBLE < p_keep * 4503599627370496.0
+            ORDER BY doc_id"""))
+
   // ST1 event-time hourly window aggregation (batch twin of the
   // Structured Streaming tumbling-window pipeline in graft.streaming).
   private val st1 = Q(
@@ -709,5 +825,5 @@ object TextDedup {
             ORDER BY user_id, session_start"""))
 
   val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, d8, x1, x2, x3, x4, x5, x6, x7,
-    x8, x9, x10, x11, x12, st1, st2)
+    x8, x9, x10, x11, x12, x13, x14, st1, st2)
 }

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.graft.KMinValues
+
+/** Semantic goldens for the x13/x14 curation operators on a hand-computed
+  * fixture (the oracle gate proves cross-engine parity on the real tables;
+  * these prove the MATH is the intended one, not just self-consistent).
+  */
+class CurationSpec extends SparkSpec {
+
+  /** Writes a documents.parquet with the testdata schema; returns the dir. */
+  private def fixtureDir(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_curation").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def q(name: String, dir: String) =
+    SparkEntry.queries(name)(spark, dir)
+
+  test("x13 tf-idf: hand-computed ranks and scores on a 3-doc corpus") {
+    // df: apple 1, banana 3, cherry 1, date 1; N=3 → idf ratio (N+1)/(df+1):
+    // apple/cherry/date = 2.0, banana = 1.0
+    val dir = fixtureDir(Seq(
+      (1L, "apple banana apple", "en", "s"),
+      (2L, "banana cherry", "en", "s"),
+      (3L, "banana date", "en", "s")))
+    val got = q("x13_tfidf_topterms", dir).collect().toSeq
+    assert(got === Seq(
+      Row(1L, 1L, "apple", 4.0),  // tf 2 × idf 2
+      Row(1L, 2L, "banana", 1.0),
+      Row(2L, 1L, "cherry", 2.0),
+      Row(2L, 2L, "banana", 1.0),
+      Row(3L, 1L, "date", 2.0),
+      Row(3L, 2L, "banana", 1.0)))
+  }
+
+  test("x13 caps at 3 terms per doc, rank consecutive, scores non-increasing") {
+    val dir = fixtureDir(Seq(
+      (1L, "a b c d e f g", "en", "s"),
+      (2L, "a b", "en", "s")))
+    val rows = q("x13_tfidf_topterms", dir)
+      .collect().groupBy(_.getLong(0))
+    rows.foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getLong(1)).toSeq === (1L to rs.length).toSeq)
+      val scores = rs.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
+      assert(scores === scores.sorted.reverse)
+    }
+  }
+
+  test("x14 subsampling: p_keep from language shares; kept set = hash rule") {
+    // 8 en + 2 fr, t = 0.05: p_en = sqrt(0.05·10/8) = 0.25,
+    // p_fr = sqrt(0.05·10/2) = 0.5 — the overrepresented language is
+    // thinned 2× harder.
+    val docs = (1L to 8L).map(i => (i, s"en doc $i", "en", "s")) ++
+      Seq((9L, "fr doc", "fr", "s"), (10L, "fr doc deux", "fr", "s"))
+    val dir = fixtureDir(docs)
+    val got = q("x14_freq_subsample", dir).collect().toSeq
+    val pByLang = got.map(r => r.getString(1) -> r.getDouble(2)).toMap
+    pByLang.get("en").foreach(p => assert(p === 0.25))
+    pByLang.get("fr").foreach(p => assert(p === 0.5))
+
+    // independent driver-side recomputation of the survival rule
+    def u52(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:mix".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(KMinValues.HexDigits)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expect = docs.collect {
+      case (id, _, lang, _)
+        if u52(id) < (if (lang == "en") 0.25 else 0.5) * KMinValues.HashSpace => id
+    }.toSet
+    assert(got.map(_.getLong(0)).toSet === expect)
+    assert(expect.nonEmpty && expect.size < docs.size) // non-vacuous both ways
+  }
+
+  test("x14 is deterministic across runs and repartitionings") {
+    val dir = fixtureDir((1L to 40L).map(i =>
+      (i, s"doc $i", if (i % 3 == 0) "fr" else "en", "s")))
+    val a = q("x14_freq_subsample", dir).collect().toSeq
+    val b = q("x14_freq_subsample", dir).collect().toSeq
+    assert(a === b)
+  }
+}
