@@ -56,7 +56,7 @@ object TextDedup {
       .orderBy("doc_id"),
     Some(s"""SELECT doc_id,
              ${sigCols(8).map(j => s"min(md5('$j:' || tok)) AS h$j").mkString(", ")}
-             FROM (SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+             FROM (SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
                    FROM documents)
              GROUP BY doc_id ORDER BY doc_id"""))
 
@@ -146,7 +146,7 @@ object TextDedup {
         .orderBy("a_id", "b_id")
     },
     Some("""WITH tok AS (SELECT DISTINCT doc_id,
-                         unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+                         unnest(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) AS tok FROM documents),
                  sig AS (SELECT doc_id,
                          min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1,
                          min(md5('2:' || tok)) AS h2, min(md5('3:' || tok)) AS h3,
@@ -189,7 +189,7 @@ object TextDedup {
               SELECT doc_id,
                      list_distinct(list_transform(range(1, len(toks)),
                        i -> toks[i] || ' ' || toks[i + 1])) AS shingles
-              FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0b\f\r]+') AS toks
                     FROM documents WHERE doc_id < 40))
             SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                    round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
@@ -225,7 +225,7 @@ object TextDedup {
       }.mkString(" + ")
       s"""SELECT doc_id, ($bits)::BIGINT AS simhash
           FROM (SELECT doc_id,
-                list_distinct(string_split_regex(trim(text), '\\s+')) AS dtoks
+                list_distinct(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS dtoks
                 FROM documents)
           ORDER BY doc_id"""
     })
@@ -264,7 +264,7 @@ object TextDedup {
     },
     Some(s"""WITH RECURSIVE
          tok AS (SELECT DISTINCT doc_id,
-                 unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                 unnest(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
                  FROM documents WHERE doc_id < $D8DocCap),
          sig AS (SELECT doc_id,
                  min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1,
@@ -347,7 +347,7 @@ object TextDedup {
           .cast("long").as("n_tokens"))
       .orderBy("doc_id"),
     Some("""SELECT doc_id, length(text) AS n_chars_m,
-            len(string_split_regex(trim(text), '\s+')) AS n_tokens
+            len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) AS n_tokens
             FROM documents ORDER BY doc_id"""))
 
   // X2 quality scoring: stopword ratio, alpha ratio, mean token length.
@@ -370,7 +370,7 @@ object TextDedup {
             round(len(list_filter(toks, t -> t IN ('the', 'a')))::DOUBLE / len(toks), 6) AS stop_ratio,
             round(length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text), 6) AS alpha_ratio,
             round((length(text) - len(toks) + 1)::DOUBLE / len(toks), 6) AS mean_tok_len
-            FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+            FROM (SELECT doc_id, text, string_split_regex(trim(text), '[ \t\n\x0b\f\r]+') AS toks
                   FROM documents)
             ORDER BY doc_id"""))
 
@@ -384,7 +384,7 @@ object TextDedup {
       .orderBy("doc_id"),
     Some("""SELECT doc_id,
             md5(array_to_string(list_sort(list_distinct(
-              string_split_regex(trim(text), '\s+'))), ' ')) AS fingerprint
+              string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'))), ' ')) AS fingerprint
             FROM documents ORDER BY doc_id"""))
 
   // X9 END-TO-END CURATION PIPELINE — the composition a training-data
@@ -426,7 +426,7 @@ object TextDedup {
     },
     Some("""WITH q AS (
               SELECT doc_id, source, text,
-                     len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                     len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) AS n_tokens,
                      length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
                        / length(text) AS alpha_ratio
               FROM documents),
@@ -489,7 +489,7 @@ object TextDedup {
                         if (o == 0) "toks[i]" else s"toks[i + $o]")
                         .mkString(" || ' ' || ")})))
                   ELSE [] END AS grams
-           FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+           FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS toks
                  FROM documents)),
          probe AS (SELECT DISTINCT unnest(grams) AS pg FROM g
                    WHERE doc_id < $X11ProbeCap),
@@ -545,7 +545,7 @@ object TextDedup {
                   ('0x' || substr(md5(text), 1, 13))::UBIGINT AS h_doc
                  FROM documents),
          tk AS (SELECT text, h_doc,
-                  unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                  unnest(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
                  FROM dd),
          hd AS (SELECT DISTINCT h_doc AS h FROM tk),
          hv AS (SELECT DISTINCT ('0x' || substr(md5(tok), 1, 13))::UBIGINT AS h FROM tk),
@@ -590,7 +590,7 @@ object TextDedup {
         .orderBy("doc_id")
     },
     Some(s"""WITH t AS (SELECT doc_id,
-               len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n
+               len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+'))::BIGINT AS n
              FROM documents),
            c AS (SELECT doc_id, n,
                (sum(n) OVER (ORDER BY doc_id))::BIGINT AS cum FROM t)
@@ -648,7 +648,7 @@ object TextDedup {
     },
     Some("""WITH tf AS (SELECT doc_id, tok AS term, count(*) AS tf
               FROM (SELECT doc_id,
-                      unnest(string_split_regex(trim(text), '\s+')) AS tok
+                      unnest(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) AS tok
                     FROM documents)
               GROUP BY doc_id, tok),
             df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
@@ -747,7 +747,7 @@ object TextDedup {
           .otherwise(1.0), 6) + 0.0).as("distinct_trigram_ratio"))
       .orderBy("doc_id"),
     Some("""WITH t AS (SELECT doc_id,
-              string_split_regex(trim(text), '\s+') AS tok FROM documents),
+              string_split_regex(trim(text), '[ \t\n\x0b\f\r]+') AS tok FROM documents),
             x AS (SELECT doc_id, tok, len(tok) AS n,
               CASE WHEN len(tok) >= 3 THEN list_transform(range(1, len(tok) - 1),
                 i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])

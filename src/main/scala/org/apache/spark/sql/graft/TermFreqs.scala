@@ -30,7 +30,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * `split(s, re, -1)` yields (#separator runs) + 1 segments including
   * leading/trailing empties; `""` → `[""]`. Java's default `\s` is six
   * ASCII bytes, so UTF-8 multi-byte codepoints can never alias a
-  * separator and the scan works on raw bytes.
+  * separator and the scan works on raw bytes. (RE2 — DuckDB's engine —
+  * defines `\s` WITHOUT vertical tab, so the oracle twins spell the six
+  * bytes out as `[ \t\n\x0b\f\r]+`; see TokenCount.isWs.)
   *
   * Hosted under org.apache.spark.sql because the Column↔Expression
   * bridge (ExpressionUtils) is private[sql].
@@ -66,10 +68,9 @@ object TermFreqs {
     * split-equivalence contract. */
   def freqs(s: UTF8String): ArrayData = {
     val all = s.getBytes // one defensive copy; slices then alias into it
-    var from = 0
-    var to = all.length
-    while (from < to && all(from) == 0x20) from += 1
-    while (to > from && all(to - 1) == 0x20) to -= 1
+    val bounds = TokenCount.spaceTrimBounds(s) // shared trim + \s contract
+    val from = (bounds >>> 32).toInt
+    val to = bounds.toInt
 
     val counts = new java.util.LinkedHashMap[UTF8String, Long]()
     def emit(segStart: Int, segEnd: Int): Unit = {
@@ -79,14 +80,11 @@ object TermFreqs {
     var segStart = from
     var i = from
     while (i < to) {
-      val b = all(i)
-      if (b == 0x20 || (b >= 0x09 && b <= 0x0D)) {
+      if (TokenCount.isWs(all(i))) {
         emit(segStart, i)
         // skip the whole separator run
         i += 1
-        while (i < to && {
-          val c = all(i); c == 0x20 || (c >= 0x09 && c <= 0x0D)
-        }) i += 1
+        while (i < to && TokenCount.isWs(all(i))) i += 1
         segStart = i
       } else i += 1
     }

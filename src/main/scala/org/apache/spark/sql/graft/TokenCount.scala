@@ -52,20 +52,35 @@ case class TokenCount(child: Expression)
 
 object TokenCount {
 
-  /** (#\s+ runs in the space-trimmed string) + 1 — see class doc. */
-  def count(s: UTF8String): Int = {
-    val n = s.numBytes()
+  /** THE tokenization contract, in code: Java's default `\s` is exactly
+    * these six ASCII bytes (0x09–0x0D + 0x20). Shared by TokenCount and
+    * TermFreqs so the two byte scans can never drift apart. NOTE the
+    * DuckDB twins cannot write `\s` for this: RE2's `\s` omits vertical
+    * tab (0x0B), so every oracle uses the explicit class
+    * `[ \t\n\x0b\f\r]+` instead. */
+  @inline private[graft] def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0D)
+
+  /** Byte bounds after Spark's `trim`, which strips 0x20 (space) ONLY —
+    * (from, to) packed as a long to stay allocation-free. */
+  @inline private[graft] def spaceTrimBounds(s: UTF8String): Long = {
     var from = 0
-    var to = n
-    // Spark's trim(str) strips 0x20 (space) only — mirror exactly
+    var to = s.numBytes()
     while (from < to && s.getByte(from) == 0x20) from += 1
     while (to > from && s.getByte(to - 1) == 0x20) to -= 1
+    (from.toLong << 32) | to.toLong
+  }
+
+  /** (#\s+ runs in the space-trimmed string) + 1 — see class doc. */
+  def count(s: UTF8String): Int = {
+    val bounds = spaceTrimBounds(s)
+    val from = (bounds >>> 32).toInt
+    val to = bounds.toInt
     var runs = 0
     var inWs = false
     var i = from
     while (i < to) {
-      val b = s.getByte(i)
-      val ws = b == 0x20 || (b >= 0x09 && b <= 0x0D)
+      val ws = isWs(s.getByte(i))
       if (ws && !inWs) runs += 1
       inWs = ws
       i += 1

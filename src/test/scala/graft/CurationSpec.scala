@@ -64,8 +64,10 @@ class CurationSpec extends SparkSpec {
     val dir = fixtureDir(docs)
     val got = q("x14_freq_subsample", dir).collect().toSeq
     val pByLang = got.map(r => r.getString(1) -> r.getDouble(2)).toMap
-    pByLang.get("en").foreach(p => assert(p === 0.25))
-    pByLang.get("fr").foreach(p => assert(p === 0.5))
+    // direct lookups — both languages MUST have survivors here (proven
+    // below); a .get(...).foreach would silently skip a vanished golden
+    assert(pByLang("en") === 0.25)
+    assert(pByLang("fr") === 0.5)
 
     // independent driver-side recomputation of the survival rule
     def u52(id: Long): Long = {
@@ -88,5 +90,14 @@ class CurationSpec extends SparkSpec {
     val a = q("x14_freq_subsample", dir).collect().toSeq
     val b = q("x14_freq_subsample", dir).collect().toSeq
     assert(a === b)
+    // genuinely DIFFERENT partitioning (the x12 lesson: partition-keyed
+    // state only breaks when the layout changes): rewrite the fixture as
+    // 7 shuffled parquet parts and re-run
+    val dir2 = Files.createTempDirectory("graft_curation2").toString
+    spark.read.parquet(s"$dir/documents.parquet")
+      .repartition(7).write.mode("overwrite")
+      .parquet(s"$dir2/documents.parquet")
+    val c = q("x14_freq_subsample", dir2).collect().toSeq
+    assert(c === a)
   }
 }

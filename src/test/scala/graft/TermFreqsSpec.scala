@@ -9,14 +9,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * edge the regex path has — same tokenization contract as TokenCount. */
 class TermFreqsSpec extends SparkSpec {
 
-  private def refCounts(s: String): Map[String, Long] =
-    s.replaceAll("^ +", "").replaceAll(" +$", "")
+  /** `split(trim(s), "\s+")` counts, with Spark's trim mirrored as a
+    * literal space strip — NOT `replaceAll(" +$", "")`: Java regex `$`
+    * also matches before a final LINE TERMINATOR (U+2028/U+2029 included),
+    * which would delete an INTERIOR space when the string ends in one of
+    * those — a bug this spec's first draft actually had. */
+  private def refCounts(s: String): Map[String, Long] = {
+    var a = 0; var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    s.substring(a, b)
       .split("\\s+", -1).groupBy(identity).view.mapValues(_.length.toLong).toMap
+  }
 
   test("property: equals explode+groupBy counts on adversarial strings") {
     import spark.implicits._
     val rnd = new scala.util.Random(43)
-    val pieces = Seq(" ", "\t", "\n", "", "", "\r",
+    val pieces = Seq(" ", "\t", "\n", "", "\f", "\r", " ", " ",
       "a", "é", "記", "🚀", "bc", "a", " ", " ")
     val strs = Seq("", " ", "   ", "\t", "\t \t", "a", " a ", "\t a\nb ",
       " ", "a b a", "a a a") ++
