@@ -608,11 +608,14 @@ object TextDedup {
   // are exact-rounded, making `score` bit-identical in Spark and DuckDB
   // (per-term idf ORDERING is unchanged since ln is monotone; the
   // tf-vs-idf trade-off is the ratio variant's).
-  // Plan shape at 100 TB: one explode feeds a (doc,term) aggregate
-  // (map-side partial combine absorbs stopword skew), the df table is
-  // vocab-sized (≪ corpus) so its join back is a broadcast, and the only
-  // other wide op is the per-doc top-3 window keyed on doc_id — never on
-  // the skewed term.
+  // Plan shape at 100 TB: TF is row-local (native TermFreqs — the corpus
+  // never shuffles raw token rows), the df aggregate's partial combine
+  // reduces each partition to vocab-sized state before its exchange, the
+  // vocab-sized df table joins back as a broadcast (beyond broadcast
+  // reach it becomes a term-keyed shuffled join with AQE skew handling —
+  // tf stays narrow regardless), and the only remaining wide op is the
+  // per-doc top-3 window, which WindowGroupLimit prunes to ≤3 rows per
+  // doc per partition BEFORE the exchange.
   private val x13 = Q(
     "x13_tfidf_topterms",
     (s, d) => {
