@@ -49,9 +49,20 @@ object Components {
     // materialized blocks (on a cluster with dynamic allocation or flaky
     // executors, swap for reliable checkpoint() — same contract).
     // no checkpoint on the seed — it reads the persisted adjacency and the
-    // first round's checkpoint re-roots the lineage
-    var labels = adj.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // first round's checkpoint re-roots the lineage.
+    //
+    // SEEDED START: label₀(v) = min(v, min neighbor id). Deriving the node
+    // set needs a shuffle over adj anyway (the old shape was
+    // select(src).distinct()); a groupBy(src).min(dst) costs the SAME one
+    // shuffle but banks a free neighbor-min half-round. For the dominant
+    // dedup graph shape — star edges (bucket-min → member), where every
+    // component is a union of stars — the seed IS already the fixpoint, so
+    // the loop's first round detects changed==0 and the whole run is ONE
+    // round instead of two (propagate + verify). Chains still converge in
+    // O(log diameter) as before; the fixpoint is unique so results are
+    // unchanged.
+    var labels = adj.groupBy(col("src").as("id")).agg(min(col("dst")).as("nbr"))
+      .select(col("id"), least(col("id"), col("nbr")).as("comp"))
     var it = 0
     var changed = 1L
     try {
@@ -93,17 +104,26 @@ object Components {
     // comp_size via groupBy + join, NOT Window.partitionBy(comp_id): a
     // degenerate corpus whose duplicates collapse into one giant component
     // would put the entire component into a single window partition — a
-    // straggler/spill at exactly the scale this operator exists for. The
-    // groupBy keeps partial (map-side) aggregation, and the re-join's
-    // skewed probe side is splittable by AQE skew handling — a window
-    // partition is not. Costs re-executing the docs ⟕ comps subtree (two
-    // scans), the standard trade for a skew-safe shape.
-    val joined = docs.select(col(idCol))
+    // straggler/spill at exactly the scale this operator exists for.
+    //
+    // Sizes come from `comps` ALONE (each edge-touched node appears exactly
+    // once there, so count-per-comp == member count), never from the
+    // docs ⟕ comps join: the old shape grouped the joined projection and
+    // re-joined it, executing the docs ⟕ comps subtree twice per run. Nodes
+    // absent from `comps` are singletons of size 1 via the left join.
+    // Precondition (holds for every caller — comps is derived from edges
+    // over these docs): comps.id ⊆ docs.idCol.
+    //
+    // `sizes` is one row per component — orders of magnitude smaller than
+    // docs — so the final join broadcasts and the skewed comp_id
+    // distribution never shuffles the probe side.
+    val sizes = comps.groupBy(col("comp").as("comp_id"))
+      .agg(count(lit(1)).as("comp_size"))
+    docs.select(col(idCol))
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("comp"), col(idCol)).as("comp_id"))
-    val sizes = joined.groupBy(col("comp_id"))
-      .agg(count(lit(1)).as("comp_size"))
-    joined.join(sizes, Seq("comp_id"))
-      .select(col(idCol), col("comp_id"), col("comp_size"))
+      .join(sizes, Seq("comp_id"), "left")
+      .select(col(idCol), col("comp_id"),
+        coalesce(col("comp_size"), lit(1L)).as("comp_size"))
   }
 }
