@@ -24,6 +24,26 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** A packing result plus the lifecycle of its pinned intermediate: the
+    * range-partitioned relation backing [[df]] stays persisted (pass 1
+    * scanned it for totals; pass 2 re-scans it per action on [[df]]) until
+    * [[close]] releases it — the `FuseRankEngine.close()` precedent, so a
+    * long-lived session doing repeated packs can release each one without
+    * nuking the whole cache. Actions on [[df]] after close() recompute the
+    * relation; that is correct for a DETERMINISTIC input (the range
+    * sampler is seeded per partition index, so recomputation reproduces
+    * identical boundaries and partition ids), but with a source that
+    * changes between actions the recomputed layout can disagree with the
+    * already-captured base offsets — treat close() as end-of-life for
+    * [[df]] unless the input is immutable. */
+  final class Packed private[pack] (
+      val df: DataFrame,
+      parted: org.apache.spark.sql.Dataset[_]) extends AutoCloseable {
+    /** Blocking unpersist: on return, no blocks of the packing
+      * intermediate remain pinned. Idempotent. */
+    def close(): Unit = { parted.unpersist(blocking = true); () }
+  }
+
   /** Per-row packing assignment: `(id, n_tok, tok_start, bin_id,
     * bin_offset)` where `tok_start` is the exclusive prefix sum of
     * `nTokCol` in ascending `idCol` order, `bin_id = tok_start / budget`
@@ -31,12 +51,19 @@ object Packing {
     * unique (ties would make within-partition order, and thus the prefix
     * sum, nondeterministic — documents carry unique ids).
     *
-    * The range-partitioned relation is persisted (scanned once for the
-    * per-partition totals and once for the output pass); lifecycle =
-    * caller's clearCache, the d3/d7 bucket-relation precedent.
-    */
+    * Convenience overload whose persisted intermediate lives until the
+    * caller's clearCache (the d3/d7 bucket-relation precedent — what the
+    * harness queries use, since they hand the DataFrame to a gate that
+    * acts on it later). Library users composing packs inside a long-lived
+    * session should call [[pack]] and `close()` the handle instead. */
   def packByBudget(df: DataFrame, idCol: String, nTokCol: String,
-                   budget: Long, numParts: Int = 0): DataFrame = {
+                   budget: Long, numParts: Int = 0): DataFrame =
+    pack(df, idCol, nTokCol, budget, numParts).df
+
+  /** As [[packByBudget]], returning the [[Packed]] handle that releases
+    * the pinned range-partitioned blocks deterministically. */
+  def pack(df: DataFrame, idCol: String, nTokCol: String,
+           budget: Long, numParts: Int = 0): Packed = {
     require(budget > 0, s"token budget must be positive: $budget")
     val spark = df.sparkSession
     import spark.implicits._
@@ -83,7 +110,7 @@ object Packing {
     // the base offset comes from each ROW's own __pid, so the arithmetic
     // is correct even when a downstream stage folds several cached
     // partitions into one task
-    parted.mapPartitions { it =>
+    val out = parted.mapPartitions { it =>
       var cum = 0L
       var prevPid = -1
       var prevId = Long.MinValue
@@ -101,5 +128,6 @@ object Packing {
         (id, n, start, start / budgetB, start % budgetB)
       }
     }.toDF(idCol, "n_tok", "tok_start", "bin_id", "bin_offset")
+    new Packed(out, parted)
   }
 }
