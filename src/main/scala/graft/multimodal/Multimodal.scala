@@ -92,6 +92,9 @@ object Multimodal {
   private def readImageGuarded(payload: Array[Byte]): java.awt.image.BufferedImage = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
+    // createImageInputStream returns null when no ImageInputStream SPI
+    // accepts the stream type — that is "no reader claims it", not an NPE.
+    if (iis == null) return null
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) return null

@@ -123,11 +123,19 @@ object Profiler {
         vocabCols.map { c =>
           val vals = vRow.getSeq[String](vRow.fieldIndex(s"${c}__vals")).toList
           // phases run as two jobs: a non-deterministic or live-updating
-          // source can grow between them, so the cap must hold on the
-          // set actually collected, not only on the phase-1 count
+          // source can grow OR shrink between them. The profile's kind
+          // classification (e.g. nunique==2 → Binary) is decided from the
+          // phase-1 count, so the collected vocabulary must agree with it
+          // exactly — a profile whose nDistinct disagrees with its own
+          // distinctSorted would be internally inconsistent. Fail loudly
+          // instead.
           require(vals.size <= MaxVocab,
             s"column $c collected ${vals.size} distinct values — above " +
               s"MaxVocab=$MaxVocab (input changed between profile phases?)")
+          require(vals.size == row.getAs[Long](s"${c}__nd"),
+            s"column $c collected ${vals.size} distinct values but phase-1 " +
+              s"counted ${row.getAs[Long](s"${c}__nd")} — input changed " +
+              "between profile phases (profile requires a stable source)")
           c -> vals
         }.toMap
       }
