@@ -718,6 +718,114 @@ object TextDedup {
             FROM p WHERE u::DOUBLE < p_keep * 4503599627370496.0
             ORDER BY doc_id"""))
 
+  /** X15 span-level near-dup: the Lee-et-al-style curation step d1/d3/d7
+    * can't express — production near-dup removal flags REGIONS of a
+    * document copied from elsewhere, not whole-document similarity. The
+    * corpus carries no paragraph breaks (single-line texts), so
+    * "paragraphs" are fixed `span`-token windows (the VERDICT-sanctioned
+    * shingle-span grain): consecutive disjoint spans of `span` tokens,
+    * the tail FOLDING into the last span — every token is covered, no
+    * span is shorter than the grain, and every document (even < span
+    * tokens) has at least one span.
+    *
+    * A span is DUPLICATED iff some MinHash band bucket (the d2/d3 scheme
+    * — 8 md5 minhashes, 2 salted 4-hash bands — applied at span grain)
+    * contains a span of a DIFFERENT document; within-doc repetition is
+    * x6's quality signal, not contamination, and is deliberately ignored.
+    * Output: one row per document with its duplicate-span fraction.
+    *
+    * Plan shape at 100 TB — three deliberate choices:
+    *  - Tokens explode ONCE per document (the generator's child evaluates
+    *    a single split per row) and span_idx derives from the token
+    *    POSITION. The tempting row-local form — transform(sequence(0,k-1),
+    *    i => slice(__toks, …)) under an explode — re-tokenizes the
+    *    document once PER SPAN when the optimizer inlines the bound token
+    *    array into the lambda (the x13 generator-inlining trap), turning
+    *    an O(n) scan into O(n²/span).
+    *  - min() is duplicate-insensitive, so span signatures need NO
+    *    distinct: the groupBy(doc, span) PARTIAL-aggregates each
+    *    partition down to span-level 8-sig rows before its exchange —
+    *    the corpus' raw token rows never shuffle (the x13 TF property,
+    *    by aggregation instead of a native kernel).
+    *  - Duplication is decided from per-bucket min/max doc_id joined
+    *    back to bucket members — candidate PAIRS are never materialized
+    *    (contrast d3, which must emit them), so a degenerate 10M-span
+    *    bucket costs one aggregate row, and no skew cap is needed.
+    * The bucket relation is persisted (stats scan + member join);
+    * lifecycle = caller's clearCache, the d3/d7 accounting.
+    */
+  def spanNearDup(docs: DataFrame, span: Int): DataFrame = {
+    val toks = docs
+      .withColumn("__toks", tokens(col("text")))
+      .select(col("doc_id"),
+        greatest(lit(1L), floor(size(col("__toks")) / lit(span))).as("__k"),
+        // _outer: split() always yields >= 1 element (empty text -> [""]),
+        // so outer semantics never fire — but they spare Generate its
+        // non-empty guard filter, which re-evaluates the split twice more
+        // per row as a pushed condition
+        posexplode_outer(col("__toks")))
+    val sigs = toks
+      .select(col("doc_id"),
+        least(floor(col("pos") / lit(span)), col("__k") - 1).as("span_idx"),
+        col("col").as("tok"))
+      .groupBy(col("doc_id"), col("span_idx"))
+      .agg(min(md5(concat(lit("0:"), col("tok")))).as("h0"),
+        sigCols(8).tail.map(j =>
+          min(md5(concat(lit(s"$j:"), col("tok")))).as(s"h$j")): _*)
+    val buckets = sigs
+      .select(col("doc_id"), col("span_idx"), explode(array(
+        concat(lit("0:"), md5(concat(col("h0"), col("h1"), col("h2"), col("h3")))),
+        concat(lit("1:"), md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))))))
+        .as("bucket"))
+      .persist()
+    val stats = buckets.groupBy(col("bucket"))
+      .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"))
+    buckets.join(stats, "bucket")
+      .groupBy(col("doc_id"), col("span_idx"))
+      .agg(max(when(col("__mn") < col("doc_id") || col("__mx") > col("doc_id"),
+        lit(1L)).otherwise(lit(0L))).as("__dup"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("__dup")).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        (round(col("n_dup_spans").cast("double") / col("n_spans"), 6) + lit(0.0))
+          .as("dup_frac"))
+  }
+
+  private val X15Span = 20
+  private val x15 = Q(
+    "x15_span_neardup",
+    (s, d) => spanNearDup(Tables.spread(Tables.documents(s, d)), X15Span)
+      .orderBy("doc_id"),
+    Some(s"""WITH t AS (SELECT doc_id,
+               string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS toks
+             FROM documents),
+           tk AS (SELECT doc_id,
+                    greatest(1, len(toks) // $X15Span) AS k,
+                    unnest(range(len(toks))) AS pos,
+                    unnest(toks) AS tok
+                  FROM t),
+           sig AS (SELECT doc_id, least(pos // $X15Span, k - 1) AS span_idx,
+                     min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1,
+                     min(md5('2:' || tok)) AS h2, min(md5('3:' || tok)) AS h3,
+                     min(md5('4:' || tok)) AS h4, min(md5('5:' || tok)) AS h5,
+                     min(md5('6:' || tok)) AS h6, min(md5('7:' || tok)) AS h7
+                   FROM tk GROUP BY doc_id, span_idx),
+           buck AS (SELECT doc_id, span_idx,
+                      '0:' || md5(h0 || h1 || h2 || h3) AS bucket FROM sig
+                    UNION ALL
+                    SELECT doc_id, span_idx,
+                      '1:' || md5(h4 || h5 || h6 || h7) FROM sig),
+           bs AS (SELECT bucket, min(doc_id) AS mn, max(doc_id) AS mx
+                  FROM buck GROUP BY 1),
+           sd AS (SELECT b.doc_id, b.span_idx,
+                    max(CASE WHEN s.mn < b.doc_id OR s.mx > b.doc_id
+                        THEN 1 ELSE 0 END) AS dup
+                  FROM buck b JOIN bs s USING (bucket) GROUP BY 1, 2)
+           SELECT doc_id, count(*)::BIGINT AS n_spans,
+                  sum(dup)::BIGINT AS n_dup_spans,
+                  round(sum(dup)::DOUBLE / count(*), 6) + 0.0 AS dup_frac
+           FROM sd GROUP BY doc_id ORDER BY doc_id"""))
+
   // ST1 event-time hourly window aggregation (batch twin of the
   // Structured Streaming tumbling-window pipeline in graft.streaming).
   private val st1 = Q(
@@ -828,5 +936,5 @@ object TextDedup {
             ORDER BY user_id, session_start"""))
 
   val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, d8, x1, x2, x3, x4, x5, x6, x7,
-    x8, x9, x10, x11, x12, x13, x14, st1, st2)
+    x8, x9, x10, x11, x12, x13, x14, x15, st1, st2)
 }
