@@ -735,43 +735,31 @@ object TextDedup {
     * Output: one row per document with its duplicate-span fraction.
     *
     * Plan shape at 100 TB — three deliberate choices:
-    *  - Tokens explode ONCE per document (the generator's child evaluates
-    *    a single split per row) and span_idx derives from the token
-    *    POSITION. The tempting row-local form — transform(sequence(0,k-1),
-    *    i => slice(__toks, …)) under an explode — re-tokenizes the
-    *    document once PER SPAN when the optimizer inlines the bound token
-    *    array into the lambda (the x13 generator-inlining trap), turning
-    *    an O(n) scan into O(n²/span).
-    *  - min() is duplicate-insensitive, so span signatures need NO
-    *    distinct: the groupBy(doc, span) PARTIAL-aggregates each
-    *    partition down to span-level 8-sig rows before its exchange —
-    *    the corpus' raw token rows never shuffle (the x13 TF property,
-    *    by aggregation instead of a native kernel).
+    *  - Span signatures are ROW-LOCAL via the native [[SpanMinHash]]
+    *    byte-scan kernel: the corpus never leaves its scan stage as
+    *    token rows. The declarative forms both lose — the row-local
+    *    transform(sequence(0,k-1), i => slice(__toks, …)) under an
+    *    explode re-tokenizes the document once PER SPAN when the
+    *    optimizer inlines the bound token array into the lambda (the
+    *    x13 generator-inlining trap), and the explode+groupBy form pays
+    *    a per-partition SORT of every token row because min(STRING)
+    *    can't run in a HashAggregate (var-width buffer) — measured 3.2×
+    *    the DuckDB twin at sf10; the kernel took the same query to
+    *    well under 1×.
     *  - Duplication is decided from per-bucket min/max doc_id joined
     *    back to bucket members — candidate PAIRS are never materialized
     *    (contrast d3, which must emit them), so a degenerate 10M-span
     *    bucket costs one aggregate row, and no skew cap is needed.
-    * The bucket relation is persisted (stats scan + member join);
-    * lifecycle = caller's clearCache, the d3/d7 accounting.
+    *  - The bucket relation is persisted (stats scan + member join);
+    *    lifecycle = caller's clearCache, the d3/d7 accounting.
     */
   def spanNearDup(docs: DataFrame, span: Int): DataFrame = {
-    val toks = docs
-      .withColumn("__toks", tokens(col("text")))
+    val sigs = docs
       .select(col("doc_id"),
-        greatest(lit(1L), floor(size(col("__toks")) / lit(span))).as("__k"),
-        // _outer: split() always yields >= 1 element (empty text -> [""]),
-        // so outer semantics never fire — but they spare Generate its
-        // non-empty guard filter, which re-evaluates the split twice more
-        // per row as a pushed condition
-        posexplode_outer(col("__toks")))
-    val sigs = toks
-      .select(col("doc_id"),
-        least(floor(col("pos") / lit(span)), col("__k") - 1).as("span_idx"),
-        col("col").as("tok"))
-      .groupBy(col("doc_id"), col("span_idx"))
-      .agg(min(md5(concat(lit("0:"), col("tok")))).as("h0"),
-        sigCols(8).tail.map(j =>
-          min(md5(concat(lit(s"$j:"), col("tok")))).as(s"h$j")): _*)
+        explode(org.apache.spark.sql.graft.SpanMinHash
+          .spanMinHash(col("text"), span)).as("sg"))
+      .select(col("doc_id") +: col("sg.span_idx").as("span_idx") +:
+        sigCols(8).map(j => col(s"sg.h$j").as(s"h$j")): _*)
     val buckets = sigs
       .select(col("doc_id"), col("span_idx"), explode(array(
         concat(lit("0:"), md5(concat(col("h0"), col("h1"), col("h2"), col("h3")))),

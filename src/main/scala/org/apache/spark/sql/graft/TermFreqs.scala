@@ -65,26 +65,37 @@ object TermFreqs {
 
   /** First-occurrence-ordered (term, count) pairs of the whitespace
     * tokens of the space-trimmed string — see class doc for the exact
-    * split-equivalence contract. */
+    * split-equivalence contract.
+    *
+    * ZERO-COPY: the scan walks `getByte` and term slices alias the
+    * string's OWN buffer via `fromAddress(base, offset+start, len)` —
+    * no per-document byte-array copy (the round-7 profile note: the
+    * `getBytes` defensive copy was the one allocation a 100-TB profile
+    * would surface). Sound under the InternalRow contract: every
+    * buffering consumer (agg hash maps, sorters, UnsafeProjection
+    * output) copies bytes out before the source buffer can be reused,
+    * and the slices themselves only live inside this eval's map plus
+    * the returned array the caller immediately consumes. */
   def freqs(s: UTF8String): ArrayData = {
-    val all = s.getBytes // one defensive copy; slices then alias into it
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
     val bounds = TokenCount.spaceTrimBounds(s) // shared trim + \s contract
     val from = (bounds >>> 32).toInt
     val to = bounds.toInt
 
     val counts = new java.util.LinkedHashMap[UTF8String, Long]()
     def emit(segStart: Int, segEnd: Int): Unit = {
-      val t = UTF8String.fromBytes(all, segStart, segEnd - segStart)
+      val t = UTF8String.fromAddress(base, off + segStart, segEnd - segStart)
       counts.put(t, counts.getOrDefault(t, 0L) + 1L)
     }
     var segStart = from
     var i = from
     while (i < to) {
-      if (TokenCount.isWs(all(i))) {
+      if (TokenCount.isWs(s.getByte(i))) {
         emit(segStart, i)
         // skip the whole separator run
         i += 1
-        while (i < to && TokenCount.isWs(all(i))) i += 1
+        while (i < to && TokenCount.isWs(s.getByte(i))) i += 1
         segStart = i
       } else i += 1
     }

@@ -135,8 +135,17 @@ def main():
                 r = perturb_embeddings(r, rep)
             reps.append(r)
         big = pa.concat_tables(reps)
-        # multiple row groups so Spark/DuckDB can parallelize the scan
-        pq.write_table(big, f"{out}/{name}.parquet", row_group_size=200_000)
+        # Row groups sized to the bench's 2 MB scan split: Spark's scan
+        # parallelism is #row-groups, not #splits — a 170 MB documents
+        # file written as 3×200K-row groups ran x15's signature kernel on
+        # 3 of 32 cores (14 s) while the identical plan over split-matched
+        # row groups used all 32 (4 s). Real deployments write many
+        # split-sized files, so small row groups here is what makes the
+        # local measurement faithful to the 100-TB plan shape.
+        rows_per_2mb = max(1000, int(big.num_rows * 2_000_000 /
+                                     max(1, big.nbytes)))
+        pq.write_table(big, f"{out}/{name}.parquet",
+                       row_group_size=min(200_000, rows_per_2mb))
         print(f"{name}: {t.num_rows} -> {big.num_rows} rows")
 
 
