@@ -47,7 +47,13 @@ final case class FuseRankConfig(
     params: EncoderParams = EncoderParams(),
     /** fit + apply best normalizing transforms to dense columns
       * (reference create_schemas, src/load.py:16-19) */
-    fitTransforms: Boolean = false)
+    fitTransforms: Boolean = false,
+    /** binary payload columns indexed as image modality blocks (luma
+      * contrast signatures — see [[graft.encode.ImageBlock]]); disjoint
+      * from auxCols (payloads are not profiled) */
+    imageCols: Seq[String] = Nil,
+    imageGrid: (Int, Int) = (4, 4),
+    imageCodec: graft.multimodal.Multimodal.Codec = graft.multimodal.Multimodal.imageIo)
 
 final class FuseRankEngine private (
     val items: DataFrame,
@@ -100,7 +106,10 @@ final class FuseRankEngine private (
             f.copy(lo = t.applyScalar(f.lo), hi = t.applyScalar(f.hi))
           case f => f
         }
-        Rerank.rerank(gathered, scaledFilters, minMax, geoCols)
+        val imageBlocks = layout.blocks.collect {
+          case b: ImageBlock => b.name -> b
+        }.toMap
+        Rerank.rerank(gathered, scaledFilters, minMax, geoCols, imageBlocks)
           .orderBy(col("relevance").desc, col(idCol))
     }
   }
@@ -221,7 +230,14 @@ object FuseRankEngine {
         }
       }
     }
-    val layout = VectorLayout(textBlock +: auxBlocks)
+    require(imageCols.intersect(auxCols).isEmpty,
+      s"imageCols and auxCols overlap: ${imageCols.intersect(auxCols).mkString(",")}")
+    val imageBlocks: Seq[Block] = imageCols.map { c =>
+      require(items.schema(c).dataType == org.apache.spark.sql.types.BinaryType,
+        s"image column '$c' must be binary, got ${items.schema(c).dataType}")
+      ImageBlock(c, imageGrid._1, imageGrid._2, imageCodec)
+    }
+    val layout = VectorLayout(textBlock +: (auxBlocks ++ imageBlocks))
     // 4. narrow encode projection: weighted text fusion (partition-local
     //    compiled embedder) + modality blocks. Single-row-group inputs give
     //    parquet scans ONE task — spread the one-time index build across

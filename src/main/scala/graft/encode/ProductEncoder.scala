@@ -82,6 +82,27 @@ final case class TextBlock(name: String, dim: Int) extends Block {
   def encode: Column = col(name).cast("array<double>")
 }
 
+/** Image modality block: a binary payload column (PNG/JPEG/GIF/BMP via
+  * [[graft.multimodal.Multimodal.imageIo]], synthetic fake-header via
+  * `default`) becomes a zero-centered L2-normalized mean-luma contrast
+  * signature on a fixed gridW×gridH grid, plus a null indicator (0
+  * decoded / −1 undecodable — the [[GeoBlock]] convention). The signature
+  * contract lives in ONE function
+  * ([[org.apache.spark.sql.graft.ImageGridMath.signature]]) shared with
+  * the query encoder, so product/query alignment is by construction.
+  * Extends the reference's modality concept (src/encode.py:103 block
+  * concat) to the media payloads its UI never indexes. */
+final case class ImageBlock(name: String, gridW: Int = 4, gridH: Int = 4,
+    codec: graft.multimodal.Multimodal.Codec =
+      graft.multimodal.Multimodal.imageIo) extends Block {
+  val dim: Int = gridW * gridH + 1
+  /** Null payloads take the undecodable block (zeros + −1 indicator) via
+    * coalesce — the expression itself is null-in→null-out. */
+  def encode: Column = coalesce(
+    org.apache.spark.sql.graft.ImageLumaGrid.block(col(name), gridW, gridH, codec),
+    array((Seq.fill(gridW * gridH)(0.0) :+ -1.0).map(lit): _*))
+}
+
 /** Ordered fused-vector layout (reference block concat, src/encode.py:103).
   * Offsets let a query touch few modalities while the per-block columns
   * keep Parquet column pruning useful (SURVEY.md §4 physical layout).

@@ -1,6 +1,6 @@
 package graft.query
 
-import graft.encode.{Block, BinaryBlock, DenseBlock, FourierMath, GeoBlock, SparseBlock, TextBlock, VectorLayout}
+import graft.encode.{Block, BinaryBlock, DenseBlock, FourierMath, GeoBlock, ImageBlock, SparseBlock, TextBlock, VectorLayout}
 import graft.profile.Profiler
 import graft.transform.FittedTransform
 import org.apache.spark.sql.DataFrame
@@ -30,6 +30,10 @@ final case class DensePointFilter(column: String, value: Double,
 /** Dense interval [lo, hi] in original units (reference src/encode.py:175-183). */
 final case class DenseIntervalFilter(column: String, lo: Double, hi: Double,
                                      negated: Boolean = false, weight: Double = 1.0) extends Filter
+/** Image-similarity filter: a query image payload (any format the block's
+  * codec decodes). Negation flips the signature ("visually unlike this"). */
+final case class ImageFilter(column: String, payload: Array[Byte],
+                             negated: Boolean = false, weight: Double = 1.0) extends Filter
 /** Explicit "no filter" for a modality: zero block, dims participate but
   * contribute 0 (reference value=None, src/encode.py:116-117). */
 final case class NoFilter(column: String, weight: Double = 1.0) extends Filter
@@ -64,6 +68,7 @@ object QueryEncoder {
       case b: BinaryBlock => out ++= encodeBinary(b, filters.get(b.name))
       case b: GeoBlock    => out ++= encodeGeo(b, filters.get(b.name), farthest)
       case b: DenseBlock  => out ++= encodeDense(b, filters.get(b.name), transforms, params)
+      case b: ImageBlock  => out ++= encodeImage(b, filters.get(b.name))
     }
     out.result()
   }
@@ -129,6 +134,23 @@ object QueryEncoder {
         weighted(new Array[Double](2 * k + 4) :+ 1.0, w)
       case _ => new Array[Double](b.dim)
     }
+  }
+
+  /** Image query: the SAME signature function the product expression runs
+    * ([[org.apache.spark.sql.graft.ImageGridMath.signature]]), so the dot
+    * against an indexed image is exactly the cosine of the two contrast
+    * signatures. Indicator dim always +1·w after negation (Geo convention:
+    * undecodable/missing product images score −w). An undecodable QUERY
+    * payload is a caller error — loud, not a zero block. */
+  def encodeImage(b: ImageBlock, f: Option[Filter]): Array[Double] = f match {
+    case Some(ImageFilter(_, payload, neg, w)) =>
+      val sig = org.apache.spark.sql.graft.ImageGridMath.signature(
+        b.codec, payload, b.gridW, b.gridH)
+      require(sig != null, s"query image for '${b.name}' is not decodable by the block codec")
+      val signed = if (neg) sig.map(-_) else sig
+      weighted(signed :+ 1.0, w)
+    case Some(NoFilter(_, w)) => weighted(new Array[Double](b.dim - 1) :+ 1.0, w)
+    case _ => new Array[Double](b.dim)
   }
 
   /** Farthest-point resolver backed by a Spark aggregate over the items

@@ -1,6 +1,6 @@
 package graft.rerank
 
-import graft.encode.FourierMath
+import graft.encode.{FourierMath, ImageBlock}
 import graft.functions.Geo
 import graft.query._
 import org.apache.spark.sql.{Column, DataFrame}
@@ -45,7 +45,8 @@ object Rerank {
     * dense point mode. Returns df with `relevance` updated.
     */
   def applyFilter(df: DataFrame, f: Filter, colMin: Double, colMax: Double,
-                  geoCols: Map[String, (String, String)] = Map.empty): DataFrame = {
+                  geoCols: Map[String, (String, String)] = Map.empty,
+                  imageBlocks: Map[String, ImageBlock] = Map.empty): DataFrame = {
     val n = count(lit(1)).over(Window.partitionBy())
     val c = col(f.column)
     val rank: Option[Column] = f match {
@@ -120,6 +121,24 @@ object Rerank {
         val anyMatch = max(when(c.isin(sel: _*), 1).otherwise(0))
           .over(Window.partitionBy())
         Some(when(anyMatch === 1, normRank(key, ascending = negated, n)).otherwise(0.0))
+      // Image (library extension — no reference analog): rank the k rows
+      // by cosine of luma contrast signatures against the query image, via
+      // the SAME block expression the retrieval index uses. Undecodable /
+      // missing row images rank strictly below any true cosine (the −1
+      // indicator dim, scaled past the cosine range) instead of poisoning
+      // relevance to null — a modality extension convention, not a
+      // reference-replication one.
+      case ImageFilter(column, payload, negated, _) =>
+        val b = imageBlocks.getOrElse(column, ImageBlock(column))
+        val qsig = org.apache.spark.sql.graft.ImageGridMath.signature(
+          b.codec, payload, b.gridW, b.gridH)
+        require(qsig != null, s"query image for '$column' is not decodable by the block codec")
+        val vec = b.encode
+        val cosine = qsig.zipWithIndex
+          .map { case (s, i) => element_at(vec, i + 1) * lit(s) }
+          .reduce(_ + _)
+        val key = cosine + lit(1.5) * element_at(vec, b.dim)
+        Some(normRank(key, ascending = !negated, n))
       case _: NoFilter => None
     }
     rank match {
@@ -133,9 +152,10 @@ object Rerank {
     * (reference iterates aux_data in dict order, src/encode.py:204). */
   def rerank(result: DataFrame, filters: Seq[Filter],
              minMax: Map[String, (Double, Double)],
-             geoCols: Map[String, (String, String)] = Map.empty): DataFrame =
+             geoCols: Map[String, (String, String)] = Map.empty,
+             imageBlocks: Map[String, ImageBlock] = Map.empty): DataFrame =
     filters.foldLeft(result) { (df, f) =>
       val (mn, mx) = minMax.getOrElse(f.column, (Double.NaN, Double.NaN))
-      applyFilter(df, f, mn, mx, geoCols)
+      applyFilter(df, f, mn, mx, geoCols, imageBlocks)
     }
 }

@@ -182,4 +182,59 @@ class EngineSpec extends SparkSpec {
     // top hits should be within metro distance, not across the country
     assert(dists.count(_ < 100) >= 12, s"distances: ${dists.map(_.round).mkString(",")}")
   }
+
+  test("image modality end-to-end: an image filter reorders retrieval") {
+    import spark.implicits._
+    def png(w: Int, h: Int)(fill: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = fill(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // three visually distinct logos; item 1's TEXT matches the query best
+    val vertical = png(16, 16)((_, y) => y * 15)         // top-dark gradient
+    val horizontal = png(16, 16)((x, _) => x * 15)       // left-dark gradient
+    val diagonal = png(16, 16)((x, y) => (x + y) * 8)
+    val items = Seq(
+      (1, "red bistro pasta kitchen", vertical),
+      (2, "blue diner", horizontal),
+      (3, "green cafe", diagonal),
+      (4, "yellow bar", null.asInstanceOf[Array[Byte]])) // no logo at all
+      .toDF("row_id", "name", "logo")
+    val eng = FuseRankEngine.index(items, FuseRankConfig(
+      idCol = "row_id",
+      textCols = Map("name" -> 1.0),
+      auxCols = Seq.empty,
+      imageCols = Seq("logo"),
+      params = graft.encode.EncoderParams(numHarmonics = 8)))
+    assert(eng.layout.blocks.map(_.getClass.getSimpleName).contains("ImageBlock"))
+    // text-only: item 1 wins on its name
+    val base = eng.search("red bistro pasta", Seq.empty, k = 4)
+      .select("row_id").as[Int].collect()
+    assert(base.head == 1, s"text-only order: ${base.mkString(",")}")
+    // same text + a query logo rendered at a DIFFERENT size but the same
+    // horizontal-gradient structure as item 2's: the image filter must
+    // lift item 2 over the text-best item
+    val queryLogo = png(24, 24)((x, _) => x * 10)
+    val filtered = eng.search("red bistro pasta",
+      Seq(ImageFilter("logo", queryLogo, weight = 4.0)), k = 4)
+      .select("row_id").as[Int].collect()
+    assert(filtered.head == 2, s"image-filtered order: ${filtered.mkString(",")}")
+    assert(base.toSeq != filtered.toSeq)
+    // the no-logo item is penalized by the indicator dim: last place
+    assert(filtered.last == 4)
+    // re-ranking mode: the image rank adjustment lifts the matching logo
+    // too, and the missing-logo row ranks below every decodable one
+    val rr = eng.search("red bistro pasta",
+      Seq(ImageFilter("logo", queryLogo, weight = 4.0)), k = 4,
+      method = SearchMethod.Reranking)
+      .select("row_id").as[Int].collect()
+    assert(rr.head == 2, s"re-ranked order: ${rr.mkString(",")}")
+    assert(rr.last == 4)
+  }
 }

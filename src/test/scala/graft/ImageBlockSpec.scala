@@ -1,0 +1,120 @@
+package graft
+
+import graft.encode.{ImageBlock, TextBlock, VectorLayout}
+import graft.multimodal.Multimodal
+import graft.query.{ImageFilter, NoFilter, QueryEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ImageGridMath
+
+/** Pins the image modality block contract (VERDICT r7 ask #8): layout
+  * dims/offsets, the zero-centered L2-normalized mean-luma signature, the
+  * Geo-convention null indicator, product/query parity through the shared
+  * signature function, and partitioning-independence of the expression.
+  */
+class ImageBlockSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic in-memory PNG: fill(x, y) → 0-255 luma, rendered as an
+    * RGB image through javax.imageio — exercises the REAL decode path. */
+  private def png(w: Int, h: Int)(fill: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = fill(x, y) & 0xff
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private val block = ImageBlock("img", gridW = 2, gridH = 2)
+
+  test("layout: dim is gridW*gridH + 1 and offsets line up after a text block") {
+    val layout = VectorLayout(Seq(TextBlock("text_vec", 8), block))
+    assert(block.dim == 5)
+    assert(layout.dim == 13)
+    assert(layout.offsets("img") == 8)
+  }
+
+  test("signature: pinned value for a half-bright PNG (center + normalize)") {
+    // left half luma 0, right half luma 200 → 2x2 grid [0,200,0,200],
+    // centered [-100,100,-100,100], norm 200 → exactly [-.5,.5,-.5,.5]
+    val p = png(8, 8)((x, _) => if (x < 4) 0 else 200)
+    val sig = ImageGridMath.signature(Multimodal.imageIo, p, 2, 2)
+    assert(sig.length == 4)
+    val expect = Array(-0.5, 0.5, -0.5, 0.5)
+    sig.zip(expect).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
+  }
+
+  test("signature: luma grid is grayscale-exact and resolution-pooled") {
+    // 16x16 quadrant image pooled to 2x2: each cell is one quadrant's mean
+    val p = png(16, 16)((x, y) => (if (y < 8) 0 else 2) * 40 + (if (x < 8) 0 else 1) * 40)
+    val sig = ImageGridMath.signature(Multimodal.imageIo, p, 2, 2)
+    // grid [0,40,80,120] → centered [-60,-20,20,60], norm sqrt(2*3600+2*400)
+    val n = math.sqrt(2 * 3600.0 + 2 * 400.0)
+    val expect = Array(-60 / n, -20 / n, 20 / n, 60 / n)
+    sig.zip(expect).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
+  }
+
+  test("product block: decoded → indicator 0; null → zeros + -1; garbage → zeros + -1; flat → zero sig") {
+    val rows = Seq(
+      (1, png(8, 8)((x, _) => x * 30)),           // decodable, non-flat
+      (2, null.asInstanceOf[Array[Byte]]),        // missing payload
+      (3, Array[Byte](1, 2, 3)),                  // undecodable by every codec path
+      (4, png(8, 8)((_, _) => 77)))               // flat: zero signature, decoded
+    val out = rows.toDF("id", "img")
+      .withColumn("vec", block.encode)
+      .orderBy("id").select("vec").as[Seq[Double]].collect()
+    assert(out.forall(_.length == 5))
+    val Seq(ok, miss, garbage, flat) = out.toSeq
+    assert(ok.last == 0.0 && math.abs(ok.dropRight(1).map(x => x * x).sum - 1.0) < 1e-12)
+    assert(math.abs(ok.dropRight(1).sum) < 1e-9) // zero-centered
+    assert(miss == Seq(0.0, 0.0, 0.0, 0.0, -1.0))
+    assert(garbage == Seq(0.0, 0.0, 0.0, 0.0, -1.0))
+    assert(flat == Seq(0.0, 0.0, 0.0, 0.0, 0.0))
+  }
+
+  test("expression is partitioning-independent and matches the driver-side math") {
+    val payloads = (0 until 12).map(i => (i, png(9, 7)((x, y) => x * i + y * 3)))
+    def run(parts: Int) = payloads.toDF("id", "img").repartition(parts)
+      .withColumn("vec", block.encode)
+      .orderBy("id").select("vec").as[Seq[Double]].collect().toSeq
+    val one = run(1)
+    assert(one == run(5))
+    payloads.zip(one).foreach { case ((_, p), vec) =>
+      val sig = ImageGridMath.signature(Multimodal.imageIo, p, 2, 2)
+      sig.zip(vec).foreach { case (s, v) => assert(s == v) }
+      assert(vec.last == 0.0)
+    }
+  }
+
+  test("query encode: parity, weight, negation, NoFilter, undecodable is loud") {
+    val p = png(10, 10)((x, y) => x * 20 + y)
+    val sig = ImageGridMath.signature(Multimodal.imageIo, p, 2, 2)
+    val q = QueryEncoder.encodeImage(block, Some(ImageFilter("img", p, weight = 2.0)))
+    assert(q.length == 5)
+    sig.zipWithIndex.foreach { case (s, i) => assert(q(i) == 2.0 * s) }
+    assert(q.last == 2.0) // indicator always +1·w
+    val neg = QueryEncoder.encodeImage(block, Some(ImageFilter("img", p, negated = true)))
+    sig.zipWithIndex.foreach { case (s, i) => assert(neg(i) == -s) }
+    assert(neg.last == 1.0) // indicator not flipped
+    assert(QueryEncoder.encodeImage(block, None).forall(_ == 0.0))
+    assert(QueryEncoder.encodeImage(block, Some(NoFilter("img"))).toSeq ==
+      Seq(0.0, 0.0, 0.0, 0.0, 1.0))
+    intercept[IllegalArgumentException] {
+      QueryEncoder.encodeImage(block, Some(ImageFilter("img", Array[Byte](9))))
+    }
+  }
+
+  test("cosine semantics: identical image scores +w, inverted image scores -w") {
+    val a = png(12, 12)((x, _) => if (x < 6) 20 else 220)
+    val inv = png(12, 12)((x, _) => if (x < 6) 220 else 20)
+    val sa = ImageGridMath.signature(Multimodal.imageIo, a, 2, 2)
+    val sInv = ImageGridMath.signature(Multimodal.imageIo, inv, 2, 2)
+    val dotSelf = sa.zip(sa).map { case (x, y) => x * y }.sum
+    val dotInv = sa.zip(sInv).map { case (x, y) => x * y }.sum
+    assert(math.abs(dotSelf - 1.0) < 1e-12)
+    assert(math.abs(dotInv + 1.0) < 1e-12)
+  }
+}
