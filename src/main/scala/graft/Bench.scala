@@ -56,10 +56,35 @@ object Bench {
     builder.config("spark.sql.adaptive.enabled", "false")
     // SF-sized inputs are single-digit-MB parquet files — at the default
     // 128 MB split size every scan is ONE task and narrow pipelines run on
-    // one core. 2 MB splits spread the scan across the local[32] cores.
-    // (At real scale files exceed the split size and the default is right —
-    // per-deployment knob, not library behavior.)
-    builder.config("spark.sql.files.maxPartitionBytes", "2m")
+    // one core, so the harness shrinks the split size to spread scans
+    // across the local[32] cores. Round 8's sf10 superlinearity screen
+    // proved a FIXED small split cannot be right across scale decades: at
+    // sf10 a 2 MB split turned a 1.2 GB lineitem scan into ~600 tasks,
+    // each parsing the full multi-hundred-row-group footer — #tasks and
+    // footer size both grow with data, so total overhead grows
+    // QUADRATICALLY (t2_sqrt: 7.97 s at 2 MB vs 0.32 s at 128 MB, same
+    // data, same plan). Size the split from the data instead: target ~2
+    // tasks per core on the largest table, clamped to [2 MB, Spark's
+    // 128 MB default]. sf0.1/sf1 land on the 2 MB floor (bit-identical to
+    // the old behavior); sf10 gets ~19 MB splits — measured best-total
+    // compromise across scan-bound queries (which prefer even bigger
+    // splits: fewer per-task footer parses) and CPU-bound-on-the-scan
+    // queries like x11 (which prefer more tasks; most heavy operators
+    // instead repartition via Tables.spread and are split-insensitive).
+    // Real deployments exceed the cap and get the default. (Harness
+    // config, not library behavior — a cluster sizes this per-deployment.)
+    val splitBytes = {
+      val nCpu = scala.util.Try(cpus.toInt).getOrElse(32).max(1)
+      val maxTableBytes = scala.util.Try {
+        val root = new java.io.File(sfDir)
+        root.listFiles().map { f =>
+          if (f.isDirectory) f.listFiles().filter(_.isFile).map(_.length).sum
+          else f.length
+        }.max
+      }.getOrElse(0L)
+      (maxTableBytes / (2L * nCpu)).max(2L << 20).min(128L << 20)
+    }
+    builder.config("spark.sql.files.maxPartitionBytes", splitBytes.toString)
     // ad-hoc config experiments: "k1=v1,k2=v2"
     sys.env.get("SPARK_GRAFT_BENCH_CONF").foreach(_.split(",").filter(_.contains("="))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
