@@ -814,6 +814,100 @@ object TextDedup {
                   round(sum(dup)::DOUBLE / count(*), 6) + 0.0 AS dup_frac
            FROM sd GROUP BY doc_id ORDER BY doc_id"""))
 
+  // X16 PII detection + redaction — the scrub pass every public-corpus
+  // curation pipeline runs before training (emails/phones here; more
+  // entity regexes slot into the same shape). The synthetic corpus
+  // carries no PII, so the query INJECTS deterministic entities first
+  // (doc_id-derived, mirrored verbatim in the twin) — the detectors are
+  // then proven against known ground truth: every doc_id % 3 == 0 doc
+  // must count exactly one email, % 5 == 0 one phone, and the md5 of the
+  // redacted text pins the REPLACEMENT itself, not just the counts.
+  // Match counts via the split cardinality (#elements − 1): DuckDB 1.0
+  // has no regexp_count, and `string_split_regex` is the one regex
+  // surface already proven to agree with Spark's `split` (x15). Scale
+  // shape: one narrow row-local projection — regex scan at scan speed,
+  // no shuffle, nothing collected.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+1-555-[0-9]{4}"
+  private val x16 = Q(
+    "x16_pii_scrub",
+    (s, d) => {
+      val injected = Tables.documents(s, d).select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text"))
+      injected.select(
+        col("doc_id"),
+        (size(split(col("text"), EmailRe, -1)) - 1).cast("long").as("n_emails"),
+        (size(split(col("text"), PhoneRe, -1)) - 1).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).as("redacted_hash"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH inj AS (SELECT doc_id, text
+               || CASE WHEN doc_id % 3 = 0
+                    THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                    ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                    THEN ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                    ELSE '' END AS text
+             FROM documents)
+             SELECT doc_id,
+               (len(string_split_regex(text, '$EmailRe')) - 1)::BIGINT AS n_emails,
+               (len(string_split_regex(text, '$PhoneRe')) - 1)::BIGINT AS n_phones,
+               md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+                 '$PhoneRe', '<PHONE>', 'g')) AS redacted_hash
+             FROM inj ORDER BY doc_id"""))
+
+  // X17 out-of-vocabulary rate against the corpus top-K vocabulary — the
+  // CCNet/Dolma-family quality gate ("how much of this document is made
+  // of tokens the corpus itself considers common?") with EXACT integer
+  // arithmetic instead of an LM perplexity: ln is the one common op IEEE
+  // does not require correctly rounded (see x13's idf-ratio note), while
+  // tf sums and one final division hash-match bit-for-bit. Scale shape:
+  // tf row-local (native TermFreqs — the corpus never shuffles raw
+  // tokens), corpus frequencies partial-aggregate to vocab-sized state,
+  // the top-K vocabulary is a tiny deterministic (count desc, term) head
+  // broadcast back, and the per-doc fraction is one hash aggregate.
+  private val X17K = 20
+  private val x17 = Q(
+    "x17_oov_rate",
+    (s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(org.apache.spark.sql.graft.TermFreqs.termFreqs(col("text"))).as("te"))
+        .select(col("doc_id"), col("te.term").as("term"), col("te.tf").as("tf"))
+      val topk = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+        .orderBy(col("c").desc, col("term")).limit(X17K)
+        .select(col("term"), lit(1).as("__v"))
+      tf.join(broadcast(topk), Seq("term"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tokens"),
+          sum(when(col("__v").isNotNull, col("tf")).otherwise(lit(0))).as("n_vocab"))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          (round(lit(1.0) - col("n_vocab").cast("double")
+            / col("n_tokens").cast("double"), 6) + lit(0.0)).as("oov_frac"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+               FROM (SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
+                     FROM documents)
+               GROUP BY doc_id, tok),
+             topk AS (SELECT term FROM
+               (SELECT term, sum(tf) AS c FROM tf GROUP BY term)
+               ORDER BY c DESC, term LIMIT $X17K)
+             SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+               round(1.0::DOUBLE - sum(CASE WHEN term IN (SELECT term FROM topk)
+                   THEN tf ELSE 0 END)::DOUBLE / sum(tf)::DOUBLE, 6) + 0.0
+                 AS oov_frac
+             FROM tf GROUP BY doc_id ORDER BY doc_id"""))
+
   // ST1 event-time hourly window aggregation (batch twin of the
   // Structured Streaming tumbling-window pipeline in graft.streaming).
   private val st1 = Q(
@@ -924,5 +1018,5 @@ object TextDedup {
             ORDER BY user_id, session_start"""))
 
   val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, d8, x1, x2, x3, x4, x5, x6, x7,
-    x8, x9, x10, x11, x12, x13, x14, x15, st1, st2)
+    x8, x9, x10, x11, x12, x13, x14, x15, x16, x17, st1, st2)
 }

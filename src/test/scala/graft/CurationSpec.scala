@@ -100,4 +100,47 @@ class CurationSpec extends SparkSpec {
     val c = q("x14_freq_subsample", dir2).collect().toSeq
     assert(c === a)
   }
+
+  test("x16 PII scrub: injected + pre-existing entities counted, redaction hash exact") {
+    // id 15: %3 and %5 → email AND phone injected; id 3: email only;
+    // id 5: phone only; id 1: no injection but the TEXT carries an email —
+    // detection must catch organic PII, not just the injected ground truth
+    val dir = fixtureDir(Seq(
+      (1L, "reach alice@corp.io today", "en", "s"),
+      (3L, "plain words only", "en", "s"),
+      (5L, "more plain words", "en", "s"),
+      (7L, "nothing here", "en", "s"),
+      (15L, "both kinds", "en", "s")))
+    val got = q("x16_pii_scrub", dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L)._1 == 1 && got(1L)._2 == 0)   // organic email, no phone
+    assert(got(3L)._1 == 1 && got(3L)._2 == 0)   // injected email
+    assert(got(5L)._1 == 0 && got(5L)._2 == 1)   // injected phone
+    assert(got(7L)._1 == 0 && got(7L)._2 == 0)   // clean
+    assert(got(15L)._1 == 1 && got(15L)._2 == 1) // both injected
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // redacted text pinned byte-for-byte, not just counted
+    assert(got(1L)._3 == md5hex("reach <EMAIL> today"))
+    assert(got(15L)._3 == md5hex("both kinds contact <EMAIL> call <PHONE>"))
+    assert(got(7L)._3 == md5hex("nothing here"))
+  }
+
+  test("x17 OOV rate: hand-computed fractions against a 20-term vocabulary") {
+    val vocab = (1 to 20).map(i => f"w$i%02d")
+    val fillers = (10L to 12L).map(id => (id, vocab.mkString(" "), "en", "s"))
+    val dir = fixtureDir(fillers ++ Seq(
+      (1L, "w01 w02 w03 w04", "en", "s"),   // all in vocab → 0.0
+      (2L, "r1 r2 w01 w02", "en", "s"),     // half rare → 0.5
+      (3L, "r3 r4 r5 r3", "en", "s")))      // all rare → 1.0
+    val got = q("x17_oov_rate", dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // every w* appears ≥3 times corpus-wide, every r* ≤2 — the top-20
+    // vocabulary is exactly the w's, no tie across the boundary
+    assert(got(1L) == ((4L, 0.0)))
+    assert(got(2L) == ((4L, 0.5)))
+    assert(got(3L) == ((4L, 1.0)))
+    fillers.foreach { case (id, _, _, _) => assert(got(id) == ((20L, 0.0))) }
+  }
 }
