@@ -753,19 +753,27 @@ object TextDedup {
     *  - The bucket relation is persisted (stats scan + member join);
     *    lifecycle = caller's clearCache, the d3/d7 accounting.
     */
-  def spanNearDup(docs: DataFrame, span: Int): DataFrame = {
+  /** Per-span LSH bucket membership (doc_id, span_idx, bucket) — the
+    * shared first half of [[spanNearDup]] and [[spanExcise]]. Persisted:
+    * both consumers scan it twice (bucket stats + member join);
+    * lifecycle = caller's clearCache, the d3/d7 accounting. */
+  private def spanBuckets(docs: DataFrame, span: Int): DataFrame = {
     val sigs = docs
       .select(col("doc_id"),
         explode(org.apache.spark.sql.graft.SpanMinHash
           .spanMinHash(col("text"), span)).as("sg"))
       .select(col("doc_id") +: col("sg.span_idx").as("span_idx") +:
         sigCols(8).map(j => col(s"sg.h$j").as(s"h$j")): _*)
-    val buckets = sigs
+    sigs
       .select(col("doc_id"), col("span_idx"), explode(array(
         concat(lit("0:"), md5(concat(col("h0"), col("h1"), col("h2"), col("h3")))),
         concat(lit("1:"), md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))))))
         .as("bucket"))
       .persist()
+  }
+
+  def spanNearDup(docs: DataFrame, span: Int): DataFrame = {
+    val buckets = spanBuckets(docs, span)
     val stats = buckets.groupBy(col("bucket"))
       .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"))
     buckets.join(stats, "bucket")
@@ -813,6 +821,90 @@ object TextDedup {
                   sum(dup)::BIGINT AS n_dup_spans,
                   round(sum(dup)::DOUBLE / count(*), 6) + 0.0 AS dup_frac
            FROM sd GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** X18 surgical span excision — x15's actionable follow-up and the
+    * operation Lee et al.'s substring dedup actually performs: REMOVE
+    * every duplicated span, keeping the FIRST occurrence corpus-wide
+    * (the bucket's min doc_id keeps its span; strictly-larger doc_ids
+    * drop theirs; intra-document repeats are x6's territory and kept).
+    * Output per document: span counts and the md5 of the excised text —
+    * the rewrite itself is under the oracle hash, not just the flags.
+    *
+    * Plan shape: span flags reuse [[spanBuckets]] (row-local native
+    * signatures, per-bucket min — pairs never materialize); the flags
+    * aggregate to ONE array row per document and equi-join back to the
+    * corpus on doc_id; reconstruction is then row-local array surgery
+    * (filter kept spans → slice token ranges → flatten → concat_ws).
+    * Whitespace normalizes to single spaces — deterministic, mirrored in
+    * the twin (string_agg with the same separator). At 100 TB: one
+    * bucket-stats aggregate, one doc_id equi-join, everything else
+    * narrow. */
+  def spanExcise(docs: DataFrame, span: Int): DataFrame = {
+    val buckets = spanBuckets(docs, span)
+    val firstSeen = buckets.groupBy(col("bucket"))
+      .agg(min(col("doc_id")).as("__mn"))
+    val drops = buckets.join(firstSeen, "bucket")
+      .groupBy(col("doc_id"), col("span_idx"))
+      .agg(max(when(col("__mn") < col("doc_id"), lit(1)).otherwise(lit(0)))
+        .as("__drop"))
+    val flags = drops.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("span_idx"), col("__drop"))))
+        .as("fl"))
+    val k = size(col("fl"))
+    val keptSpans = filter(col("fl"), s => s.getField("__drop") === 0)
+    val keptToks = flatten(transform(keptSpans, s => {
+      val i = s.getField("span_idx")
+      slice(col("toks"), i * span + 1,
+        when(i === k - 1, size(col("toks")) - i * span).otherwise(lit(span)))
+    }))
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .join(flags, "doc_id")
+      .select(col("doc_id"),
+        k.cast("long").as("n_spans"),
+        size(keptSpans).cast("long").as("n_kept_spans"),
+        md5(concat_ws(" ", keptToks)).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
+  private val x18 = Q(
+    "x18_span_excise",
+    (s, d) => spanExcise(Tables.spread(Tables.documents(s, d)), X15Span),
+    Some(s"""WITH t AS (SELECT doc_id,
+               string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS toks
+             FROM documents),
+           tk AS (SELECT doc_id,
+                    greatest(1, len(toks) // $X15Span) AS k,
+                    unnest(range(len(toks))) AS pos,
+                    unnest(toks) AS tok
+                  FROM t),
+           sig AS (SELECT doc_id, least(pos // $X15Span, k - 1) AS span_idx,
+                     min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1,
+                     min(md5('2:' || tok)) AS h2, min(md5('3:' || tok)) AS h3,
+                     min(md5('4:' || tok)) AS h4, min(md5('5:' || tok)) AS h5,
+                     min(md5('6:' || tok)) AS h6, min(md5('7:' || tok)) AS h7
+                   FROM tk GROUP BY doc_id, span_idx),
+           buck AS (SELECT doc_id, span_idx,
+                      '0:' || md5(h0 || h1 || h2 || h3) AS bucket FROM sig
+                    UNION ALL
+                    SELECT doc_id, span_idx,
+                      '1:' || md5(h4 || h5 || h6 || h7) FROM sig),
+           bs AS (SELECT bucket, min(doc_id) AS mn FROM buck GROUP BY 1),
+           dr AS (SELECT b.doc_id, b.span_idx,
+                    max(CASE WHEN s.mn < b.doc_id THEN 1 ELSE 0 END) AS dropf
+                  FROM buck b JOIN bs s USING (bucket) GROUP BY 1, 2),
+           kept AS (SELECT tk.doc_id,
+                      string_agg(tk.tok, ' ' ORDER BY tk.pos) AS txt
+                    FROM tk JOIN dr ON dr.doc_id = tk.doc_id
+                      AND dr.span_idx = least(tk.pos // $X15Span, tk.k - 1)
+                    WHERE dr.dropf = 0 GROUP BY tk.doc_id),
+           agg AS (SELECT doc_id, count(*) AS n_spans,
+                     sum(CASE WHEN dropf = 0 THEN 1 ELSE 0 END) AS n_kept
+                   FROM dr GROUP BY doc_id)
+           SELECT a.doc_id, a.n_spans::BIGINT AS n_spans,
+                  a.n_kept::BIGINT AS n_kept_spans,
+                  md5(coalesce(k.txt, '')) AS clean_hash
+           FROM agg a LEFT JOIN kept k USING (doc_id)
+           ORDER BY doc_id"""))
 
   // X16 PII detection + redaction — the scrub pass every public-corpus
   // curation pipeline runs before training (emails/phones here; more
@@ -1018,5 +1110,5 @@ object TextDedup {
             ORDER BY user_id, session_start"""))
 
   val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, d8, x1, x2, x3, x4, x5, x6, x7,
-    x8, x9, x10, x11, x12, x13, x14, x15, x16, x17, st1, st2)
+    x8, x9, x10, x11, x12, x13, x14, x15, x16, x17, x18, st1, st2)
 }

@@ -62,4 +62,42 @@ class SpanDedupSpec extends SparkSpec {
     assert(out(2L) == ((1L, 1L, 1.0)))
     assert(out(3L) == ((1L, 0L, 0.0)))
   }
+
+  private def runExcise(docs: Seq[(Long, String)]): Map[Long, (Long, Long, String)] = {
+    import spark.implicits._
+    val df: DataFrame = docs.toDF("doc_id", "text").repartition(3)
+    try TextDedup.spanExcise(df, Span).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    finally spark.catalog.clearCache()
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("excision: the copied paragraph is removed from the LATER doc only") {
+    val shared = para("shared")
+    val a1 = para("a1"); val b1 = para("b1"); val c = para("c1")
+    val out = runExcise(Seq(
+      1L -> (a1 + " " + shared),   // first occurrence: keeps everything
+      2L -> (shared + " " + b1),   // later copy: shared span excised
+      3L -> c))                    // unique: byte-identical rewrite
+    assert(out(1L) == ((2L, 2L, md5hex(a1 + " " + shared))))
+    assert(out(2L) == ((2L, 1L, md5hex(b1))))
+    assert(out(3L) == ((1L, 1L, md5hex(c))))
+  }
+
+  test("excision: a full later duplicate collapses to the empty document") {
+    val p = para("dup", 30)
+    val out = runExcise(Seq(1L -> p, 2L -> p))
+    assert(out(1L) == ((1L, 1L, md5hex(p))))
+    assert(out(2L) == ((1L, 0L, md5hex(""))))
+  }
+
+  test("excision: whitespace normalizes to single spaces but token content is exact") {
+    val out = runExcise(Seq(1L -> "alpha\tbeta   gamma"))
+    // 3 tokens, 1 span, kept whole — reconstructed with single spaces
+    assert(out(1L) == ((1L, 1L, md5hex("alpha beta gamma"))))
+  }
 }
