@@ -107,6 +107,55 @@ class ImageBlockSpec extends SparkSpec {
     }
   }
 
+  /** Minimal RIFF/WAVE writer: 8-bit unsigned mono PCM — the format
+    * [[Multimodal.wavPcm]] decodes. Samples kept in 128–255 so the
+    * re-centered signed bytes stay non-negative (monotone under the
+    * unsigned luma read — see wavPcm's channel-major plane contract). */
+  private def wav(samples: Array[Int]): Array[Byte] = {
+    val n = samples.length
+    val bb = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + n); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1)          // PCM, mono
+    bb.putInt(8000); bb.putInt(8000)        // sample rate, byte rate
+    bb.putShort(1); bb.putShort(8)          // block align, 8-bit
+    bb.put("data".getBytes); bb.putInt(n)
+    samples.foreach(s => bb.put(s.toByte))
+    bb.array()
+  }
+
+  test("audio modality: the SAME block over the wavPcm codec makes audio searchable") {
+    import spark.implicits._
+    // the codec maps audio onto the (w=frames, h=channels) plane, so an
+    // 8x1 grid is an 8-point temporal amplitude envelope per clip
+    val audioBlock = ImageBlock("audio", gridW = 8, gridH = 1,
+      codec = Multimodal.wavPcm)
+    val rampUp = wav((0 until 400).map(i => 128 + (i * 127) / 399).toArray)
+    val rampDown = wav((0 until 400).map(i => 255 - (i * 127) / 399).toArray)
+    val flat = wav(Array.fill(400)(180))
+    val su = org.apache.spark.sql.graft.ImageGridMath
+      .signature(Multimodal.wavPcm, rampUp, 8, 1)
+    val sd = org.apache.spark.sql.graft.ImageGridMath
+      .signature(Multimodal.wavPcm, rampDown, 8, 1)
+    // mirrored envelopes → opposite contrast signatures
+    val dot = su.zip(sd).map { case (a, b) => a * b }.sum
+    assert(dot < -0.95, s"ramp-up vs ramp-down cosine $dot")
+    // retrieval end-to-end with the audio codec plugged into the engine
+    val items = Seq((1, "clip one", rampUp), (2, "clip two", rampDown),
+      (3, "clip three", flat)).toDF("row_id", "name", "audio")
+    val eng = FuseRankEngine.index(items, FuseRankConfig(
+      idCol = "row_id", textCols = Map("name" -> 1.0), auxCols = Seq.empty,
+      imageCols = Seq("audio"), imageGrid = (8, 1),
+      imageCodec = Multimodal.wavPcm,
+      params = graft.encode.EncoderParams(numHarmonics = 8)))
+    // query by a SHORTER ramp-down clip (resampled by the pooling grid)
+    val probe = wav((0 until 100).map(i => 255 - (i * 127) / 99).toArray)
+    val hits = eng.search("clip", Seq(graft.query.ImageFilter("audio", probe,
+      weight = 4.0)), k = 3).select("row_id").as[Int].collect()
+    assert(hits.head == 2, s"audio retrieval order: ${hits.mkString(",")}")
+  }
+
   test("cosine semantics: identical image scores +w, inverted image scores -w") {
     val a = png(12, 12)((x, _) => if (x < 6) 20 else 220)
     val inv = png(12, 12)((x, _) => if (x < 6) 220 else 20)
