@@ -127,24 +127,39 @@ object Rerank {
       // missing row images rank strictly below any true cosine (the −1
       // indicator dim, scaled past the cosine range) instead of poisoning
       // relevance to null — a modality extension convention, not a
-      // reference-replication one.
-      case ImageFilter(column, payload, negated, _) =>
-        val b = imageBlocks.getOrElse(column, ImageBlock(column))
+      // reference-replication one. Negation flips the COSINE only (the
+      // retrieval path's convention: QueryEncoder.encodeImage keeps the
+      // indicator at +1 after negation), so "visually unlike this" still
+      // ranks undecodable rows last, never first. Handled outside this
+      // match: the block column is projected ONCE (`__img_vec`) so the
+      // decode runs once per row, not once per window-operator reference.
+      case _: ImageFilter => None
+      case _: NoFilter => None
+    }
+    (f, rank) match {
+      case (img: ImageFilter, _) =>
+        // strict lookup, the geoCols(column) convention: a filter column
+        // that is not an indexed image block is a loud misconfiguration,
+        // not a silent default-codec decode
+        val b = imageBlocks.getOrElse(img.column, sys.error(
+          s"'${img.column}' is not an image block of this index"))
         val qsig = org.apache.spark.sql.graft.ImageGridMath.signature(
-          b.codec, payload, b.gridW, b.gridH)
-        require(qsig != null, s"query image for '$column' is not decodable by the block codec")
-        val vec = b.encode
+          b.codec, img.payload, b.gridW, b.gridH)
+        require(qsig != null,
+          s"query image for '${img.column}' is not decodable by the block codec")
+        val withVec = df.withColumn("__img_vec", b.encode)
+        val vec = col("__img_vec")
         val cosine = qsig.zipWithIndex
           .map { case (s, i) => element_at(vec, i + 1) * lit(s) }
           .reduce(_ + _)
-        val key = cosine + lit(1.5) * element_at(vec, b.dim)
-        Some(normRank(key, ascending = !negated, n))
-      case _: NoFilter => None
-    }
-    rank match {
-      case Some(r) =>
+        val signedCos = if (img.negated) -cosine else cosine
+        val key = signedCos + lit(1.5) * element_at(vec, b.dim)
+        withVec.withColumn("relevance",
+            col("relevance") + normRank(key, ascending = true, n) * f.weight)
+          .drop("__img_vec")
+      case (_, Some(r)) =>
         df.withColumn("relevance", col("relevance") + r * f.weight)
-      case None => df
+      case (_, None) => df
     }
   }
 

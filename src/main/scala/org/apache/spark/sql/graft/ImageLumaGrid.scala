@@ -99,12 +99,15 @@ object ImageGridMath {
     val out = new Array[Double](n)
     var gy = 0
     while (gy < gh) {
-      val y0 = gy * h / gh
-      val y1 = math.max((gy + 1) * h / gh, y0 + 1)
+      // Long bound math: gy·h etc. can overflow Int for wide planes (a
+      // 300 MB WAV maps to w ≈ 3e8 frames; the fake-header codec's w is
+      // payload-controlled) — the quotient always fits back in Int
+      val y0 = (gy.toLong * h / gh).toInt
+      val y1 = math.max(((gy + 1).toLong * h / gh).toInt, y0 + 1)
       var gx = 0
       while (gx < gw) {
-        val x0 = gx * w / gw
-        val x1 = math.max((gx + 1) * w / gw, x0 + 1)
+        val x0 = (gx.toLong * w / gw).toInt
+        val x1 = math.max(((gx + 1).toLong * w / gw).toInt, x0 + 1)
         var sum = 0L
         var y = y0
         while (y < y1) {

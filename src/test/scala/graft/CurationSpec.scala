@@ -118,9 +118,6 @@ class CurationSpec extends SparkSpec {
     assert(got(5L)._1 == 0 && got(5L)._2 == 1)   // injected phone
     assert(got(7L)._1 == 0 && got(7L)._2 == 0)   // clean
     assert(got(15L)._1 == 1 && got(15L)._2 == 1) // both injected
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     // redacted text pinned byte-for-byte, not just counted
     assert(got(1L)._3 == md5hex("reach <EMAIL> today"))
     assert(got(15L)._3 == md5hex("both kinds contact <EMAIL> call <PHONE>"))

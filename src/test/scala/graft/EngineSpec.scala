@@ -185,17 +185,6 @@ class EngineSpec extends SparkSpec {
 
   test("image modality end-to-end: an image filter reorders retrieval") {
     import spark.implicits._
-    def png(w: Int, h: Int)(fill: (Int, Int) => Int): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until h; x <- 0 until w) {
-        val v = fill(x, y) & 0xff
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
-      }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      bos.toByteArray
-    }
     // three visually distinct logos; item 1's TEXT matches the query best
     val vertical = png(16, 16)((_, y) => y * 15)         // top-dark gradient
     val horizontal = png(16, 16)((x, _) => x * 15)       // left-dark gradient
@@ -236,5 +225,19 @@ class EngineSpec extends SparkSpec {
       .select("row_id").as[Int].collect()
     assert(rr.head == 2, s"re-ranked order: ${rr.mkString(",")}")
     assert(rr.last == 4)
+    // NEGATED re-rank: "visually unlike this" demotes the matching logo
+    // but must still rank the missing-logo row LAST (negation flips the
+    // cosine only, never the indicator — the retrieval-path convention)
+    val rrNeg = eng.search("red bistro pasta",
+      Seq(ImageFilter("logo", queryLogo, negated = true, weight = 4.0)),
+      k = 4, method = SearchMethod.Reranking)
+      .select("row_id").as[Int].collect()
+    assert(rrNeg.last == 4, s"negated re-ranked order: ${rrNeg.mkString(",")}")
+    assert(rrNeg.indexOf(2) > rrNeg.indexOf(1), "negation must demote the match")
+    // a filter on a non-image column is a loud misconfiguration
+    intercept[RuntimeException] {
+      eng.search("x", Seq(ImageFilter("name", queryLogo)), k = 2,
+        method = SearchMethod.Reranking).collect()
+    }
   }
 }

@@ -14,20 +14,6 @@ import org.apache.spark.sql.graft.ImageGridMath
 class ImageBlockSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Deterministic in-memory PNG: fill(x, y) → 0-255 luma, rendered as an
-    * RGB image through javax.imageio — exercises the REAL decode path. */
-  private def png(w: Int, h: Int)(fill: (Int, Int) => Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until h; x <- 0 until w) {
-      val v = fill(x, y) & 0xff
-      img.setRGB(x, y, (v << 16) | (v << 8) | v)
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
-  }
-
   private val block = ImageBlock("img", gridW = 2, gridH = 2)
 
   test("layout: dim is gridW*gridH + 1 and offsets line up after a text block") {

@@ -72,10 +72,6 @@ class SpanDedupSpec extends SparkSpec {
     finally spark.catalog.clearCache()
   }
 
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
   test("excision: the copied paragraph is removed from the LATER doc only") {
     val shared = para("shared")
     val a1 = para("a1"); val b1 = para("b1"); val c = para("c1")

@@ -22,10 +22,17 @@ FIXED = {"rest1", "rest2"}  # fixed-CSV queries: scale-independent by design
 def load(path):
     with open(path) as f:
         d = json.load(f)
-    return {k: float(v) for k, v in d["queries"].items() if float(v) >= 0}
+    all_q = {k: float(v) for k, v in d["queries"].items()}
+    ok = {k: v for k, v in all_q.items() if v >= 0}
+    errored = sorted(set(all_q) - set(ok))
+    return ok, errored
 
 def main():
-    a, b = load(sys.argv[1]), load(sys.argv[2])
+    (a, err_a), (b, err_b) = load(sys.argv[1]), load(sys.argv[2])
+    # A query that errors or vanishes at the larger scale is the WORST
+    # scaling outcome — it must never silently disappear from the screen.
+    dropped = sorted((set(a) | set(b) | set(err_a) | set(err_b))
+                     - (set(a) & set(b)))
     rows = []
     for q in sorted(set(a) & set(b)):
         r = b[q] / a[q] if a[q] > 0 else float("inf")
@@ -47,6 +54,11 @@ def main():
             flagged.append(q)
         print(f"{q:28s} {t1:8.3f} {t10:8.3f} {r:7.2f}  {note}")
     print()
+    if err_a or err_b:
+        print(f"ERRORED (negative bench time): sf1={err_a} sf10={err_b}")
+    if dropped:
+        print(f"NOT SCREENED (errored or present in only one run): {dropped}")
+        flagged.extend(q for q in dropped if q not in flagged)
     print(f"flagged: {flagged if flagged else 'none'}")
     print(f"(job-floor at sf1, unflaggable by ratio: {len(floor_noise)} queries)")
 
