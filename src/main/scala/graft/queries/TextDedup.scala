@@ -1000,6 +1000,88 @@ object TextDedup {
                  AS oov_frac
              FROM tf GROUP BY doc_id ORDER BY doc_id"""))
 
+  // X19 BM25 keyword top-k — the classic full-text complement to the
+  // engine's vector retrieval (a curation pipeline uses it for targeted
+  // corpus probes: "find the docs most about these terms"). Exact-
+  // arithmetic variant: idf is the RATIO (N−df+0.5)/(df+0.5) with the ln
+  // deliberately omitted — the x13 cross-engine-rounding convention (ln
+  // is the one common op IEEE does not require correctly rounded; the
+  // ratio is monotone in it, so rankings are BM25's) — and the per-term
+  // scores sum through DECIMAL(28,6) (Q.dsum) so the 3-term addition is
+  // order-independent. Scale shape: tf row-local (native TermFreqs) with
+  // an immediate narrow filter to the query terms, dl row-local (native
+  // TokenCount), corpus stats ONE tiny aggregate broadcast, per-term df
+  // a query-terms-sized broadcast, top-k TakeOrderedAndProject — the
+  // corpus is scanned once and never shuffled.
+  private val X19Terms = Seq("spark", "window", "vector")
+  private val X19K1 = 1.2
+  private val X19B = 0.75
+  private val x19 = Q(
+    "x19_bm25_topk",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      // scan 1: corpus stats (tiny aggregate, text read once for dl)
+      val stats = docs
+        .select(org.apache.spark.sql.graft.TokenCount.tokenCount(col("text"))
+          .cast("long").as("dl"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      // scan 2: tf AND dl in ONE pass (both native byte scans over the
+      // same row), filtered straight down to the query terms — the
+      // surviving relation is ≤ #matching-docs × #terms rows. Persisted
+      // because both the df aggregate and the scoring pass read it
+      // (caller clearCache lifecycle, the d3/x15 accounting). This shape
+      // replaced a 3-scan + corpus SortMergeJoin(doc_id) plan: tf and dl
+      // born in the same projection means there is nothing to join.
+      val tfdl = docs
+        .select(col("doc_id"),
+          org.apache.spark.sql.graft.TokenCount.tokenCount(col("text"))
+            .cast("long").as("dl"),
+          explode(org.apache.spark.sql.graft.TermFreqs.termFreqs(col("text"))).as("te"))
+        .select(col("doc_id"), col("dl"),
+          col("te.term").as("term"), col("te.tf").as("tf"))
+        .filter(col("term").isin(X19Terms: _*))
+        .persist()
+      val dfq = tfdl.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val idf = (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+      val sat = (col("tf") * lit(X19K1 + 1.0)) /
+        (col("tf") + lit(X19K1) * (lit(1.0 - X19B)
+          + lit(X19B) * col("dl") / col("avgdl")))
+      tfdl
+        .join(broadcast(dfq), "term")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), (idf * sat).as("ts"))
+        .groupBy(col("doc_id"))
+        .agg((round(Q.dsum(col("ts")), 6) + lit(0.0)).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some(s"""WITH dl AS (SELECT doc_id,
+               len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS dl
+             FROM documents),
+           st AS (SELECT count(*) AS n,
+                    sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+           tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+                  FROM (SELECT doc_id,
+                          unnest(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
+                        FROM documents)
+                  WHERE tok IN ('spark', 'window', 'vector')
+                  GROUP BY doc_id, tok),
+           dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           sc AS (SELECT tf.doc_id,
+                    -- association mirrors the Spark column exactly:
+                    -- idf * (num / denom), NOT (idf * num) / denom
+                    ((st.n - dfq.df + 0.5::DOUBLE) / (dfq.df + 0.5::DOUBLE))
+                    * ((tf.tf * ${X19K1 + 1.0}::DOUBLE)
+                       / (tf.tf + $X19K1::DOUBLE * ((${1.0 - X19B})::DOUBLE
+                           + $X19B::DOUBLE * dl.dl / st.avgdl))) AS ts
+                  FROM tf JOIN dl USING (doc_id)
+                    JOIN dfq ON tf.term = dfq.term CROSS JOIN st)
+           SELECT doc_id,
+             round(sum(ts::DECIMAL(28,6))::DOUBLE, 6) + 0.0 AS score
+           FROM sc GROUP BY doc_id
+           ORDER BY score DESC, doc_id LIMIT 20"""))
+
   // ST1 event-time hourly window aggregation (batch twin of the
   // Structured Streaming tumbling-window pipeline in graft.streaming).
   private val st1 = Q(
@@ -1110,5 +1192,5 @@ object TextDedup {
             ORDER BY user_id, session_start"""))
 
   val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, d8, x1, x2, x3, x4, x5, x6, x7,
-    x8, x9, x10, x11, x12, x13, x14, x15, x16, x17, x18, st1, st2)
+    x8, x9, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, st1, st2)
 }

@@ -124,6 +124,46 @@ class CurationSpec extends SparkSpec {
     assert(got(7L)._3 == md5hex("nothing here"))
   }
 
+  test("x19 BM25: distributed scores equal an independent driver recomputation") {
+    val docs = Seq(
+      (1L, "spark spark spark", "en", "s"),            // high tf, short
+      (2L, ("spark " + Seq.fill(20)("filler").mkString(" ")).trim, "en", "s"), // tf 1, long
+      (3L, "filler only here", "en", "s"),             // no query terms
+      (4L, "spark window mix", "en", "s"))             // two matching terms
+    val dir = fixtureDir(docs)
+    val got = q("x19_bm25_topk", dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    // independent recomputation with the pinned (k1, b, ratio-idf) math,
+    // per-term scores summed through DECIMAL(28,6) like the query
+    val toks = docs.map { case (id, t, _, _) => id -> t.trim.split("\\s+").toSeq }.toMap
+    val n = docs.size
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val terms = Seq("spark", "window", "vector")
+    val df = terms.map(t => t -> toks.values.count(_.contains(t))).toMap
+    def score(id: Long): Option[Double] = {
+      val ts = terms.flatMap { t =>
+        val tf = toks(id).count(_ == t)
+        if (tf == 0 || df(t) == 0) None
+        else {
+          val idf = (n - df(t) + 0.5) / (df(t) + 0.5)
+          val dl = toks(id).size
+          Some(idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))))
+        }
+      }
+      if (ts.isEmpty) None
+      else Some(ts.map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble)
+    }
+    val expect = docs.map(_._1).flatMap(id => score(id).map(id -> _))
+      .sortBy { case (id, sc) => (-sc, id) }
+    assert(got == expect)
+    assert(!got.map(_._1).contains(3L)) // term-free docs are not scored
+    // the rare term dominates: "window" (df 1, idf 2.33) outweighs three
+    // saturated "spark" hits (df 3, idf 0.43) — idf doing its job
+    assert(got.head._1 == 4L)
+    assert(got.map(_._1).take(2).contains(1L)) // tf saturation still ranks doc 1 next
+  }
+
   test("x17 OOV rate: hand-computed fractions against a 20-term vocabulary") {
     val vocab = (1 to 20).map(i => f"w$i%02d")
     val fillers = (10L to 12L).map(id => (id, vocab.mkString(" "), "en", "s"))
