@@ -42,6 +42,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("incremental encode: image blocks stream - media payloads encode on ingest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // dedup-on-ingest's sibling: media arriving on a stream is encoded
+    // into the fused index vector incrementally, same narrow projection
+    val layout = VectorLayout(Seq(graft.encode.ImageBlock("img", 2, 2)))
+    val imgs = Seq(1L -> png(8, 8)((x, _) => x * 30),
+      2L -> png(8, 8)((_, y) => y * 30),
+      3L -> (null: Array[Byte]))
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val stream = mem.toDF().toDF("id", "img")
+    val q = Streaming.incrementalEncode(stream, layout)
+      .select("id", "fused_vec")
+      .writeStream.format("memory").queryName("img_enc_out").outputMode("append")
+      .start()
+    mem.addData(imgs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("img_enc_out").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val batch = ProductEncoder.encode(imgs.toDF("id", "img"), layout)
+      .select("id", "fused_vec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(streamed == batch)
+    assert(streamed(3L) == Seq(0.0, 0.0, 0.0, 0.0, -1.0)) // missing payload indicator
+  }
+
   test("session windows: streamed sessionization matches the batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
