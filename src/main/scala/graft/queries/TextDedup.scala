@@ -1065,7 +1065,7 @@ object TextDedup {
                   FROM (SELECT doc_id,
                           unnest(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
                         FROM documents)
-                  WHERE tok IN ('spark', 'window', 'vector')
+                  WHERE tok IN (${X19Terms.map(t => s"'$t'").mkString(", ")})
                   GROUP BY doc_id, tok),
            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
            sc AS (SELECT tf.doc_id,

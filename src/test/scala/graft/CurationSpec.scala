@@ -131,8 +131,10 @@ class CurationSpec extends SparkSpec {
       (3L, "filler only here", "en", "s"),             // no query terms
       (4L, "spark window mix", "en", "s"))             // two matching terms
     val dir = fixtureDir(docs)
-    val got = q("x19_bm25_topk", dir).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val got =
+      try q("x19_bm25_topk", dir).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+      finally spark.catalog.clearCache() // the persisted tfdl relation
     // independent recomputation with the pinned (k1, b, ratio-idf) math,
     // per-term scores summed through DECIMAL(28,6) like the query
     val toks = docs.map { case (id, t, _, _) => id -> t.trim.split("\\s+").toSeq }.toMap
