@@ -19,10 +19,12 @@ import scala.collection.concurrent.TrieMap
   */
 object Bench {
   /** Quiet-machine calibration-probe median on the reference local[32]
-    * container — a DIRECTLY MEASURED value (pinned 2026-08-13 round 8 from
-    * dedicated probe-only runs at load-average ≤1.1: medians 0.628 / 0.798
-    * / 0.812 s this round, 0.48–0.81 s across rounds 7–8), not an
-    * extrapolation. Override with SPARK_GRAFT_CALIB_BASELINE when
+    * container — a DIRECTLY MEASURED value (re-pinned 2026-08-14 round 9
+    * from five dedicated probe-only runs at load-average ≤1.2: 0.355 /
+    * 0.381 / 0.428 / 0.437 / 0.437 s, median 0.428; the round-8 driver
+    * run's probe was 0.31 s — the old 0.70 pin, measured on an earlier
+    * slower container state, read stale-slow and shipped calib_warn:true
+    * on a quiet machine). Override with SPARK_GRAFT_CALIB_BASELINE when
     * re-baselining on other hardware.
     *
     * calib_ratio = probe/baseline is a LOAD FLAG, not a correction
@@ -30,13 +32,14 @@ object Bench {
     * scale every query linearly. Numbers measured under calib_warn should
     * be re-measured, not deflated — which is exactly what the bounded
     * retry loop below does. */
-  val CalibrationBaseline: Double = 0.70
+  val CalibrationBaseline: Double = 0.42
   /** Warn band for calib_ratio, sized from the probe's OWN observed
-    * quiet-container variance (0.48–0.81 s ⇒ ratios 0.69–1.16 against the
-    * pinned median): inside the band is probe noise, above it means
-    * ambient co-tenant load distorted this run (triggers the bounded
-    * retry), below it means the pinned baseline is stale-slow for this
-    * hardware (flagged, never retried — re-running can't fix a baseline). */
+    * quiet-container variance (round-9 pin: 0.31–0.44 s observed quiet ⇒
+    * ratios 0.74–1.04 against the 0.42 pin): inside the band is probe
+    * noise, above it means ambient co-tenant load distorted this run
+    * (triggers the bounded retry), below it means the pinned baseline is
+    * stale-slow for this hardware (flagged, never retried — re-running
+    * can't fix a baseline). */
   val CalibWarnLo = 0.60
   val CalibWarnHi = 1.35
 
@@ -77,10 +80,12 @@ object Bench {
       val nCpu = scala.util.Try(cpus.toInt).getOrElse(32).max(1)
       val maxTableBytes = scala.util.Try {
         val root = new java.io.File(sfDir)
-        root.listFiles().map { f =>
-          if (f.isDirectory) f.listFiles().filter(_.isFile).map(_.length).sum
-          else f.length
-        }.max
+        // recursive walk: a partitioned table (nested key=value dirs) must
+        // count its leaf files, else it under-reports as 0 bytes and drags
+        // the split toward the 2 MB floor — the footer-parse quadratic
+        def bytes(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles().map(bytes).sum else f.length
+        root.listFiles().map(bytes).max
       }.getOrElse(0L)
       (maxTableBytes / (2L * nCpu)).max(2L << 20).min(128L << 20)
     }

@@ -1005,8 +1005,13 @@ object TextDedup {
   // corpus probes: "find the docs most about these terms"). Exact-
   // arithmetic variant: idf is the RATIO (N−df+0.5)/(df+0.5) with the ln
   // deliberately omitted — the x13 cross-engine-rounding convention (ln
-  // is the one common op IEEE does not require correctly rounded; the
-  // ratio is monotone in it, so rankings are BM25's) — and the per-term
+  // is the one common op IEEE does not require correctly rounded). The
+  // ratio is monotone in ln, so PER-TERM ordering matches BM25's; the
+  // MULTI-TERM sum of ratio-idf contributions can reorder vs ln-idf BM25
+  // (a monotone transform of each summand does not commute with the sum
+  // — e.g. one very rare term vs two moderately-rare ones). This is a
+  // deliberately-specified ranking function, exactly mirrored in the
+  // DuckDB twin, not a claim of ln-BM25 ranking equality — and the per-term
   // scores sum through DECIMAL(28,6) (Q.dsum) so the 3-term addition is
   // order-independent. Scale shape: tf row-local (native TermFreqs) with
   // an immediate narrow filter to the query terms, dl row-local (native

@@ -59,6 +59,21 @@ object QueryEncoder {
              transforms: Map[String, FittedTransform] = Map.empty,
              farthest: GeoFilter => (Double, Double) = _ => sys.error("no farthest-point resolver"),
              params: Params = Params()): Array[Double] = {
+    // An ImageFilter aimed at a non-image (or absent) block would silently
+    // match no case below and contribute zeros — the same misconfiguration
+    // is a loud sys.error in reranking mode (Rerank's strict imageBlocks
+    // lookup). Fail identically loudly here so retrieval and rerank agree.
+    filters.valuesIterator.foreach {
+      case f: ImageFilter =>
+        val ok = layout.blocks.exists {
+          case b: ImageBlock => b.name == f.column
+          case _ => false
+        }
+        if (!ok) sys.error(
+          s"ImageFilter column '${f.column}' does not name an image block " +
+            s"(image blocks: ${layout.blocks.collect { case b: ImageBlock => b.name }.mkString(", ")})")
+      case _ => ()
+    }
     val out = Array.newBuilder[Double]
     layout.blocks.foreach {
       case TextBlock(_, dim) =>

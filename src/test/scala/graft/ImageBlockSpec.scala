@@ -93,6 +93,21 @@ class ImageBlockSpec extends SparkSpec {
     }
   }
 
+  test("retrieval encode: ImageFilter aimed at a non-image block is loud (rerank parity)") {
+    val layout = VectorLayout(Seq(TextBlock("text_vec", 2), block))
+    // well-aimed: encodes fine
+    QueryEncoder.encode(layout, Map("img" -> ImageFilter("img", png(2, 2)((_, _) => 128))),
+      textVec = Array(1.0, 0.0))
+    // aimed at the text block (a non-image block) — same sys.error class the
+    // rerank path's strict imageBlocks lookup throws, not silent zeros
+    val e = intercept[RuntimeException] {
+      QueryEncoder.encode(layout,
+        Map("text_vec" -> ImageFilter("text_vec", png(2, 2)((_, _) => 128))),
+        textVec = Array(1.0, 0.0))
+    }
+    assert(e.getMessage.contains("does not name an image block"))
+  }
+
   /** Minimal RIFF/WAVE writer: 8-bit unsigned mono PCM — the format
     * [[Multimodal.wavPcm]] decodes. Samples kept in 128–255 so the
     * re-centered signed bytes stay non-negative (monotone under the
