@@ -48,6 +48,12 @@ final case class FuseRankConfig(
     /** fit + apply best normalizing transforms to dense columns
       * (reference create_schemas, src/load.py:16-19) */
     fitTransforms: Boolean = false,
+    /** explicitly pinned transforms per dense column — the reference's
+      * transformation_schema convention, where a loader names the transform
+      * instead of fitting one (flipkart pins LogTransform on both price
+      * columns, src/load_flipkart.py:48-51). Preset columns are excluded
+      * from fitting; others still fit when fitTransforms is set. */
+    presetTransforms: Map[String, FittedTransform] = Map.empty,
     /** binary payload columns indexed as image modality blocks (luma
       * contrast signatures — see [[graft.encode.ImageBlock]]); disjoint
       * from auxCols (payloads are not profiled) */
@@ -199,15 +205,22 @@ object FuseRankEngine {
     import config._
     // 1. transforms (fit on raw data, applied before profiling/encoding —
     //    reference fits in create_schemas then encodes transformed_df)
+    presetTransforms.keys.foreach { c =>
+      require(auxCols.contains(c), s"presetTransforms column '$c' not in auxCols")
+      require(items.schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"presetTransforms column '$c' is not numeric: ${items.schema(c).dataType}")
+    }
     val transforms: Map[String, FittedTransform] =
-      if (!fitTransforms) Map.empty
-      else auxCols.flatMap { c =>
-        items.schema(c).dataType match {
-          case _: org.apache.spark.sql.types.NumericType =>
-            Transforms.bestTransform(items, c).map(c -> _)
-          case _ => None
-        }
-      }.toMap
+      presetTransforms ++ (
+        if (!fitTransforms) Map.empty
+        else auxCols.filterNot(presetTransforms.contains).flatMap { c =>
+          items.schema(c).dataType match {
+            case _: org.apache.spark.sql.types.NumericType =>
+              Transforms.bestTransform(items, c).map(c -> _)
+            case _ => None
+          }
+        }.toMap)
     val transformed = transforms.foldLeft(items) { case (df, (c, t)) =>
       df.withColumn(c, t(col(c)))
     }

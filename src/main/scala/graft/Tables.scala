@@ -91,6 +91,41 @@ object Tables {
     StructField("Votes", LongType)
   ))
 
+  /** Flipkart-schema synthetic fixture (the reference's primary dataset,
+    * reference src/load_flipkart.py:11-49, has its CSV stripped from the
+    * checkout — tools/make_flipkart_synth.py regenerates this deterministic
+    * 20K-row twin of its schema and value conventions). */
+  val flipkartSchema: StructType = StructType(Seq(
+    StructField("uniq_id", StringType),
+    StructField("crawl_timestamp", StringType),
+    StructField("product_url", StringType),
+    StructField("product_name", StringType),
+    StructField("product_category_tree", StringType),
+    StructField("pid", StringType),
+    StructField("retail_price", LongType),
+    StructField("discounted_price", LongType),
+    StructField("image", StringType),
+    StructField("is_FK_Advantage_product", StringType),
+    StructField("description", StringType),
+    StructField("product_rating", StringType),
+    StructField("overall_rating", StringType),
+    StructField("brand", StringType),
+    StructField("product_specifications", StringType)
+  ))
+
+  val flipkartCsvPath = "/root/repo/data/flipkart/flipkart_synth.csv.gz"
+
+  /** S1 CSV scan of the flipkart-shaped fixture (same reader options as
+    * [[restaurants]] — header, RFC4180 quote/escape). */
+  def flipkartSynth(spark: SparkSession,
+                    path: String = flipkartCsvPath): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .schema(flipkartSchema)
+      .csv(path)
+
   val restaurantsCsvPath = "/root/reference/data/restaurants/restaurants.csv"
 
   /** S1 CSV scan (reference `src/load.py:21-22`). */

@@ -103,6 +103,39 @@ class EngineSpec extends SparkSpec {
     assert(rel.length == 10 && rel.zip(rel.tail).forall { case (a, b) => a >= b })
   }
 
+  test("presetTransforms: pinned transform applied, excluded from fitting, misconfig loud") {
+    val items = restaurantItems
+    val eng = FuseRankEngine.index(items, FuseRankConfig(
+      idCol = "row_id",
+      textCols = Map("Cuisines" -> 1.0),
+      auxCols = Seq("Votes", "Average Cost for two"),
+      params = graft.encode.EncoderParams(numHarmonics = 8),
+      // the reference's transformation_schema convention: the loader PINS
+      // the transform (flipkart pins LogTransform, load_flipkart.py:48-51)
+      presetTransforms = Map("Votes" -> graft.transform.Log2p1),
+      fitTransforms = true))
+    // preset survives verbatim (not overridden by the fit), fit still
+    // covers the non-preset numeric column
+    assert(eng.transforms("Votes") == graft.transform.Log2p1)
+    assert(eng.transforms.contains("Average Cost for two"))
+    // profile is computed on the preset-transformed data
+    assert(eng.profiles("Votes").max <=
+      graft.transform.Log2p1.applyScalar(10934.0) + 1e-6)
+    // preset column not in auxCols / not numeric → loud
+    intercept[IllegalArgumentException] {
+      FuseRankEngine.index(items, FuseRankConfig(
+        idCol = "row_id", textCols = Map("Cuisines" -> 1.0),
+        auxCols = Seq("Votes"),
+        presetTransforms = Map("Average Cost for two" -> graft.transform.Log2p1)))
+    }
+    intercept[IllegalArgumentException] {
+      FuseRankEngine.index(items, FuseRankConfig(
+        idCol = "row_id", textCols = Map("Cuisines" -> 1.0),
+        auxCols = Seq("City"),
+        presetTransforms = Map("City" -> graft.transform.Log2p1)))
+    }
+  }
+
   test("re-ranking with fitTransforms: raw-unit interval bounds rank transformed columns") {
     val items = restaurantItems
     val eng = FuseRankEngine.index(items, FuseRankConfig(
