@@ -1,0 +1,45 @@
+package graft.serve
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+
+/** Measured pruned-vs-unpruned serving comparison for BASELINE.md (VERDICT
+  * r8 ask #8's bench row): build the cid-partitioned IVF index over
+  * SPARK_GRAFT_SF_DIR's embeddings, then time probed top-k at nProbe=2 vs
+  * an exhaustive probe (= full scan), median of 5 after warmup. The pruned
+  * query's win is IO-proportional: it reads nProbe/nCentroids of the files
+  * (the spec asserts the file counts; this main measures the wall-clock).
+  */
+object IvfServeBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val nCents = 32
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-bench").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    val t0 = System.nanoTime()
+    val h = IvfIndex.write(emb, "embedding", "vec_id", path, nCents, iters = 3)
+    println(f"[ivf] build ${(System.nanoTime() - t0) / 1e9}%.1f s ($path)")
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 7L)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    def time(nProbe: Int): Double = {
+      val samples = (1 to 6).map { _ =>
+        val s0 = System.nanoTime()
+        IvfIndex.probedTopK(spark, h, q, nProbe, 10).collect()
+        (System.nanoTime() - s0) / 1e9
+      }
+      samples.tail.sorted.apply(2) // drop warmup, median of 5
+    }
+    val full = time(nCents)
+    val pruned = time(2)
+    println(f"[ivf] sf=$sfDir n=${emb.count()} cells=$nCents " +
+      f"pruned(nProbe=2) $pruned%.3f s vs full $full%.3f s = ${pruned / full}%.2fx")
+    spark.stop()
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import graft.search.Search
+import graft.serve.IvfIndex
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** IVF-partitioned serving index (VERDICT r8 ask #8): the probed query
+  * must PRUNE the non-probed cell directories before reading a byte —
+  * asserted via the scan's numFiles metric — and probing every cell must
+  * equal brute force exactly.
+  */
+class IvfServeSpec extends SparkSpec {
+
+  private val nCents = 8
+
+  private lazy val built: (IvfIndex.Handle, Int) = {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val h = IvfIndex.write(emb, "embedding", "vec_id", path,
+      nCentroids = nCents, iters = 3)
+    val totalFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      .filter(p => p.toString.endsWith(".parquet"))
+      .count().toInt
+    (h, totalFiles)
+  }
+
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect() // finalize (metrics populate on execution)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, s"no file scan in plan:\n$plan")
+    scans.map(_.metrics("numFiles").value).sum
+  }
+
+  test("index layout: one directory per cell + centroid sidecar reopens") {
+    val (h, totalFiles) = built
+    val cells = new java.io.File(h.path).listFiles()
+      .filter(_.getName.startsWith("cid=")).map(_.getName).sorted
+    assert(cells.length == nCents, s"cells: ${cells.mkString(",")}")
+    assert(totalFiles >= nCents)
+    val reopened = IvfIndex.open(h.path)
+    assert(reopened.centroids.length == nCents)
+    (reopened.centroids, h.centroids).zipped.foreach { (a, b) =>
+      assert(a.toSeq == b.toSeq, "sidecar must round-trip centroids exactly")
+    }
+  }
+
+  test("probed query scans only nProbe/nCentroids of the files") {
+    val (h, totalFiles) = built
+    val q = Tables.embeddings(spark, sf("sf0.001"))
+      .filter(col("vec_id") === 7L).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val nProbe = 2
+    val pruned = scannedFiles(IvfIndex.probedTopK(spark, h, q, nProbe, 10))
+    val full = scannedFiles(IvfIndex.probedTopK(spark, h, q, nCents, 10))
+    info(s"pruned scan: $pruned of $full files (total on disk $totalFiles)")
+    assert(full.toInt == totalFiles, "probing every cell must read every file")
+    assert(pruned < full, s"pruning had no effect: $pruned of $full")
+    // directory-level pruning: at most the probed cells' share (cells can
+    // hold several files; bound by file count of the 2 probed dirs)
+    val probedDirs = IvfIndex.probeCells(h, q, nProbe)
+    val probedFiles = probedDirs.map { c =>
+      new java.io.File(s"${h.path}/cid=$c").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    }.sum
+    assert(pruned == probedFiles,
+      s"scan read $pruned files, probed dirs hold $probedFiles")
+  }
+
+  test("probing every cell equals brute force; fewer probes lose only recall") {
+    val (h, _) = built
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val q = emb.filter(col("vec_id") === 7L).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val exact = emb
+      .select(col("vec_id").cast("long").as("vec_id"),
+        Search.asDouble(col("embedding")).as("v"))
+      .withColumn("score", round(Search.dot(typedLit(q.toSeq), col("v")) /
+        (lit(math.sqrt(q.map(x => x * x).sum)) * Search.l2Norm(col("v"))), 5) + 0.0)
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10).select("vec_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val probedAll = IvfIndex.probedTopK(spark, h, q, nCents, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probedAll == exact, "exhaustive probe must equal brute force")
+    val probed2 = IvfIndex.probedTopK(spark, h, q, 2, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val recall = probed2.toSet.intersect(exact.map(_._1).toSet).size / 10.0
+    info(s"nProbe=2 recall vs brute force: $recall")
+    assert(recall >= 0.5, s"2/8-probe recall collapsed: $recall")
+  }
+
+  test("probed plan: partition filter present, top-k is TakeOrderedAndProject") {
+    val (h, _) = built
+    val q = Array.tabulate(64)(i => (((i * 7) % 13) - 6) / 10.0)
+    val df = IvfIndex.probedTopK(spark, h, q, 2, 10)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject:\n$p")
+    assert(p.contains("PartitionFilters: [") &&
+      !p.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").trim.isEmpty,
+      s"no partition filters pushed:\n$p")
+  }
+}
