@@ -99,12 +99,16 @@ object Flipkart {
           "product_specifications")
       // EVERY prep output is a row_id ordering key: a bug anywhere in the
       // prep chain reorders ids and fails the hash
+      // persisted: the engine lifecycle scans items several times (profile
+      // aggregate, encode projection, gather join) and each action would
+      // otherwise re-read + re-prep the gzip CSV (non-splittable scan);
+      // released with the index below
       val items = Prep.withRowId(shaped, Seq(
         col("product_name"), col("brand"), col("description"),
         col("product_category_1"), col("product_category_2"),
         col("product_category_3"), col("product_specifications_clean"),
         col("is_FK_Advantage_product"), col("retail_price"),
-        col("discounted_price")))
+        col("discounted_price"))).persist()
       val eng = FuseRankEngine.index(items, FuseRankConfig(
         idCol = "row_id",
         // text_encoding_schema weights (src/load_flipkart.py:44-47)
@@ -126,6 +130,7 @@ object Flipkart {
       // be released before returning (the rest1 convention)
       val rows = out.collect()
       eng.close()
+      items.unpersist()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     },
     Some(s"""WITH $prepCtes
