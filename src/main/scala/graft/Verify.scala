@@ -11,10 +11,27 @@ object Verify {
       case Array(s, o)    => (s, o, Set.empty[String])
       case Array(s, o, f) => (s, o, f.split(",").toSet)
     }
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    // Split size derived from the data, exactly like Bench: at sf1 the
+    // 30 MB documents.parquet is ONE 128 MB-default split, so a heavy
+    // row-local projection (x9's interpreted LangId expression measured
+    // 16+ CPU-minutes at sf1) serializes into a single task — the dump
+    // then runs at 1-core speed however many cores the session has.
+    // Row content is split-invariant: every hashed query ends in a global
+    // ORDER BY, re-applied within the single output partition below.
+    val splitBytes = {
+      val nCpu = scala.util.Try(cpus.toInt).getOrElse(16).max(1)
+      val maxTableBytes = scala.util.Try {
+        def bytes(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles().map(bytes).sum else f.length
+        new java.io.File(sfDir).listFiles().map(bytes).max
+      }.getOrElse(0L)
+      (maxTableBytes / (2L * nCpu)).max(2L << 20).min(128L << 20)
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", splitBytes.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -17,7 +17,7 @@ import sys
 
 FLOOR = 0.30   # sf1 seconds below which the ratio is job-floor noise
 BAR = 13.0     # 10x linear growth + 30% allowance
-FIXED = {"rest1", "rest2"}  # fixed-CSV queries: scale-independent by design
+FIXED = {"rest1", "rest2", "flip1"}  # fixed-CSV queries: scale-independent by design
 
 def load(path):
     with open(path) as f:
