@@ -89,6 +89,14 @@ object RecallCurve {
 
     val harmonics = (1 to 10).map(_ * 50)
     val epsilons = Seq(0.0, 0.005, 0.01, 0.015, 0.02, 0.025, 0.03)
+    // the reference's defaults (src/eval/config.yaml): the ε curve is cut at
+    // the default harmonic count, the harmonic curve at the default ε —
+    // asserted IN the sweep lists so a grid change cannot silently turn the
+    // filters below into empty means (NaN into RECALL.md)
+    val DefaultKh = 200
+    val DefaultEps = 0.015
+    require(harmonics.contains(DefaultKh) && epsilons.contains(DefaultEps),
+      s"default cut points ($DefaultKh, $DefaultEps) must be in the sweep grid")
     val t0 = System.nanoTime()
     val rs = Eval.fullSweep(withText, "row_id", "text_vec", qVec, cands,
       profsRaw, engineFor, harmonics, epsilons, k = 10, repetitions = 10)
@@ -99,18 +107,18 @@ object RecallCurve {
     // the paper's two curves: harmonics at default ε, ε at default kh
     val byK = harmonics.map(kh =>
       kh -> mean(rs.filter(r => r.num_harmonics == kh &&
-        r.interval_epsilon == 0.015).map(_.recall)))
+        r.interval_epsilon == DefaultEps).map(_.recall)))
     val byEps = epsilons.map(e =>
       e -> mean(rs.filter(r => r.interval_epsilon == e &&
-        r.num_harmonics == 200).map(_.recall)))
+        r.num_harmonics == DefaultKh).map(_.recall)))
     val byKm = for (kh <- harmonics; m <- 1 to cands.size) yield (kh, m,
-      mean(rs.filter(r => r.num_harmonics == kh && r.interval_epsilon == 0.015 &&
+      mean(rs.filter(r => r.num_harmonics == kh && r.interval_epsilon == DefaultEps &&
         r.num_modalities == m).map(_.recall)))
-    println("[recall] harmonics curve (eps=0.015): " +
+    println(s"[recall] harmonics curve (eps=$DefaultEps): " +
       byK.map { case (k, r) => f"$k:$r%.4f" }.mkString(" "))
-    println("[recall] epsilon curve (kh=200): " +
+    println(s"[recall] epsilon curve (kh=$DefaultKh): " +
       byEps.map { case (e, r) => f"$e:$r%.4f" }.mkString(" "))
-    println("[recall] per-modality-count (eps=0.015): " +
+    println(s"[recall] per-modality-count (eps=$DefaultEps): " +
       byKm.map { case (k, m, r) => f"$k/m$m:$r%.4f" }.mkString(" "))
     // the figure of merit: more harmonics → finer interval resolution →
     // recall must not degrade end-to-end (slack for seeded sampling noise)

@@ -81,7 +81,8 @@ object Search {
   def multiTopK(vectors: DataFrame, vecCol: String, idCol: String,
                 queries: Seq[Array[Double]], k: Int,
                 eligible: Seq[Column] = Nil,
-                roundScores: Boolean = true): IndexedSeq[Seq[(Long, Double)]] = {
+                roundScores: Boolean = true,
+                scoreExpr: (Column, Array[Double]) => Column = null): IndexedSeq[Seq[(Long, Double)]] = {
     require(k > 0, s"k must be positive: $k")
     require(eligible.isEmpty || eligible.size == queries.size,
       s"eligible size ${eligible.size} != queries size ${queries.size}")
@@ -103,8 +104,14 @@ object Search {
     val qIdx: Array[Int] = queries.map(q =>
       distinctQ.getOrElseUpdate(q.toSeq, distinctQ.size)).toArray
     val vd = asDouble(col(vecCol))
+    // scoreExpr generalizes the per-(row, query) score beyond the raw inner
+    // product — e.g. the IVF serving path's cosine with its precomputed
+    // per-row norm column — while keeping the same rounding / −0.0 collapse
+    // so batched results stay bit-identical to the per-query orderBy path
+    val scoreOf: (Column, Array[Double]) => Column =
+      if (scoreExpr != null) scoreExpr else (v, q) => dot(v, typedLit(q))
     val scoreCols = distinctQ.keysIterator.map { q =>
-      val s = dot(vd, typedLit(q.toArray))
+      val s = scoreOf(vd, q.toArray)
       coalesce(if (roundScores) round(s, 5) + 0.0 else s, lit(0.0))
     }.toIndexedSeq
     // a null vector nulls every score — fold that into the mask so the

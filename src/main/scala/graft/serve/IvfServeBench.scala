@@ -40,6 +40,25 @@ object IvfServeBench {
     val pruned = time(2)
     println(f"[ivf] sf=$sfDir n=${emb.count()} cells=$nCents " +
       f"pruned(nProbe=2) $pruned%.3f s vs full $full%.3f s = ${pruned / full}%.2fx")
+    // batched serving (r9 ask #3): P queries in ONE pruned scan vs P
+    // sequential probedTopK jobs — the win is the per-job floor × (P−1)
+    // plus hot-cell IO dedup across the batch
+    val batchQ = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 16L)
+      .select("vec_id", "embedding").collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray).toSeq
+    def med5(f: => Unit): Double = {
+      val samples = (1 to 6).map { _ =>
+        val s0 = System.nanoTime(); f; (System.nanoTime() - s0) / 1e9
+      }
+      samples.tail.sorted.apply(2)
+    }
+    val tSeq = med5(batchQ.foreach(q =>
+      IvfIndex.probedTopK(spark, h, q, 2, 10).collect()))
+    val tBatch = med5(IvfIndex.probedTopKBatch(spark, h, batchQ, 2, 10))
+    println(f"[ivf] batch P=${batchQ.size} nProbe=2: batched $tBatch%.3f s vs " +
+      f"sequential $tSeq%.3f s = ${tBatch / tSeq}%.2fx " +
+      f"(one-query pruned scan was $pruned%.3f s)")
     spark.stop()
   }
 }

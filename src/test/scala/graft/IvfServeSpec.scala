@@ -41,9 +41,15 @@ class IvfServeSpec extends SparkSpec {
     val (h, totalFiles) = built
     val cells = new java.io.File(h.path).listFiles()
       .filter(_.getName.startsWith("cid=")).map(_.getName).sorted
-    assert(cells.length == nCents, s"cells: ${cells.mkString(",")}")
-    assert(totalFiles >= nCents)
-    val reopened = IvfIndex.open(h.path)
+    // k-means may leave empty clusters (no cid= dir) — pin against the
+    // cids ACTUALLY written, not the fit's cluster count
+    val writtenCids = spark.read.parquet(h.path)
+      .select("cid").distinct().collect().map(_.getInt(0)).sorted
+    assert(cells.length == writtenCids.length,
+      s"dirs ${cells.mkString(",")} vs cids ${writtenCids.mkString(",")}")
+    assert(cells.length <= nCents && cells.nonEmpty)
+    assert(totalFiles >= cells.length)
+    val reopened = IvfIndex.open(spark, h.path)
     assert(reopened.centroids.length == nCents)
     (reopened.centroids, h.centroids).zipped.foreach { (a, b) =>
       assert(a.toSeq == b.toSeq, "sidecar must round-trip centroids exactly")
@@ -93,6 +99,46 @@ class IvfServeSpec extends SparkSpec {
     val recall = probed2.toSet.intersect(exact.map(_._1).toSet).size / 10.0
     info(s"nProbe=2 recall vs brute force: $recall")
     assert(recall >= 0.5, s"2/8-probe recall collapsed: $recall")
+  }
+
+  test("batched probe is bit-identical to sequential probedTopK calls") {
+    val (h, _) = built
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val qs = Seq(3L, 7L, 11L, 7L).map { id => // includes a duplicate query
+      emb.filter(col("vec_id") === id).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+    }
+    for (nProbe <- Seq(2, nCents)) {
+      val batch = IvfIndex.probedTopKBatch(spark, h, qs, nProbe, 10)
+      val sequential = qs.map { q =>
+        IvfIndex.probedTopK(spark, h, q, nProbe, 10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      }
+      assert(batch.size == qs.size)
+      (batch, sequential).zipped.foreach { (b, s) =>
+        assert(b == s, s"nProbe=$nProbe batch $b != sequential $s")
+      }
+    }
+  }
+
+  test("batched probe scans only the UNION of the probed cells, once") {
+    val (h, _) = built
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val qs = Seq(3L, 7L, 11L).map { id =>
+      emb.filter(col("vec_id") === id).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+    }
+    val nProbe = 2
+    val unionCells = qs.flatMap(q => IvfIndex.probeCells(h, q, nProbe)).distinct
+    val expectFiles = unionCells.map { c =>
+      new java.io.File(s"${h.path}/cid=$c").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    }.sum
+    // pin the numFiles metric on the exact pruned scan the batch scores
+    val seen = scannedFiles(IvfIndex.prunedScan(spark, h, unionCells))
+    assert(seen == expectFiles,
+      s"batch scan read $seen files, union of probed dirs holds $expectFiles")
+    info(s"${qs.size} queries × $nProbe probes → ${unionCells.size} distinct cells, $seen files in ONE scan")
   }
 
   test("probed plan: partition filter present, top-k is TakeOrderedAndProject") {

@@ -13,8 +13,9 @@ import graft.queries.Registry
   *  - narrow curation projections (x1/x2/x5/x16) shuffle ONLY for their
   *    final determinism ORDER BY (range partitioning) — never a
   *    hash-partitioning exchange;
-  *  - small-side joins (k3 dim table, x11 probe grams, x19 per-term df,
-  *    flip1's gather) broadcast instead of sort-merge;
+  *  - small-side joins (k3 dim table, x11 probe grams, x19 per-term df)
+  *    broadcast instead of sort-merge (flip1's gather cannot be pinned
+  *    here: its fn materializes internally and returns a LocalTableScan);
   *  - top-k queries (k1/fr6/x19) plan TakeOrderedAndProject (per-partition
   *    heaps, no global sort);
   *  - filter pushdown reaches the parquet scan (p10).
