@@ -364,6 +364,78 @@ object Multimodal {
     }(enc)
   }
 
+  /** Minimal 24-bit BMP writer — the encode twin of [[imageIo]]'s decode
+    * path (BITMAPINFOHEADER, bottom-up row order, BGR byte order, rows
+    * padded to 4-byte boundaries — the uncompressed layout every BMP
+    * reader, including javax.imageio's, consumes). `rgb(x, y)` supplies
+    * the TOP-DOWN image-coordinate pixel; channels are masked to 8 bits.
+    * Used to author deterministic fixtures whose on-disk bytes an external
+    * engine can slice directly (the x20 differential oracle). */
+  def bmp24(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(w > 0 && h > 0, s"bmp dims ${w}x$h")
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val size = 54 + rowBytes * h
+    val bb = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putInt(0).putInt(54)          // reserved, pixel-data offset
+      .putInt(40)                    // BITMAPINFOHEADER
+      .putInt(w).putInt(h)           // positive height → bottom-up
+      .putShort(1).putShort(24)      // planes, bpp
+      .putInt(0).putInt(rowBytes * h) // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var fy = 0
+    while (fy < h) {            // file row fy holds image row h-1-fy
+      val y = h - 1 - fy
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = rgb(x, y)
+        bb.put((b & 0xff).toByte).put((g & 0xff).toByte).put((r & 0xff).toByte)
+        x += 1
+      }
+      var pad = w * 3
+      while (pad < rowBytes) { bb.put(0.toByte); pad += 1 }
+      fy += 1
+    }
+    bb.array()
+  }
+
+  /** Canonical RIFF/WAVE PCM writer (44-byte header: RIFF + fmt(16) +
+    * data) — the encode twin of [[wavPcm]]'s decode path. `sample(c, i)`
+    * supplies the stored value for channel c, frame i: signed 16-bit when
+    * `bits == 16` (little-endian), unsigned 8-bit when `bits == 8`.
+    * Samples are interleaved frame-major per the WAV spec. */
+  def wavPcmPayload(channels: Int, bits: Int, frames: Int,
+                    sample: (Int, Int) => Int,
+                    sampleRate: Int = 8000): Array[Byte] = {
+    require(bits == 8 || bits == 16, s"bits $bits")
+    require(channels > 0 && frames >= 0, s"$channels ch, $frames frames")
+    val bps = bits / 8
+    val dataLen = frames * channels * bps
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                         // integer PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate).putInt(sampleRate * channels * bps)
+      .putShort((channels * bps).toShort)  // block align
+      .putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < frames) {
+      var c = 0
+      while (c < channels) {
+        val v = sample(c, i)
+        if (bits == 8) bb.put((v & 0xff).toByte) else bb.putShort(v.toShort)
+        c += 1
+      }
+      i += 1
+    }
+    bb.array()
+  }
+
   /** Build a fake payload (header + pixels) — test/fixture helper. */
   def fakePayload(w: Int, h: Int, seed: Int): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(8 + w * h)
