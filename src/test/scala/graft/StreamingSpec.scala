@@ -244,15 +244,20 @@ class StreamingSpec extends SparkSpec {
       // — the one ascending-id streaming ingest should have dropped
       val shouldDrop = pairs.map(_._2).toSet
       val strongDrop = pairs.filter(_._3 >= 0.9).map(_._2).toSet
-      val dec = Streaming.nearDupFilter(e, "embedding", "vec_id",
-          dim, nBits = 3, tau = tau, maxPerBucket = 256)
-        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
-      def recallOf(ids: Set[Long]): Double =
-        if (ids.isEmpty) 1.0 else ids.count(id => !dec(id)).toDouble / ids.size
-      val recall = recallOf(shouldDrop)
-      val strongRecall = recallOf(strongDrop)
+      def recallsAt(probeHamming: Int): (Double, Double) = {
+        val dec = Streaming.nearDupFilter(e, "embedding", "vec_id",
+            dim, nBits = 3, tau = tau, maxPerBucket = 256,
+            probeHamming = probeHamming)
+          .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+        def recallOf(ids: Set[Long]): Double =
+          if (ids.isEmpty) 1.0 else ids.count(id => !dec(id)).toDouble / ids.size
+        (recallOf(shouldDrop), recallOf(strongDrop))
+      }
+      val (recall, strongRecall) = recallsAt(0)
+      val (recallMp, strongMp) = recallsAt(1)
       info(s"batch pairs=${pairs.size}, docs-with-earlier-dup=${shouldDrop.size} " +
-        s"(strong cos>=0.9: ${strongDrop.size}), recall=$recall, strong=$strongRecall")
+        s"(strong cos>=0.9: ${strongDrop.size}), single-probe recall=$recall " +
+        s"strong=$strongRecall; Hamming-1 multi-probe recall=$recallMp strong=$strongMp")
       assert(strongDrop.nonEmpty, "strong tier must not be vacuous")
       // Floors pinned from the measured run: borderline cos≈τ pairs mostly
       // land in different single-table buckets — exactly the documented
@@ -263,9 +268,81 @@ class StreamingSpec extends SparkSpec {
       assert(recall >= 0.30, s"streaming-vs-batch recall $recall below floor")
       assert(strongRecall >= 0.99,
         s"strong-pair (near-verbatim) recall $strongRecall below floor")
+      // Hamming-1 probing (r9 ask #5) must recover most of what single-probe
+      // misses: P(signature within 1 bit) vs P(identical) at nBits=3
+      assert(recallMp >= 0.70,
+        s"multi-probe recall $recallMp below floor (single-probe was $recall)")
+      assert(strongMp >= 0.99, s"multi-probe strong recall $strongMp")
+      assert(recallMp > recall,
+        s"multi-probe ($recallMp) must beat single-probe ($recall)")
       // finally: a failed assert must not leak the persisted bucket
       // relation into the rest of the shared-session suite
     } finally spark.catalog.clearCache()
+  }
+
+  test("multi-probe near-dup runs as a STREAM (update mode), state persists across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val dim = 8
+    val base = Array(0.3, -0.7, 0.5, 0.9, -0.2, 0.4, -0.6, 0.1)
+    val near = base.clone(); near(0) += 0.001
+    val far = base.map(-_)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    // the per-doc probe merge is a streaming aggregation → Update mode
+    val q = Streaming.nearDupFilter(
+        mem.toDF().toDF("id", "vec"), "vec", "id", dim, nBits = 4, tau = 0.9,
+        probeHamming = 1)
+      .writeStream.format("memory").queryName("mp_out").outputMode("update")
+      .start()
+    mem.addData((1L, base.toSeq), (2L, base.toSeq))
+    q.processAllAvailable()
+    mem.addData((3L, near.toSeq), (4L, far.toSeq))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("mp_out").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((true, -1L)), s"out=$out")
+    assert(out(2L) == ((false, 1L)), s"out=$out")
+    assert(out(3L) == ((false, 1L)), "cross-batch dup must hit batch-1 state")
+    assert(out(4L)._1, "antipodal vector must be novel")
+    // each doc emits exactly once (probe verdicts merged, no re-emission)
+    assert(spark.table("mp_out").count() == 4)
+  }
+
+  test("multi-probe static == multi-probe streamed; catches a one-bit-away near-dup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 40L).scanLeft((0L, Seq.fill(dim)(0.0))) { case ((_, prev), i) =>
+      if (i % 4 == 0) (i, prev.map(_ + rnd.nextDouble() * 0.01)) // near-dup of prev
+      else (i, Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+    }.tail
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = Streaming.nearDupFilter(
+        mem.toDF().toDF("id", "vec"), "vec", "id", dim, nBits = 6, tau = 0.95,
+        probeHamming = 1)
+      .writeStream.format("memory").queryName("mp_parity").outputMode("update")
+      .start()
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("mp_parity").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSet
+    val batch = Streaming.nearDupFilter(
+        docs.toDF("id", "vec"), "vec", "id", dim, nBits = 6, tau = 0.95,
+        probeHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    // multi-probe must be a superset of single-probe's catches on same rows
+    val single = Streaming.nearDupFilter(
+        docs.toDF("id", "vec"), "vec", "id", dim, nBits = 6, tau = 0.95)
+      .collect().filter(!_.getBoolean(1)).map(_.getLong(0)).toSet
+    val multi = batch.filter(!_._2).map(_._1)
+    assert(single.subsetOf(multi),
+      s"multi-probe lost single-probe catches: ${single -- multi}")
   }
 
   test("streaming near-dup filter == static batch run on the same rows") {
