@@ -79,58 +79,67 @@ object Flipkart {
               discounted_price ASC NULLS FIRST) - 1 AS row_id
           FROM prepped),"""
 
+  /** The full lifecycle with the top-k frame still LAZY — split out so
+    * PlanSpec can pin the spine's physical plan (the query fn itself must
+    * materialize before closing the engine, which leaves only a
+    * LocalTableScan to inspect). Caller runs `close()` after consuming. */
+  def lazySearch(s: org.apache.spark.sql.SparkSession)
+      : (org.apache.spark.sql.DataFrame, () => Unit) = {
+    val raw = Tables.flipkartSynth(s)
+    // P1 fillna (reference src/load_flipkart.py:19-20)
+    val filled = raw
+      .withColumn("brand", coalesce(col("brand"), lit("n/a")))
+      .withColumn("description", coalesce(col("description"), lit("n/a")))
+    // P2-P5 category split/scrub/trim + P7 specs reformat; null specs →
+    // '' exactly as the reference's format_specs(str(nan)) yields ''
+    val shaped = Prep.flipkartShape(filled,
+        "product_category_tree", "product_specifications")
+      .withColumn("product_specifications_clean",
+        coalesce(col("product_specifications_clean"), lit("")))
+      // P8 drops (reference src/load_flipkart.py:28-38)
+      .drop("pid", "uniq_id", "image", "product_rating", "overall_rating",
+        "product_category_tree", "product_url", "crawl_timestamp",
+        "product_specifications")
+    // EVERY prep output is a row_id ordering key: a bug anywhere in the
+    // prep chain reorders ids and fails the hash
+    // persisted: the engine lifecycle scans items several times (profile
+    // aggregate, encode projection, gather join) and each action would
+    // otherwise re-read + re-prep the gzip CSV (non-splittable scan);
+    // released with the index below
+    val items = Prep.withRowId(shaped, Seq(
+      col("product_name"), col("brand"), col("description"),
+      col("product_category_1"), col("product_category_2"),
+      col("product_category_3"), col("product_specifications_clean"),
+      col("is_FK_Advantage_product"), col("retail_price"),
+      col("discounted_price"))).persist()
+    val eng = FuseRankEngine.index(items, FuseRankConfig(
+      idCol = "row_id",
+      // text_encoding_schema weights (src/load_flipkart.py:44-47)
+      textCols = Map("product_name" -> 0.4, "description" -> 0.3,
+        "product_specifications_clean" -> 0.3),
+      auxCols = Seq("product_category_1", "is_FK_Advantage_product",
+        "discounted_price", "retail_price"),
+      presetTransforms = Map("retail_price" -> Log2p1,
+        "discounted_price" -> Log2p1),
+      params = EncoderParams(numHarmonics = K)))
+    val out = eng.search("", Seq(
+        SparseFilter("product_category_1", selectedCats),
+        BinaryFilter("is_FK_Advantage_product", "true", weight = 0.5),
+        DenseIntervalFilter("discounted_price", 150.0, 2000.0, weight = 0.8)),
+        k = 20)
+      .select(col("row_id").cast("long").as("row_id"), col("relevance"))
+      .orderBy(col("relevance").desc, col("row_id"))
+    (out, () => { eng.close(); items.unpersist(); () })
+  }
+
   private val flip1 = Q(
     "flip1_flipkart_fused_topk",
     (s, _) => {
-      val raw = Tables.flipkartSynth(s)
-      // P1 fillna (reference src/load_flipkart.py:19-20)
-      val filled = raw
-        .withColumn("brand", coalesce(col("brand"), lit("n/a")))
-        .withColumn("description", coalesce(col("description"), lit("n/a")))
-      // P2-P5 category split/scrub/trim + P7 specs reformat; null specs →
-      // '' exactly as the reference's format_specs(str(nan)) yields ''
-      val shaped = Prep.flipkartShape(filled,
-          "product_category_tree", "product_specifications")
-        .withColumn("product_specifications_clean",
-          coalesce(col("product_specifications_clean"), lit("")))
-        // P8 drops (reference src/load_flipkart.py:28-38)
-        .drop("pid", "uniq_id", "image", "product_rating", "overall_rating",
-          "product_category_tree", "product_url", "crawl_timestamp",
-          "product_specifications")
-      // EVERY prep output is a row_id ordering key: a bug anywhere in the
-      // prep chain reorders ids and fails the hash
-      // persisted: the engine lifecycle scans items several times (profile
-      // aggregate, encode projection, gather join) and each action would
-      // otherwise re-read + re-prep the gzip CSV (non-splittable scan);
-      // released with the index below
-      val items = Prep.withRowId(shaped, Seq(
-        col("product_name"), col("brand"), col("description"),
-        col("product_category_1"), col("product_category_2"),
-        col("product_category_3"), col("product_specifications_clean"),
-        col("is_FK_Advantage_product"), col("retail_price"),
-        col("discounted_price"))).persist()
-      val eng = FuseRankEngine.index(items, FuseRankConfig(
-        idCol = "row_id",
-        // text_encoding_schema weights (src/load_flipkart.py:44-47)
-        textCols = Map("product_name" -> 0.4, "description" -> 0.3,
-          "product_specifications_clean" -> 0.3),
-        auxCols = Seq("product_category_1", "is_FK_Advantage_product",
-          "discounted_price", "retail_price"),
-        presetTransforms = Map("retail_price" -> Log2p1,
-          "discounted_price" -> Log2p1),
-        params = EncoderParams(numHarmonics = K)))
-      val out = eng.search("", Seq(
-          SparseFilter("product_category_1", selectedCats),
-          BinaryFilter("is_FK_Advantage_product", "true", weight = 0.5),
-          DenseIntervalFilter("discounted_price", 150.0, 2000.0, weight = 0.8)),
-          k = 20)
-        .select(col("row_id").cast("long").as("row_id"), col("relevance"))
-        .orderBy(col("relevance").desc, col("row_id"))
+      val (out, close) = lazySearch(s)
       // materialize the 20-row result so the engine's persisted index can
       // be released before returning (the rest1 convention)
       val rows = out.collect()
-      eng.close()
-      items.unpersist()
+      close()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     },
     Some(s"""WITH $prepCtes

@@ -71,4 +71,95 @@ class PlanSpec extends SparkSpec {
     assert(pushed.findFirstIn(p).isDefined,
       s"p10 scan has no pushed filters:\n$p")
   }
+
+  // ---- r9 ask #7: dedup-family + curation + flip1 spine pins ----------
+
+  /** The dedup family's 100-TB claim rests on candidate generation being
+    * EQUI-joins on the bucket/band key — a lost join key degrades to a
+    * cartesian/BNLJ all-pairs shape that a small fixture would happily
+    * execute. The plan strings include persisted relations' cached plans,
+    * so the pins cover the full candidate pipeline. */
+  private val bucketJoined = Seq("d3_minhash_lsh_pairs", "d7_lsh_neardup_pairs",
+    "x15_span_neardup", "x18_span_excise")
+
+  for (n <- bucketJoined)
+    test(s"$n: candidate generation is equi-joined — never cartesian/BNLJ") {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n grew a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$n degraded to BNLJ:\n$p")
+      assert(p.contains("Join"), s"$n lost its bucket join entirely:\n$p")
+    }
+
+  /** Static physical plan with AQE unwrapped (inputPlan = the pre-runtime
+    * plan, consistent with the string pins above). */
+  private def sparkPlan(name: String): org.apache.spark.sql.execution.SparkPlan = {
+    val q = Registry.all.find(_.name == name)
+      .getOrElse(fail(s"no query named $name"))
+    q.fn(spark, dir).queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+  }
+
+  /** Hash-partitioning shuffles NOT inside a broadcast subtree — i.e. the
+    * shuffles the CORPUS rows pay, as opposed to a tiny dim/stat side
+    * being aggregated before broadcast. */
+  private def corpusHashShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    def walk(n: org.apache.spark.sql.execution.SparkPlan, under: Boolean): Int = n match {
+      case _: BroadcastExchangeExec => n.children.map(walk(_, under = true)).sum
+      case s: ShuffleExchangeExec =>
+        val hit = !under && s.outputPartitioning.isInstanceOf[HashPartitioning]
+        (if (hit) 1 else 0) + n.children.map(walk(_, under)).sum
+      case _ => n.children.map(walk(_, under)).sum
+    }
+    walk(p, under = false)
+  }
+
+  test("x14_freq_subsample: corpus path shuffle-free; text never read") {
+    val p = plan("x14_freq_subsample")
+    // the keep decision is a narrow filter over a two-column pruned scan:
+    // the doc text column must not appear in ANY scan schema
+    assert(!p.contains("text:string"), s"x14 reads text:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"x14 degraded to sort-merge:\n$p")
+    // the only hash shuffles are the tiny per-language count aggregates,
+    // both under their broadcast — corpus rows shuffle only for the
+    // determinism sort (range partitioning)
+    assert(corpusHashShuffles(sparkPlan("x14_freq_subsample")) == 0,
+      s"x14's corpus rows pay a hash shuffle:\n$p")
+  }
+
+  test("x17_oov_rate: vocab broadcasts; one corpus shuffle (per-doc reagg)") {
+    val p = plan("x17_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), s"x17 lost the vocab broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"x17 degraded to sort-merge:\n$p")
+    // the vocab top-K is TakeOrderedAndProject on the build side
+    assert(p.contains("TakeOrderedAndProject"), s"x17 vocab lost its top-k:\n$p")
+    // ≤ 1: the per-doc reaggregation — elided entirely when the fixture
+    // scan is a single partition (its SinglePartition output already
+    // satisfies the aggregate's distribution requirement)
+    assert(corpusHashShuffles(sparkPlan("x17_oov_rate")) <= 1,
+      s"x17 should pay at most the per-doc reaggregation shuffle:\n$p")
+  }
+
+  test("flip1 spine: broadcast gather, TakeOrderedAndProject top-k, one ingest window") {
+    // the lazy lifecycle (the query fn materializes before closing the
+    // engine, leaving only a LocalTableScan — lazySearch exposes the plan)
+    val (out, close) = graft.queries.Flipkart.lazySearch(spark)
+    try {
+      val p = out.queryExecution.executedPlan.toString
+      assert(p.contains("TakeOrderedAndProject"), s"flip1 lost its top-k:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"flip1's gather lost its broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"flip1 degraded to sort-merge:\n$p")
+      assert(!p.contains("CartesianProduct"), s"flip1 grew a cartesian:\n$p")
+      assert(p.contains("FileScan csv"), s"flip1 lost the CSV ingest scan:\n$p")
+      // the deterministic row-id window is the documented 20K-row ingest
+      // boundary — the spine must not grow more unpartitioned windows
+      assert("Window \\[row_number".r.findAllIn(p).size >= 1 &&
+        p.contains("Exchange SinglePartition"),
+        s"flip1's ingest window shape changed:\n$p")
+    } finally close()
+  }
 }
