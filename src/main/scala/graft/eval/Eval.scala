@@ -69,13 +69,26 @@ object Eval {
     * the same ordering as the per-point path. */
   def hardFilterTopKBatch(items: DataFrame, idCol: String, textVecCol: String,
                           qText: Array[Double], filtersPerPoint: Seq[Seq[Filter]],
-                          k: Int): IndexedSeq[Seq[Long]] = {
+                          k: Int): IndexedSeq[Seq[Long]] =
+    hardFilterTopKBatchPerQuery(items, idCol, textVecCol,
+      Seq.fill(filtersPerPoint.size)(qText), filtersPerPoint, k)
+
+  /** [[hardFilterTopKBatch]] with a PER-POINT text query (the reference
+    * embeds each repetition's sampled row name, src/eval/evaluate.py:176-181
+    * — every point scores against ITS OWN text). multiTopK dedupes
+    * identical vectors, so the fixed-text case costs the same one dot. */
+  def hardFilterTopKBatchPerQuery(items: DataFrame, idCol: String,
+                                  textVecCol: String,
+                                  qTexts: Seq[Array[Double]],
+                                  filtersPerPoint: Seq[Seq[Filter]],
+                                  k: Int): IndexedSeq[Seq[Long]] = {
+    require(qTexts.size == filtersPerPoint.size,
+      s"${qTexts.size} queries vs ${filtersPerPoint.size} filter sets")
     val preds = filtersPerPoint.map { fs =>
       val ps = filterPreds(fs)
       if (ps.isEmpty) lit(true) else ps.reduce(_ && _)
     }
-    Search.multiTopK(items, textVecCol, idCol,
-      Seq.fill(filtersPerPoint.size)(qText), k,
+    Search.multiTopK(items, textVecCol, idCol, qTexts, k,
       eligible = preds, roundScores = false).map(_.map(_._1))
   }
 
@@ -157,7 +170,7 @@ object Eval {
             candidateCols: Seq[String], profiles: Map[String, ColumnProfile],
             encodeAndSearch: (Seq[Seq[Filter]], Int) => Seq[Seq[Long]],
             k: Int = 10, repetitions: Int = 3): Seq[SweepPoint] = {
-    val (keys, filtersPer) = sweepPoints(items, idCol, candidateCols, profiles, repetitions)
+    val (keys, filtersPer, _) = sweepPoints(items, idCol, candidateCols, profiles, repetitions)
     val oracles = hardFilterTopKBatch(items, idCol, textVecCol, qText, filtersPer, k)
     val subjects = encodeAndSearch(filtersPer, k)
     keys.zipWithIndex.map { case ((m, i, seed, mods), j) =>
@@ -172,18 +185,25 @@ object Eval {
   private def sweepPoints(items: DataFrame, idCol: String,
                           candidateCols: Seq[String],
                           profiles: Map[String, ColumnProfile],
-                          repetitions: Int)
-      : (Seq[(Int, Int, Int, Seq[String])], Seq[Seq[Filter]]) = {
+                          repetitions: Int,
+                          extraSampleCols: Seq[String] = Nil)
+      : (Seq[(Int, Int, Int, Seq[String])], Seq[Seq[Filter]],
+         Seq[Map[String, Any]]) = {
     val n = candidateCols.size
     val keys = for {
       m <- 1 to n; i <- 0 until repetitions
       (seed, mods) = modalitiesFor(candidateCols, m, i)
     } yield (m, i, seed, mods)
-    val samples = batchSamples(items, idCol, candidateCols, keys.map(_._3))
+    // extra columns (e.g. the text column the reference embeds per point)
+    // ride the SAME seeded sample row; they never join the modality pool
+    // (filters draw only from mods ⊆ candidateCols)
+    val samples = batchSamples(items, idCol,
+      candidateCols ++ extraSampleCols.filterNot(candidateCols.contains),
+      keys.map(_._3))
     val filtersPer = keys.map { case (_, _, seed, mods) =>
       experimentFilters(samples(seed).filter(kv => mods.contains(kv._1)), profiles)
     }
-    (keys, filtersPer)
+    (keys, filtersPer, keys.map { case (_, _, seed, _) => samples(seed) })
   }
 
   final case class SweepResult(num_harmonics: Int, interval_epsilon: Double,
@@ -203,7 +223,13 @@ object Eval {
     * close (EvalQueries). */
   final case class SweepEngine(
       search: (Seq[Double], Seq[Seq[Filter]], Int) => IndexedSeq[IndexedSeq[Seq[Long]]],
-      close: () => Unit = () => ())
+      close: () => Unit = () => (),
+      /** Per-point-text variant (reference per-repetition sampled-name
+        * embedding): receives one text vector PER POINT alongside its
+        * filter set. Required when [[fullSweep]] runs with a
+        * `sampleTextCol`; `search` is used otherwise. */
+      searchPerText: (Seq[Double], Seq[Seq[Filter]], Seq[Array[Double]], Int)
+        => IndexedSeq[IndexedSeq[Seq[Long]]] = null)
 
   /** Full A11 sweep (reference src/eval/evaluate.py:156-242): the modality
     * sweep of [[sweep]] repeated over the `num_harmonics` ×
@@ -236,13 +262,29 @@ object Eval {
                 engineFor: Int => SweepEngine,
                 harmonicsSweep: Seq[Int], epsilonSweep: Seq[Double],
                 k: Int = 10, repetitions: Int = 3,
-                maxInFlightConfigs: Int = 2): Seq[SweepResult] = {
+                maxInFlightConfigs: Int = 2,
+                sampleTextCol: Option[String] = None,
+                embedText: String => Array[Double] = null): Seq[SweepResult] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    require(sampleTextCol.isEmpty || embedText != null,
+      "sampleTextCol needs an embedText function")
     // config-independent work, batched: ONE sample job + ONE oracle job
     // for the whole point grid
-    val (keys, filtersPer) = sweepPoints(items, idCol, candidateCols, profiles, repetitions)
-    val oracles = hardFilterTopKBatch(items, idCol, textVecCol, qText, filtersPer, k)
+    val (keys, filtersPer, samplesPer) = sweepPoints(items, idCol,
+      candidateCols, profiles, repetitions, extraSampleCols = sampleTextCol.toSeq)
+    // per-point query text (reference src/eval/evaluate.py:176-181: each
+    // repetition embeds ITS sampled row's text); a null sampled text falls
+    // back to the fixed query — both sides of the differential use the
+    // same vector either way, so the metric stays an apples-to-apples
+    // ranking comparison
+    val qTexts: Seq[Array[Double]] = sampleTextCol match {
+      case None => Seq.fill(keys.size)(qText)
+      case Some(tc) => samplesPer.map(s =>
+        Option(s.getOrElse(tc, null)).map(v => embedText(v.toString)).getOrElse(qText))
+    }
+    val oracles = hardFilterTopKBatchPerQuery(items, idCol, textVecCol,
+      qTexts, filtersPer, k)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(maxInFlightConfigs, 1))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -253,7 +295,12 @@ object Eval {
             val eng = engineFor(kh)
             // one batched subject scan answers the harmonic's full ε × point grid
             try {
-              val perEps = eng.search(epsilonSweep, filtersPer, k)
+              val perEps =
+                if (sampleTextCol.isDefined) {
+                  require(eng.searchPerText != null,
+                    "per-point text sweep needs SweepEngine.searchPerText")
+                  eng.searchPerText(epsilonSweep, filtersPer, qTexts, k)
+                } else eng.search(epsilonSweep, filtersPer, k)
               for {
                 (eps, e) <- epsilonSweep.zipWithIndex
                 ((m, i, seed, _), j) <- keys.zipWithIndex

@@ -21,11 +21,13 @@ import org.apache.spark.sql.functions._
   * while the hard-filter oracle keeps raw-unit `col <= value` predicates
   * (milvus_experiment.py filter strings).
   *
-  * One fixed query text through the engine's own embedder stands in for
-  * the reference's per-point sampled name through mxbai (the sandbox has
-  * no model; the differential metric compares two rankings that share
-  * whatever text score is used, so the MODALITY fidelity curve — the
-  * paper's subject — is measured the same way).
+  * Query text follows the reference's per-repetition discipline
+  * (src/eval/evaluate.py:176-181): each point embeds ITS OWN sampled
+  * row's "Restaurant Name" through the engine's embedder (the mxbai model
+  * itself is the sandbox's permanent env boundary — the HashingEmbedder
+  * stands in; both sides of the differential score the same vector, so
+  * the MODALITY fidelity curve — the paper's subject — is measured the
+  * same way). A null sampled name falls back to the fixed demo query.
   *
   * Runs via [[Eval.fullSweep]] (grid-size-independent: one sample job, one
   * batched oracle scan, one batched subject scan per harmonic count),
@@ -74,17 +76,23 @@ object RecallCurve {
       val layout = ProductEncoder.layoutFor(cands.map(profsT), params,
         textBlock = Some(TextBlock("text_vec", 64)))
       val indexed = ProductEncoder.encode(transformed, layout)
-      Eval.SweepEngine(search = (epsList, filterSets, k) => {
-        val qs = for { eps <- epsList; fs <- filterSets }
+      def batched(epsList: Seq[Double], filterSets: Seq[Seq[graft.query.Filter]],
+                  texts: Seq[Array[Double]], k: Int) = {
+        val qs = for { eps <- epsList; (fs, qt) <- filterSets.zip(texts) }
           yield graft.query.QueryEncoder.encode(layout,
-            fs.map(f => f.column -> f).toMap, textVec = qVec,
+            fs.map(f => f.column -> f).toMap, textVec = qt,
             transforms = transforms,
             params = graft.query.QueryEncoder.Params(eps, params.rangeEpsilon))
         val flat = graft.search.Search
           .multiTopK(indexed, "fused_vec", "row_id", qs, k).map(_.map(_._1))
         epsList.indices.map(e =>
           filterSets.indices.map(j => flat(e * filterSets.size + j)))
-      })
+      }
+      Eval.SweepEngine(
+        search = (epsList, filterSets, k) =>
+          batched(epsList, filterSets, Seq.fill(filterSets.size)(qVec), k),
+        searchPerText = (epsList, filterSets, texts, k) =>
+          batched(epsList, filterSets, texts, k))
     }
 
     val harmonics = (1 to 10).map(_ * 50)
@@ -99,7 +107,8 @@ object RecallCurve {
       s"default cut points ($DefaultKh, $DefaultEps) must be in the sweep grid")
     val t0 = System.nanoTime()
     val rs = Eval.fullSweep(withText, "row_id", "text_vec", qVec, cands,
-      profsRaw, engineFor, harmonics, epsilons, k = 10, repetitions = 10)
+      profsRaw, engineFor, harmonics, epsilons, k = 10, repetitions = 10,
+      sampleTextCol = Some("Restaurant Name"), embedText = emb.embed)
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"[recall] ${rs.size} sweep points in $secs%.1f s")
 
