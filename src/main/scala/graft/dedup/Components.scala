@@ -65,6 +65,10 @@ object Components {
       .select(col("id"), least(col("id"), col("nbr")).as("comp"))
     var it = 0
     var changed = 1L
+    // superseded rounds' checkpoint blocks are released as soon as the next
+    // round is materialized — an N-round run pins ONE block-set, not N (the
+    // leak would compound across repeated CC runs in a long-lived session)
+    var prevPinned: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     try {
       while (changed > 0 && it < maxIter) {
         // neighbor-min: comp'(v) = min(comp(v), min over neighbors comp(u));
@@ -86,6 +90,10 @@ object Components {
           .select(col("p.id").as("id"), col("m.cc").as("comp"),
             (col("m.cc") =!= col("p.prev")).as("ch"))
           .localCheckpoint(true)
+        // eager checkpoint: `next` is fully materialized here, so the
+        // previous round's blocks are dead weight — release them now
+        prevPinned.foreach(_.unpersist(false))
+        prevPinned = checkpointRdds(next)
         changed = next.filter(col("ch")).count()
         labels = next.select(col("id"), col("comp"))
         it += 1
@@ -95,6 +103,22 @@ object Components {
     } finally adj.unpersist() // also on the non-convergence throw — no leak
     labels
   }
+
+  /** The localCheckpoint-materialized RDDs backing a frame (LogicalRDD
+    * leaves). The FINAL round's blocks are the returned labels' storage —
+    * pinned by design while the result is in use, like `persist`. */
+  private def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }
+
+  /** Release the checkpoint blocks backing a [[connectedComponents]] result
+    * (or any frame derived from one — [[assign]] output included). Call when
+    * done consuming the labels; the frame must not be re-executed after.
+    * The persist/unpersist contract, for an operator whose storage is a
+    * lineage-truncating checkpoint `clearCache()` cannot see. */
+  def release(labels: DataFrame): Unit =
+    checkpointRdds(labels).foreach(_.unpersist(false))
 
   /** Cluster assignment for a document table: (docs ⟕ components), nodes
     * with no candidate edge are singleton clusters of themselves, plus the

@@ -255,9 +255,10 @@ object TextDedup {
       // starEdges), cohort-filtered (the doc_id predicate pushes below
       // the generate and the row-local signature projections to the
       // scan); buckets persist until the harness clearCache (d3/d7
-      // accounting); Components' per-round labels are eager
-      // localCheckpoints whose blocks the context cleaner frees once
-      // unreferenced
+      // accounting). Components releases superseded per-round
+      // checkpoints itself; only the FINAL labels' block-set stays
+      // pinned while this frame is consumed (a long-lived session done
+      // with the result frees it via Components.release)
       val edges = starEdges(s, d, D8DocCap)
       val comps = graft.dedup.Components.connectedComponents(edges, "a_id", "b_id")
       graft.dedup.Components.assign(docs, "doc_id", comps).orderBy("doc_id")

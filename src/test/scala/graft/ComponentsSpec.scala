@@ -39,6 +39,21 @@ class ComponentsSpec extends SparkSpec {
     assert(compMap(es, parts = 1) == compMap(es, parts = 4))
   }
 
+  test("multi-round run pins exactly one checkpoint block-set; release() frees it") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // diameter-7 chain: several propagate+jump rounds, so superseded
+    // rounds' checkpoints MUST have been released along the way
+    val labels = Components.connectedComponents(
+      edgeDf((1L to 7L).map(i => (i, i + 1)), parts = 2), "a", "b")
+    labels.collect()
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(during.size == 1,
+      s"expected ONE pinned block-set (the final labels), got ${during.size}")
+    Components.release(labels)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "release() must free the final checkpoint")
+  }
+
   test("non-convergence fails loudly, never a partial clustering") {
     val ex = intercept[IllegalArgumentException] {
       Components.connectedComponents(edgeDf(Seq((1L, 2L), (2L, 3L))), "a", "b",
