@@ -282,6 +282,81 @@ object Vectors {
         WHERE rk <= 5 ORDER BY q_id, rk"""
   }
 
+  // sim4: PQ ANN — the THIRD scale path (after sim2 LSH and sim3 IVF):
+  // product quantization with asymmetric-distance scoring, the 100-TB
+  // MEMORY lever (m codes per vector instead of dim doubles — 128× at
+  // m=4/ksub=8 on 64-dim; FAISS's IVFPQ compression half). Codebooks =
+  // one sim3-discipline k-means PER SUBSPACE (deterministic init, exact
+  // DECIMAL means, cid tiebreaks); scoring never touches the original
+  // vector: score(q, x) = Σ_j T_q[j][code_j(x)] over the broadcast
+  // query-vs-codebook IP table. The DuckDB twin re-runs all m unrolled
+  // k-means on list slices, re-derives every code, rebuilds T, and
+  // re-ranks — the full fit→encode→ADC pipeline under the hash.
+  private val PqM = 4
+  private val PqKsub = 8
+  private val PqIters = 2
+  private val PqDsub = IvfDim / PqM
+
+  private def pqSql: String = {
+    def dist(v: String, c: String) =
+      s"list_dot_product($v,$v) - 2*list_dot_product($v,$c) + list_dot_product($c,$c)"
+    val perSub = (0 until PqM).map { j =>
+      val lo = j * PqDsub + 1; val hi = (j + 1) * PqDsub
+      val iterCtes = (1 to PqIters).map { i =>
+        s"""a${i}_$j AS (SELECT e.vec_id, any_value(e.v) AS v,
+              (min({'d': ${dist("e.v", "c.c")}, 'cid': c.cid})).cid AS cid
+            FROM e_$j e, c${i - 1}_$j c GROUP BY e.vec_id),
+            m${i}_$j AS (SELECT a.cid, i.i AS pos,
+              sum(a.v[i.i]::DECIMAL(28,6))::DOUBLE / count(*) AS m
+            FROM a${i}_$j a, range(1, ${PqDsub + 1}) i(i) GROUP BY a.cid, i.i),
+            n${i}_$j AS (SELECT cid, list(m ORDER BY pos) AS c FROM m${i}_$j GROUP BY cid),
+            c${i}_$j AS (SELECT p.cid, coalesce(n.c, p.c) AS c
+                    FROM c${i - 1}_$j p LEFT JOIN n${i}_$j n USING (cid))"""
+      }.mkString(",\n")
+      s"""e_$j AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+          c0_$j AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                 v[$lo:$hi] AS c FROM e ORDER BY vec_id LIMIT $PqKsub),
+          $iterCtes,
+          af_$j AS (SELECT e.vec_id,
+              (min({'d': ${dist("e.v", "c.c")}, 'cid': c.cid})).cid AS cid
+            FROM e_$j e, c${PqIters}_$j c GROUP BY e.vec_id)"""
+    }.mkString(",\n")
+    val codesUnion = (0 until PqM)
+      .map(j => s"SELECT vec_id, $j AS sub, cid FROM af_$j").mkString(" UNION ALL ")
+    val centUnion = (0 until PqM)
+      .map(j => s"SELECT $j AS sub, cid, c FROM c${PqIters}_$j").mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        $perSub,
+        codes AS ($codesUnion),
+        cent AS ($centUnion),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+        t AS (SELECT q.q_id, cent.sub, cent.cid,
+            list_dot_product(
+              list_slice(q.qv, cent.sub * $PqDsub + 1, (cent.sub + 1) * $PqDsub),
+              cent.c) AS t
+          FROM q, cent),
+        scored AS (SELECT t.q_id, c.vec_id,
+            round(sum(t.t), 5) + 0.0 AS score
+          FROM codes c JOIN t ON t.sub = c.sub AND t.cid = c.cid
+          WHERE c.vec_id != t.q_id
+          GROUP BY t.q_id, c.vec_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY score DESC, vec_id) AS rk FROM scored)
+        SELECT q_id, vec_id, score, rk FROM ranked
+        WHERE rk <= 5 ORDER BY q_id, rk"""
+  }
+
+  private val sim4 = Q(
+    "sim4_knn_pq",
+    (s, d) => Search.knnPq(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", queryIds = Seq(0L, 1L, 2L), dim = IvfDim,
+        m = PqM, ksub = PqKsub, iters = PqIters, k = 5,
+        // DECIMAL means: the oracle twin re-runs the identical per-subspace fits
+        exactMeans = true)
+      .orderBy("q_id", "rk"),
+    Some(pqSql))
+
   // st3: batch twin of the STREAMING near-dup filter
   // (Streaming.nearDupFilter — dedup-on-ingest): greedy first-seen-wins
   // leader clustering per single-table LSH bucket; a doc is a duplicate of
@@ -372,5 +447,5 @@ object Vectors {
       .orderBy("q_id", "rk"),
     Some(ivfSql))
 
-  val qs: Seq[Q] = Seq(k1, sim1, sim2, sim3, d5, d7, a5, a6, st3)
+  val qs: Seq[Q] = Seq(k1, sim1, sim2, sim3, sim4, d5, d7, a5, a6, st3)
 }

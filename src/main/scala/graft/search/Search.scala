@@ -434,6 +434,86 @@ object Search {
       .select(col("q_id"), col("id").as("vec_id"), col("score"), col("rk"))
   }
 
+  /** Product-quantization codebooks: the vector space split into `m`
+    * contiguous subspaces of dim/m dimensions, one [[ivfCentroids]] k-means
+    * (same deterministic discipline: first-rows init, centroid-id
+    * tiebreaks, empty clusters keep their centroid, optional exact DECIMAL
+    * means) fit per subspace. PQ is THE 100-TB ANN memory lever: an
+    * encoded vector is `m` small codes (m bytes at ksub ≤ 256) instead of
+    * dim·8 bytes — a 64-dim double vector compresses 128× at m=4 — which
+    * is what lets a billion-vector index live in executor memory while
+    * the exact vectors stay on disk for reranking. */
+  def pqCodebooks(vectors: DataFrame, vecCol: String, idCol: String,
+                  dim: Int, m: Int, ksub: Int, iters: Int,
+                  exactMeans: Boolean = false): Array[Array[Array[Double]]] = {
+    require(m > 0 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    (0 until m).map { j =>
+      val sub = vectors.select(col(idCol),
+        slice(asDouble(col(vecCol)), j * dsub + 1, dsub).as("__sub"))
+      ivfCentroids(sub, "__sub", idCol, ksub, iters, exactMeans)
+    }.toArray
+  }
+
+  /** PQ encode: array of `m` subspace code ids (nearest sub-centroid per
+    * subspace, [[ivfAssign]] semantics). Narrow projection — at scale this
+    * pipelines into the index write; pack to BinaryType for the byte-tight
+    * serving form ([[org.apache.spark.sql.graft.PackedVectors]] pattern). */
+  def pqCodes(vec: Column, codebooks: Array[Array[Array[Double]]],
+              dim: Int): Column = {
+    val m = codebooks.length
+    val dsub = dim / m
+    array((0 until m).map(j =>
+      ivfAssign(slice(vec, j * dsub + 1, dsub), codebooks(j))): _*)
+  }
+
+  /** PQ ANN top-k by ASYMMETRIC DISTANCE COMPUTATION for a small query-id
+    * set: fit codebooks, encode every vector to `m` codes, and score a row
+    * WITHOUT touching its original vector — per query, the inner-product
+    * table T[j][c] = ⟨q_j, codebook_j[c]⟩ (m·ksub doubles, driver math) is
+    * broadcast and the approximate score is Σ_j T[j][code_j], a pure
+    * lookup-sum over the codes. The scale shape: the scan reads m SMALL
+    * codes per row instead of dim doubles — IO and memory shrink by the
+    * compression factor, scoring is m array lookups + adds per row, and
+    * ranking quality is the PQ approximation (recall vs exact asserted in
+    * PqSpec; re-rank the top candidates against exact vectors to recover
+    * the tail, the standard FAISS IVFPQ + refine recipe). Composes with
+    * [[knnIvf]]/[[graft.serve.IvfIndex]]: coarse cells prune IO, PQ codes
+    * shrink what's read. */
+  def knnPq(vectors: DataFrame, vecCol: String, idCol: String,
+            queryIds: Seq[Long], dim: Int, m: Int, ksub: Int, iters: Int,
+            k: Int, exactMeans: Boolean = false): DataFrame = {
+    val spark = vectors.sparkSession
+    val base = vectors.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("v"))
+    val books = pqCodebooks(base, "v", "id", dim, m, ksub, iters, exactMeans)
+    val encoded = base.select(col("id"), pqCodes(col("v"), books, dim).as("codes"))
+    val dsub = dim / m
+    val qRows = base.filter(col("id").isin(queryIds: _*)).collect()
+    val qT = qRows.map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1).toArray
+      val t = Array.tabulate(m, ksub) { (j, c) =>
+        var s = 0.0; var i = 0
+        val cent = books(j)(c)
+        while (i < dsub) { s += qv(j * dsub + i) * cent(i); i += 1 }
+        s
+      }
+      (qid, t.map(_.toSeq).toSeq)
+    }
+    val qDf = spark.createDataFrame(qT.toIndexedSeq).toDF("q_id", "t")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("id"))
+    encoded.crossJoin(broadcast(qDf))
+      .filter(col("q_id") =!= col("id"))
+      .withColumn("score", round(
+        aggregate(
+          zip_with(col("codes"), col("t"), (c, tj) => element_at(tj, c + 1)),
+          lit(0.0), (s, x) => s + x), 5) + 0.0)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("id").as("vec_id"), col("score"), col("rk"))
+  }
+
   /** ANN top-k via multi-table LSH: candidates = vectors sharing ANY
     * table's bucket with the query (deduplicated), then exact cosine on the
     * candidate set only. Recall vs knnBruteForce asserted in tests. */

@@ -1,0 +1,113 @@
+package graft
+
+import graft.search.Search
+import org.apache.spark.sql.functions._
+
+/** Product quantization (sim4): codebook fit, encode, and ADC scoring.
+  * The oracle row hash-proves the fit→encode→score pipeline; this spec
+  * pins the properties the hash can't see — approximation QUALITY vs the
+  * exact ranking, the compression contract, and distribution-invariance.
+  */
+class PqSpec extends SparkSpec {
+
+  private val dim = 64
+
+  private lazy val emb =
+    Tables.embeddings(spark, sf("sf0.001")).select(col("vec_id"), col("embedding"))
+
+  test("codes: m small ints per vector, every code < ksub") {
+    val base = emb.select(col("vec_id").cast("long").as("id"),
+      Search.asDouble(col("embedding")).as("v"))
+    val books = Search.pqCodebooks(base, "v", "id", dim, m = 4, ksub = 8, iters = 2)
+    assert(books.length == 4 && books.forall(_.length == 8) &&
+      books.forall(_.forall(_.length == dim / 4)))
+    val codes = base.select(Search.pqCodes(col("v"), books, dim).as("c"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 8)))
+    // the compression story: 4 codes (≤ 4 bytes) stand in for 64 doubles
+    info(s"compression: ${dim * 8} bytes/vector → 4 codes (${codes.head})")
+  }
+
+  test("ADC top-k recall vs exact IP ranking; scores match a driver recompute") {
+    val k = 10
+    val pq = Search.knnPq(emb, "embedding", "vec_id", queryIds = Seq(0L, 1L, 2L),
+      dim = dim, m = 8, ksub = 16, iters = 3, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exact inner-product ranking (ADC approximates IP, not cosine)
+    val rows = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def exactTop(q: Long) = rows.toSeq.filter(_._1 != q)
+      .map { case (id, v) => (id, (rows(q), v).zipped.map(_ * _).sum) }
+      .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)
+    val recalls = Seq(0L, 1L, 2L).map { q =>
+      val got = pq.filter(_._1 == q).map(_._2).toSet
+      exactTop(q).count(got.contains).toDouble / k
+    }
+    // the synthetic embeddings are near-uniform random — PQ's adversarial
+    // case (no cluster structure; quantization error rivals the tightly
+    // packed IP spread). Chance recall here is k/N ≈ 0.05; assert above
+    // chance and leave the QUALITY floor to the clustered-corpus test.
+    info(s"ADC recall@$k vs exact IP per query (random corpus): ${recalls.mkString(", ")}")
+    assert(recalls.forall(_ >= 0.1), s"PQ below chance: $recalls")
+    // driver-side ADC recompute of one query's scores (same fit params)
+    val base = emb.select(col("vec_id").cast("long").as("id"),
+      Search.asDouble(col("embedding")).as("v"))
+    val books = Search.pqCodebooks(base, "v", "id", dim, m = 8, ksub = 16, iters = 3)
+    val dsub = dim / 8
+    val q0 = rows(0L)
+    def codeOf(v: Array[Double], j: Int): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      for (c <- 0 until 16) {
+        var dd = 0.0; var i = 0
+        while (i < dsub) { val t = v(j * dsub + i) - books(j)(c)(i); dd += t * t; i += 1 }
+        if (dd < bestD) { bestD = dd; best = c }
+      }
+      best
+    }
+    pq.filter(_._1 == 0L).foreach { case (_, id, score) =>
+      val v = rows(id)
+      val adc = (0 until 8).map { j =>
+        val c = codeOf(v, j)
+        (0 until dsub).map(i => q0(j * dsub + i) * books(j)(c)(i)).sum
+      }.sum
+      assert(math.abs(adc - score) < 1e-4,
+        s"vec $id: driver ADC $adc vs engine $score")
+    }
+  }
+
+  test("clustered corpus: ADC recall high, same-cluster neighbors retrieved") {
+    // the corpus shape PQ exists for: 20 well-separated cluster centers,
+    // 12 members each with small noise — subspace k-means finds real
+    // structure and ADC ranking should recover the exact top-k almost
+    // entirely (a scoring/codebook regression tanks this immediately)
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(20, dim)(rnd.nextDouble() * 4 - 2)
+    val rows = for (c <- 0 until 20; i <- 0 until 12) yield
+      ((c * 12 + i).toLong,
+        centers(c).map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    val df = rows.toDF("vec_id", "embedding")
+    val k = 11 // the query's own cluster (minus itself)
+    val pq = Search.knnPq(df, "embedding", "vec_id", Seq(0L, 60L, 120L),
+      dim, m = 8, ksub = 16, iters = 3, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byQ = pq.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = Seq(0L, 60L, 120L).map { q =>
+      val cluster = ((q / 12) * 12 until (q / 12) * 12 + 12).filter(_ != q).toSet
+      byQ(q).count(cluster.contains).toDouble / k
+    }
+    info(s"clustered-corpus same-cluster recall@$k: ${recalls.mkString(", ")}")
+    assert(recalls.forall(_ >= 0.9), s"PQ lost cluster structure: $recalls")
+  }
+
+  test("codes and top-k are invariant to input partitioning") {
+    val e1 = emb.repartition(1)
+    val e8 = emb.repartition(8)
+    def top(e: org.apache.spark.sql.DataFrame) =
+      Search.knnPq(e, "embedding", "vec_id", Seq(0L, 1L), dim, 4, 8, 2, 5,
+        exactMeans = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(top(e1) == top(e8),
+      "exact-means PQ must be bit-reproducible across partitionings")
+  }
+}
