@@ -22,20 +22,13 @@ object IvfIndex {
 
   final case class Handle(path: String, centroids: Array[Array[Double]])
 
-  /** The sidecar rides the SAME filesystem as the parquet dataset (Hadoop
-    * FileSystem resolved from the path + session Hadoop conf) — java.nio
-    * would silently write a driver-local file when `path` is hdfs://, s3a://
-    * etc., separating index and centroids on the very deployments the
-    * partitioned layout exists for. */
-  private def sidecar(spark: SparkSession, path: String)
-      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
-    val p = new org.apache.hadoop.fs.Path(path, "_centroids.json")
-    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
-  }
-
   /** Fit nCentroids on the vectors, assign every row, write partitioned by
     * cell. The write shuffles nothing: assignment is a narrow projection
-    * and the parquet writer splits files by partition value. */
+    * and the parquet writer splits files by partition value. Sidecars ride
+    * the SAME filesystem as the parquet dataset (Hadoop FileSystem resolved
+    * from the path + session Hadoop conf) — java.nio would silently write a
+    * driver-local file when `path` is hdfs://, s3a:// etc., separating
+    * index and centroids on the very deployments the layout exists for. */
   def write(vectors: DataFrame, vecCol: String, idCol: String, path: String,
             nCentroids: Int, iters: Int): Handle = {
     val cents = Search.ivfCentroids(vectors, vecCol, idCol, nCentroids, iters)
@@ -45,25 +38,14 @@ object IvfIndex {
       .withColumn("vn", Search.l2Norm(col("v")))
       .withColumn("cid", Search.ivfAssign(col("v"), cents))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
-    val json = cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    val (fs, p) = sidecar(vectors.sparkSession, path)
-    val out = fs.create(p, true)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    writeSidecar(vectors.sparkSession, path, "_centroids.json",
+      cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
     Handle(path, cents)
   }
 
   /** Reopen a written index from its sidecar — no scan, no refit. */
   def open(spark: SparkSession, path: String): Handle = {
-    val (fs, p) = sidecar(spark, path)
-    val in = fs.open(p)
-    val raw = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](8192)
-      var n = in.read(chunk)
-      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-    } finally in.close()
+    val raw = readSidecar(spark, path, "_centroids.json")
     // strict parse of the [[...],[...]] doubles written above
     val cents = raw.trim.stripPrefix("[").stripSuffix("]")
       .split("\\],\\s*\\[").map(_.stripPrefix("[").stripSuffix("]")
@@ -107,6 +89,134 @@ object IvfIndex {
       .orderBy(col("score").desc, col("id"))
       .limit(k)
       .select(col("id").as("vec_id"), col("score"))
+  }
+
+  // ---- IVF + PQ: the compressed serving index (round 10) ---------------
+
+  final case class PqHandle(path: String, centroids: Array[Array[Double]],
+                            books: Array[Array[Array[Double]]], dim: Int)
+
+  /** Write the index WITH product-quantization codes (the FAISS IVFPQ
+    * layout re-expressed on parquet): same cid-partitioned dataset plus a
+    * `codes` column (m small ints per row — the PQ compression of `v`)
+    * and the codebooks in a `_pq.json` sidecar next to the centroids.
+    * The two pruning axes compose at read time: `cid IN (probes)` skips
+    * DIRECTORIES (IVF), and an ADC query projecting only (id, codes)
+    * skips the wide `v`/`vn` COLUMNS inside the probed files (parquet
+    * column pruning) — IO per query shrinks by both the probe share and
+    * the PQ compression factor. Codes quantize the RAW vectors (the
+    * residual-quantizing FAISS variant needs a per-cell lookup table at
+    * query time; [[probedTopKRefined]]'s exact re-rank recovers the
+    * same tail accuracy with simpler serving math). */
+  def writePq(vectors: DataFrame, vecCol: String, idCol: String, path: String,
+              nCentroids: Int, iters: Int, dim: Int, m: Int, ksub: Int,
+              pqIters: Int): PqHandle = {
+    val base = vectors.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        Search.asDouble(col(vecCol)).as("v"))
+    val cents = Search.ivfCentroids(base, "v", "id", nCentroids, iters)
+    val books = Search.pqCodebooks(base, "v", "id", dim, m, ksub, pqIters)
+    base
+      .withColumn("vn", Search.l2Norm(col("v")))
+      .withColumn("codes", Search.pqCodes(col("v"), books, dim))
+      .withColumn("cid", Search.ivfAssign(col("v"), cents))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    writeSidecar(vectors.sparkSession, path, "_centroids.json",
+      cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
+    writeSidecar(vectors.sparkSession, path, "_pq.json",
+      s"""{"dim": $dim, "books": ${
+        books.map(_.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
+          .mkString("[", ",", "]")}}""")
+    PqHandle(path, cents, books, dim)
+  }
+
+  /** Reopen a PQ index from its sidecars — no scan, no refit. */
+  def openPq(spark: SparkSession, path: String): PqHandle = {
+    val base = open(spark, path)
+    val raw = readSidecar(spark, path, "_pq.json")
+    val dim = raw.replaceAll("(?s).*\"dim\":\\s*(\\d+).*", "$1").toInt
+    val booksStr = raw.replaceAll("(?s).*\"books\":\\s*(\\[.*\\])\\s*}\\s*$", "$1")
+    // strict parse of the [[[..],[..]],...] doubles written above
+    val books = booksStr.stripPrefix("[").stripSuffix("]")
+      .split("\\]\\],\\s*\\[\\[").map { sub =>
+        sub.stripPrefix("[[").stripSuffix("]]")
+          .split("\\],\\s*\\[").map(_.stripPrefix("[").stripSuffix("]")
+            .split(",").map(_.trim.toDouble))
+      }
+    PqHandle(path, base.centroids, books, dim)
+  }
+
+  /** Probed ADC top-k: directory pruning (cid partition filter) AND column
+    * pruning — the scan projects only (id, codes), never the dim-wide `v`
+    * or `vn` (spec-asserted via ReadSchema). Scoring is the lookup-sum
+    * over the broadcast query-vs-codebook IP table ([[Search.knnPq]]'s
+    * asymmetric distance), rounded like every serving score. */
+  def probedTopKAdc(spark: SparkSession, h: PqHandle, q: Array[Double],
+                    nProbe: Int, k: Int): DataFrame = {
+    val cells = probeCells(Handle(h.path, h.centroids), q, nProbe)
+    val m = h.books.length
+    val dsub = h.dim / m
+    val t: Seq[Seq[Double]] = (0 until m).map { j =>
+      (0 until h.books(j).length).map { c =>
+        var s = 0.0; var i = 0
+        while (i < dsub) { s += q(j * dsub + i) * h.books(j)(c)(i); i += 1 }
+        s
+      }.toSeq
+    }.toSeq
+    prunedScan(spark, Handle(h.path, h.centroids), cells)
+      .select(col("id"), col("codes"))
+      .withColumn("score", round(
+        aggregate(
+          zip_with(col("codes"), typedLit(t), (c, tj) => element_at(tj, c + 1)),
+          lit(0.0), (s, x) => s + x), 5) + 0.0)
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .select(col("id").as("vec_id"), col("score"))
+  }
+
+  /** ADC shortlist → EXACT re-rank (the FAISS "refine" recipe): the cheap
+    * codes-only scan picks `kAdc` candidates, then ONE id-pruned read of
+    * the exact vectors re-scores just those rows with the true cosine.
+    * At 100 TB the exact read is kAdc rows against an id predicate over
+    * already-probed directories — bounded by the shortlist, not the data. */
+  def probedTopKRefined(spark: SparkSession, h: PqHandle, q: Array[Double],
+                        nProbe: Int, k: Int, kAdc: Int): DataFrame = {
+    require(kAdc >= k, s"shortlist $kAdc smaller than k=$k")
+    val shortlist = probedTopKAdc(spark, h, q, nProbe, kAdc)
+      .collect().map(_.getLong(0))
+    val cells = probeCells(Handle(h.path, h.centroids), q, nProbe)
+    var qn = 0.0; var j = 0
+    while (j < q.length) { qn += q(j) * q(j); j += 1 }
+    prunedScan(spark, Handle(h.path, h.centroids), cells)
+      .filter(col("id").isin(shortlist.map(java.lang.Long.valueOf): _*))
+      .withColumn("score",
+        round(Search.dot(typedLit(q.toSeq), col("v")) /
+          (lit(math.sqrt(qn)) * col("vn")), 5) + 0.0)
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .select(col("id").as("vec_id"), col("score"))
+  }
+
+  private def writeSidecar(spark: SparkSession, path: String, name: String,
+                           json: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, name)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readSidecar(spark: SparkSession, path: String, name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path, name)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
   }
 
   /** Batched probed top-k (VERDICT r9 ask #3): real serving answers P

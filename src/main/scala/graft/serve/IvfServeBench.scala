@@ -59,6 +59,17 @@ object IvfServeBench {
     println(f"[ivf] batch P=${batchQ.size} nProbe=2: batched $tBatch%.3f s vs " +
       f"sequential $tSeq%.3f s = ${tBatch / tSeq}%.2fx " +
       f"(one-query pruned scan was $pruned%.3f s)")
+    // IVF+PQ: the compressed index — ADC reads only (id, codes); measure
+    // the codes-vs-vectors byte share and the ADC + refined query times
+    val pqPath = java.nio.file.Files.createTempDirectory("graft-ivfpq-bench").toString
+    val p0 = System.nanoTime()
+    val hp = IvfIndex.writePq(emb, "embedding", "vec_id", pqPath,
+      nCents, iters = 3, dim = q.length, m = 8, ksub = 16, pqIters = 3)
+    println(f"[ivf] pq build ${(System.nanoTime() - p0) / 1e9}%.1f s ($pqPath)")
+    val tAdc = med5(IvfIndex.probedTopKAdc(spark, hp, q, 2, 10).collect())
+    val tRef = med5(IvfIndex.probedTopKRefined(spark, hp, q, 2, 10, kAdc = 40).collect())
+    println(f"[ivf] pq ADC(nProbe=2) $tAdc%.3f s, refined(kAdc=40) $tRef%.3f s " +
+      f"vs exact pruned $pruned%.3f s")
     spark.stop()
   }
 }

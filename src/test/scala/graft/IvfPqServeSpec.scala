@@ -1,0 +1,107 @@
+package graft
+
+import graft.search.Search
+import graft.serve.IvfIndex
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** IVF+PQ serving (round 10): the compressed index must prune on BOTH
+  * axes — directories via the cid partition filter AND columns via the
+  * codes-only ADC projection — and the exact-refine step must recover the
+  * true ranking from the shortlist.
+  */
+class IvfPqServeSpec extends SparkSpec {
+
+  private val nCents = 8
+  private val dim = 64
+
+  private lazy val built: IvfIndex.PqHandle = {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    IvfIndex.writePq(emb, "embedding", "vec_id", path,
+      nCentroids = nCents, iters = 3, dim = dim, m = 8, ksub = 16, pqIters = 3)
+  }
+
+  private def q0: Array[Double] = Tables.embeddings(spark, sf("sf0.001"))
+    .filter(col("vec_id") === 7L).select("embedding")
+    .head().getSeq[Float](0).map(_.toDouble).toArray
+
+  test("sidecars round-trip: centroids AND codebooks reopen without a scan") {
+    val h = built
+    val reopened = IvfIndex.openPq(spark, h.path)
+    assert(reopened.dim == dim)
+    assert(reopened.centroids.length == h.centroids.length)
+    (reopened.centroids, h.centroids).zipped.foreach { (a, b) =>
+      assert(a.toSeq == b.toSeq) }
+    assert(reopened.books.length == h.books.length)
+    for (j <- h.books.indices) {
+      assert(reopened.books(j).length == h.books(j).length)
+      (reopened.books(j), h.books(j)).zipped.foreach { (a, b) =>
+        assert(a.toSeq == b.toSeq, s"codebook $j must round-trip exactly") }
+    }
+  }
+
+  test("ADC scan prunes directories AND columns: codes read, vectors not") {
+    val h = built
+    val df = IvfIndex.probedTopKAdc(spark, h, q0, nProbe = 2, k = 10)
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val schema = scans.map(_.requiredSchema.fieldNames.toSeq).head
+    assert(schema.contains("codes") && schema.contains("id"),
+      s"ADC scan must read id+codes: $schema")
+    assert(!schema.contains("v") && !schema.contains("vn"),
+      s"ADC scan must NOT read the exact vectors: $schema")
+    // directory pruning still applies on top of the column pruning
+    val pruned = scans.map(_.metrics("numFiles").value).sum
+    val total = new java.io.File(h.path).listFiles()
+      .filter(_.getName.startsWith("cid=")).flatMap(_.listFiles())
+      .count(_.getName.endsWith(".parquet"))
+    assert(pruned < total, s"no directory pruning: $pruned of $total files")
+  }
+
+  test("exhaustive refine == brute-force exact cosine (shortlist covers probed rows)") {
+    val h = built
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val n = emb.count().toInt
+    val exact = emb
+      .select(col("vec_id").cast("long").as("vec_id"),
+        Search.asDouble(col("embedding")).as("v"))
+      .withColumn("score", round(Search.dot(typedLit(q0.toSeq), col("v")) /
+        (lit(math.sqrt(q0.map(x => x * x).sum)) * Search.l2Norm(col("v"))), 5) + 0.0)
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10).select("vec_id", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val refined = IvfIndex.probedTopKRefined(spark, h, q0,
+        nProbe = nCents, k = 10, kAdc = n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(refined == exact,
+      "all-probe all-shortlist refine must equal brute force exactly")
+  }
+
+  test("moderate shortlist: refined recall beats raw ADC (the refine story)") {
+    val h = built
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val exactIds = emb
+      .select(col("vec_id").cast("long").as("vec_id"),
+        Search.asDouble(col("embedding")).as("v"))
+      .withColumn("score", round(Search.dot(typedLit(q0.toSeq), col("v")) /
+        (lit(math.sqrt(q0.map(x => x * x).sum)) * Search.l2Norm(col("v"))), 5) + 0.0)
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10).collect().map(_.getLong(0)).toSet
+    def recallOf(ids: Seq[Long]) = ids.count(exactIds.contains) / 10.0
+    val adc = IvfIndex.probedTopKAdc(spark, h, q0, nCents, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val refined = IvfIndex.probedTopKRefined(spark, h, q0, nCents, 10, kAdc = 40)
+      .collect().map(_.getLong(0)).toSeq
+    info(s"recall@10: raw ADC ${recallOf(adc)}, refined(kAdc=40) ${recallOf(refined)}")
+    assert(recallOf(refined) >= recallOf(adc),
+      "exact refine must never lose recall vs its own shortlist source")
+    assert(recallOf(refined) >= 0.5, s"refined recall collapsed: ${recallOf(refined)}")
+  }
+}
