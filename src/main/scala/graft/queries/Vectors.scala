@@ -436,6 +436,82 @@ object Vectors {
              SELECT id, novel, dup_of FROM steps
              WHERE id IS NOT NULL ORDER BY id"""))
 
+  // st4: the MULTI-PROBE streaming near-dup decision under the hash
+  // (round-10 feature, Streaming.nearDupFilter probeHamming=1). Key
+  // structural fact making the twin tractable: probe rows never INSERT,
+  // so each bucket's representative state evolves EXACTLY as st3's
+  // single-probe recursion (over its home docs alone); a doc d probing
+  // bucket B reads B's state "as of" the number of B-home docs with
+  // id < d (for the home bucket that count is d's own position − 1, so
+  // one formula serves both). Per-probe verdict = first matching rep in
+  // insertion order (the greedy's kept.find); per-doc merge = novel iff
+  // no probe matched, dup_of = lowest matched rep id — the exact merge
+  // nearDupFilter's aggregation performs.
+  private def st4Sql: String = {
+    val flips = (0 until St3Bits).map(b => s"xor(n.sig, ${1L << b})")
+    s"""WITH RECURSIVE
+        planes(bit, p) AS (VALUES $st3PlanesSql),
+        emb2k AS (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < $St3MaxId),
+        nsigs AS (
+          SELECT e.vec_id,
+            sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) >= 0
+                THEN 1 << pl.bit ELSE 0 END)::BIGINT AS sig
+          FROM emb2k e, planes pl GROUP BY e.vec_id),
+        ndocs AS (
+          SELECT s.sig, s.vec_id AS id, e.embedding::DOUBLE[] AS emb,
+            row_number() OVER (PARTITION BY s.sig ORDER BY s.vec_id) AS rn
+          FROM nsigs s JOIN emb2k e USING (vec_id)),
+        steps AS (
+          SELECT sig, 0::BIGINT AS rn,
+            []::STRUCT(id BIGINT, emb DOUBLE[])[] AS reps
+          FROM (SELECT DISTINCT sig FROM ndocs)
+          UNION ALL
+          SELECT d.sig, d.rn,
+            CASE WHEN m.mid IS NULL AND len(s.reps) < $St3Cap
+                 THEN list_append(s.reps, {'id': d.id, 'emb': d.emb})
+                 ELSE s.reps END
+          FROM steps s
+          JOIN ndocs d ON d.sig = s.sig AND d.rn = s.rn + 1
+          CROSS JOIN LATERAL (SELECT list_filter(s.reps,
+              r -> round(list_cosine_similarity(r.emb, d.emb), 5) >= $St3Tau
+            )[1].id AS mid) m),
+        probes AS (
+          SELECT n.vec_id AS id, e.embedding::DOUBLE[] AS emb,
+            unnest([n.sig, ${flips.mkString(", ")}]) AS psig
+          FROM nsigs n JOIN emb2k e USING (vec_id)),
+        pcnt AS (
+          SELECT p.id, p.psig, any_value(p.emb) AS emb,
+            count(d.id) AS rn_before
+          FROM probes p LEFT JOIN ndocs d
+            ON d.sig = p.psig AND d.id < p.id
+          GROUP BY p.id, p.psig),
+        verd AS (
+          SELECT c.id, m.mid
+          FROM pcnt c
+          LEFT JOIN steps s ON s.sig = c.psig AND s.rn = c.rn_before
+          CROSS JOIN LATERAL (SELECT list_filter(
+              coalesce(s.reps, []::STRUCT(id BIGINT, emb DOUBLE[])[]),
+              r -> round(list_cosine_similarity(r.emb, c.emb), 5) >= $St3Tau
+            )[1].id AS mid) m)
+        SELECT id, min(mid) IS NULL AS novel,
+          coalesce(min(mid), -1)::BIGINT AS dup_of
+        FROM verd GROUP BY id ORDER BY id"""
+  }
+
+  private val st4 = Q(
+    "st4_stream_neardup_multiprobe",
+    (s, d) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      graft.streaming.Streaming.nearDupFilter(
+          Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+            .filter(col("vec_id") < St3MaxId),
+          "embedding", "vec_id", dim = Sim2Dim, nBits = St3Bits,
+          tau = St3Tau, maxPerBucket = St3Cap, probeHamming = 1)
+        .orderBy("id")
+    },
+    Some(st4Sql))
+
   private val sim3 = Q(
     "sim3_knn_ivf",
     (s, d) => Search.knnIvf(
@@ -447,5 +523,5 @@ object Vectors {
       .orderBy("q_id", "rk"),
     Some(ivfSql))
 
-  val qs: Seq[Q] = Seq(k1, sim1, sim2, sim3, sim4, d5, d7, a5, a6, st3)
+  val qs: Seq[Q] = Seq(k1, sim1, sim2, sim3, sim4, d5, d7, a5, a6, st3, st4)
 }
