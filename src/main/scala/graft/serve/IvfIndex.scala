@@ -197,6 +197,34 @@ object IvfIndex {
       .select(col("id").as("vec_id"), col("score"))
   }
 
+  /** STREAMING index maintenance: append an arriving vector stream into
+    * the same cid-partitioned layout — the narrow assignment projection
+    * against the FIXED centroids (no refit; the standard IVF maintenance
+    * contract — refit offline when centroid drift matters, atomically
+    * swapping the directory). Uses foreachBatch + the BATCH parquet
+    * writer on purpose: the file-sink's `_spark_metadata` log would make
+    * subsequent batch reads see ONLY sink-written files, silently hiding
+    * the base index — the classic mixed-writer trap. The trade is
+    * at-least-once on batch replay (serving tolerates a duplicate id: it
+    * scores identically and the id tie-break dedupes at top-k grain).
+    * New files land in existing or new cid= directories, so partition
+    * pruning covers streamed rows with zero extra machinery. */
+  def appendStream(stream: DataFrame, vecCol: String, idCol: String,
+                   h: Handle, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val assigned = stream.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        Search.asDouble(col(vecCol)).as("v"))
+      .withColumn("vn", Search.l2Norm(col("v")))
+      .withColumn("cid", Search.ivfAssign(col("v"), h.centroids))
+    assigned.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("cid").parquet(h.path)
+      }
+  }
+
   private def writeSidecar(spark: SparkSession, path: String, name: String,
                            json: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path, name)

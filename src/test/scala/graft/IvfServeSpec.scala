@@ -141,6 +141,43 @@ class IvfServeSpec extends SparkSpec {
     info(s"${qs.size} queries × $nProbe probes → ${unionCells.size} distinct cells, $seen files in ONE scan")
   }
 
+  test("streamed appends join the index; pruning still covers them") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // fresh index (don't mutate the shared fixture other tests count files on)
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    val h = IvfIndex.write(emb, "embedding", "vec_id", path, nCents, iters = 3)
+    val nBase = spark.read.parquet(h.path).count()
+    // stream two micro-batches of NEW vectors: clones of existing rows
+    // under fresh ids (their cells — and probe results — are known)
+    val src = emb.filter(col("vec_id").isin(3L, 7L)).collect()
+      .map(r => (r.getLong(r.fieldIndex("vec_id")) + 100000L,
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble)))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivf-ckpt").toString
+    val q = IvfIndex.appendStream(mem.toDF().toDF("vec_id", "embedding"),
+      "embedding", "vec_id", h, ckpt).start()
+    mem.addData(src(0)); q.processAllAvailable()
+    mem.addData(src(1)); q.processAllAvailable()
+    q.stop()
+    val total = spark.read.parquet(h.path).count()
+    assert(total == nBase + 2, s"streamed rows missing: $total vs $nBase+2")
+    // a streamed clone is its query's own top hit through the PROBED path
+    val qv = src(0)._2.toArray
+    val top = IvfIndex.probedTopK(spark, h, qv, nProbe = 2, k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.map(_._1).contains(100003L),
+      s"streamed vector not served from the probed index: ${top.toSeq}")
+    assert(top.head._2 == 1.0, s"self-cosine must be 1.0: ${top.toSeq}")
+    // pruning still holds over the mixed batch+streamed files
+    val pruned = scannedFiles(IvfIndex.probedTopK(spark, h, qv, 2, 2))
+    val all = java.nio.file.Files.walk(java.nio.file.Paths.get(h.path))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    assert(pruned < all, s"no pruning over appended index: $pruned of $all")
+  }
+
   test("probed plan: partition filter present, top-k is TakeOrderedAndProject") {
     val (h, _) = built
     val q = Array.tabulate(64)(i => (((i * 7) % 13) - 6) / 10.0)
