@@ -114,11 +114,17 @@ object IvfIndex {
     val base = vectors.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
         Search.asDouble(col(vecCol)).as("v"))
+    require(ksub <= 256, s"ksub $ksub exceeds the one-byte code width")
     val cents = Search.ivfCentroids(base, "v", "id", nCentroids, iters)
     val books = Search.pqCodebooks(base, "v", "id", dim, m, ksub, pqIters)
     base
       .withColumn("vn", Search.l2Norm(col("v")))
-      .withColumn("codes", Search.pqCodes(col("v"), books, dim))
+      // BYTE-packed codes (m bytes per row, org.apache.spark.sql.graft
+      // .PqCodes): the on-disk form matches the compression claim —
+      // parquet stores one binary value, not a repeated int group
+      .withColumn("codes",
+        org.apache.spark.sql.graft.PqCodes.pack(
+          Search.pqCodes(col("v"), books, dim)))
       .withColumn("cid", Search.ivfAssign(col("v"), cents))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
     writeSidecar(vectors.sparkSession, path, "_centroids.json",
@@ -155,20 +161,20 @@ object IvfIndex {
                     nProbe: Int, k: Int): DataFrame = {
     val cells = probeCells(Handle(h.path, h.centroids), q, nProbe)
     val m = h.books.length
+    val ksub = h.books(0).length
     val dsub = h.dim / m
-    val t: Seq[Seq[Double]] = (0 until m).map { j =>
-      (0 until h.books(j).length).map { c =>
-        var s = 0.0; var i = 0
-        while (i < dsub) { s += q(j * dsub + i) * h.books(j)(c)(i); i += 1 }
-        s
-      }.toSeq
-    }.toSeq
+    // flattened lookup table, subspace-major: T[j][c] at j·ksub + c —
+    // the codegen AdcPacked loop reads it without nested-array hops
+    val tFlat: Seq[Double] = (for (j <- 0 until m; c <- 0 until ksub) yield {
+      var s = 0.0; var i = 0
+      while (i < dsub) { s += q(j * dsub + i) * h.books(j)(c)(i); i += 1 }
+      s
+    }).toSeq
     prunedScan(spark, Handle(h.path, h.centroids), cells)
       .select(col("id"), col("codes"))
       .withColumn("score", round(
-        aggregate(
-          zip_with(col("codes"), typedLit(t), (c, tj) => element_at(tj, c + 1)),
-          lit(0.0), (s, x) => s + x), 5) + 0.0)
+        org.apache.spark.sql.graft.PqCodes.adcPacked(
+          col("codes"), typedLit(tFlat), ksub), 5) + 0.0)
       .orderBy(col("score").desc, col("id"))
       .limit(k)
       .select(col("id").as("vec_id"), col("score"))

@@ -100,6 +100,51 @@ class PqSpec extends SparkSpec {
     assert(recalls.forall(_ >= 0.9), s"PQ lost cluster structure: $recalls")
   }
 
+  test("packed codes: round-trip, one byte per subspace, ADC bit-identical") {
+    import org.apache.spark.sql.graft.PqCodes
+    val base = emb.select(col("vec_id").cast("long").as("id"),
+      Search.asDouble(col("embedding")).as("v"))
+    val m = 8; val ksub = 16
+    val books = Search.pqCodebooks(base, "v", "id", dim, m, ksub, iters = 2)
+    val coded = base.select(col("id"),
+      Search.pqCodes(col("v"), books, dim).as("codes"))
+    // round-trip + literal byte width
+    val rt = coded.select(col("id"), col("codes"),
+        PqCodes.unpack(PqCodes.pack(col("codes"))).as("back"),
+        length(PqCodes.pack(col("codes"))).as("len"))
+      .collect()
+    rt.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2), "pack∘unpack must be identity")
+      assert(r.getInt(3) == m, s"packed width ${r.getInt(3)} != $m bytes")
+    }
+    // packed ADC == unpacked lookup-sum, bit-for-bit (same accumulation order)
+    val dsub = dim / m
+    val q = emb.filter(col("vec_id") === 7L).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val tFlat: Seq[Double] = (for (j <- 0 until m; c <- 0 until ksub) yield
+      (0 until dsub).map(i => q(j * dsub + i) * books(j)(c)(i)).sum).toSeq
+    val t2: Seq[Seq[Double]] = tFlat.grouped(ksub).toSeq
+    val both = coded.select(col("id"),
+        PqCodes.adcPacked(PqCodes.pack(col("codes")), typedLit(tFlat), ksub).as("p"),
+        aggregate(zip_with(col("codes"), typedLit(t2),
+          (c, tj) => element_at(tj, c + 1)), lit(0.0), (s, x) => s + x).as("u"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(1), r.getDouble(2)) == 0,
+        s"id ${r.getLong(0)}: packed ${r.getDouble(1)} != unpacked ${r.getDouble(2)}")
+    }
+    // out-of-byte-range codes fail loudly, never truncate silently
+    import spark.implicits._
+    val ex = intercept[Exception] {
+      Seq(Seq(0, 300)).toDF("codes").select(PqCodes.pack(col("codes"))).collect()
+    }
+    assert(messageChainOf(ex).exists(_.contains("outside [0,255]")), ex.toString)
+  }
+
+  private def messageChainOf(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).toSeq
+
   test("codes and top-k are invariant to input partitioning") {
     val e1 = emb.repartition(1)
     val e8 = emb.repartition(8)
