@@ -297,9 +297,14 @@ object Vectors {
   private val PqIters = 2
   private val PqDsub = IvfDim / PqM
 
-  private def pqSql: String = {
-    def dist(v: String, c: String) =
-      s"list_dot_product($v,$v) - 2*list_dot_product($v,$c) + list_dot_product($c,$c)"
+  private def pqDist(v: String, c: String) =
+    s"list_dot_product($v,$v) - 2*list_dot_product($v,$c) + list_dot_product($c,$c)"
+
+  /** Shared PQ-fit CTE block (after an `e(vec_id, v)` CTE): m unrolled
+    * per-subspace k-means → `codes(vec_id, sub, cid)` + `cent(sub, cid, c)`.
+    * Used by the pure-PQ (sim4) and IVF+PQ (sim5) oracles. */
+  private def pqFitCtes: String = {
+    def dist(v: String, c: String) = pqDist(v, c)
     val perSub = (0 until PqM).map { j =>
       val lo = j * PqDsub + 1; val hi = (j + 1) * PqDsub
       val iterCtes = (1 to PqIters).map { i =>
@@ -325,16 +330,25 @@ object Vectors {
       .map(j => s"SELECT vec_id, $j AS sub, cid FROM af_$j").mkString(" UNION ALL ")
     val centUnion = (0 until PqM)
       .map(j => s"SELECT $j AS sub, cid, c FROM c${PqIters}_$j").mkString(" UNION ALL ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        $perSub,
+    s"""$perSub,
         codes AS ($codesUnion),
-        cent AS ($centUnion),
+        cent AS ($centUnion)"""
+  }
+
+  /** Per-query ADC lookup table over the fitted PQ centroids: `t(q_id,
+    * sub, cid, t)` — requires `q(q_id, qv)` and [[pqFitCtes]]' `cent`. */
+  private def pqTCte: String =
+    s"""t AS (SELECT q.q_id, cent.sub, cent.cid,
+          list_dot_product(
+            list_slice(q.qv, cent.sub * $PqDsub + 1, (cent.sub + 1) * $PqDsub),
+            cent.c) AS t
+        FROM q, cent)"""
+
+  private def pqSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        $pqFitCtes,
         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
-        t AS (SELECT q.q_id, cent.sub, cent.cid,
-            list_dot_product(
-              list_slice(q.qv, cent.sub * $PqDsub + 1, (cent.sub + 1) * $PqDsub),
-              cent.c) AS t
-          FROM q, cent),
+        $pqTCte,
         scored AS (SELECT t.q_id, c.vec_id,
             round(sum(t.t), 5) + 0.0 AS score
           FROM codes c JOIN t ON t.sub = c.sub AND t.cid = c.cid
@@ -344,7 +358,6 @@ object Vectors {
             ORDER BY score DESC, vec_id) AS rk FROM scored)
         SELECT q_id, vec_id, score, rk FROM ranked
         WHERE rk <= 5 ORDER BY q_id, rk"""
-  }
 
   private val sim4 = Q(
     "sim4_knn_pq",
@@ -356,6 +369,64 @@ object Vectors {
         exactMeans = true)
       .orderBy("q_id", "rk"),
     Some(pqSql))
+
+  // sim5: the COMBINED FAISS-IVFPQ query — coarse probe (sim3's k-means +
+  // nProbe nearest cells) generates candidates, PQ ADC (sim4's codes +
+  // lookup table) scores them without touching their vectors. The oracle
+  // composes both unrolled fits (coarse block g-prefixed so the two
+  // k-means CTE families coexist) and re-ranks the probed candidates only
+  // — the full two-stage ANN pipeline under one hash.
+  private def sim5Sql: String = {
+    val coarseIters = (1 to IvfIters).map { i =>
+      s"""ga$i AS (SELECT e.vec_id, any_value(e.v) AS v,
+            (min({'d': ${pqDist("e.v", "c.c")}, 'cid': c.cid})).cid AS cid
+          FROM e, gc${i - 1} c GROUP BY e.vec_id),
+          gm$i AS (SELECT a.cid, i.i AS pos,
+            sum(a.v[i.i]::DECIMAL(28,6))::DOUBLE / count(*) AS m
+          FROM ga$i a, range(1, ${IvfDim + 1}) i(i) GROUP BY a.cid, i.i),
+          gn$i AS (SELECT cid, list(m ORDER BY pos) AS c FROM gm$i GROUP BY cid),
+          gc$i AS (SELECT p.cid, coalesce(n.c, p.c) AS c
+                  FROM gc${i - 1} p LEFT JOIN gn$i n USING (cid))"""
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        gc0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+               embedding::DOUBLE[] AS c FROM embeddings
+               ORDER BY vec_id LIMIT $IvfCentroidsN),
+        $coarseIters,
+        gaf AS (SELECT e.vec_id,
+            (min({'d': ${pqDist("e.v", "gc.c")}, 'cid': gc.cid})).cid AS cid
+          FROM e, gc$IvfIters gc GROUP BY e.vec_id),
+        $pqFitCtes,
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+        $pqTCte,
+        pr AS (SELECT q_id, cid FROM (
+            SELECT q.q_id, gc.cid, row_number() OVER (PARTITION BY q.q_id
+              ORDER BY ${pqDist("q.qv", "gc.c")}, gc.cid) AS r
+            FROM q, gc$IvfIters gc) WHERE r <= $IvfProbe),
+        cand AS (SELECT p.q_id, a.vec_id FROM pr p JOIN gaf a USING (cid)
+                 WHERE a.vec_id != p.q_id),
+        scored AS (SELECT c.q_id, c.vec_id,
+            round(sum(t.t), 5) + 0.0 AS score
+          FROM cand c
+          JOIN codes k ON k.vec_id = c.vec_id
+          JOIN t ON t.q_id = c.q_id AND t.sub = k.sub AND t.cid = k.cid
+          GROUP BY c.q_id, c.vec_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY score DESC, vec_id) AS rk FROM scored)
+        SELECT q_id, vec_id, score, rk FROM ranked
+        WHERE rk <= 5 ORDER BY q_id, rk"""
+  }
+
+  private val sim5 = Q(
+    "sim5_knn_ivfpq",
+    (s, d) => Search.knnIvfPq(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", queryIds = Seq(0L, 1L, 2L), dim = IvfDim,
+        nCentroids = IvfCentroidsN, iters = IvfIters, nProbe = IvfProbe,
+        m = PqM, ksub = PqKsub, pqIters = PqIters, k = 5,
+        exactMeans = true)
+      .orderBy("q_id", "rk"),
+    Some(sim5Sql))
 
   // st3: batch twin of the STREAMING near-dup filter
   // (Streaming.nearDupFilter — dedup-on-ingest): greedy first-seen-wins
@@ -523,5 +594,5 @@ object Vectors {
       .orderBy("q_id", "rk"),
     Some(ivfSql))
 
-  val qs: Seq[Q] = Seq(k1, sim1, sim2, sim3, sim4, d5, d7, a5, a6, st3, st4)
+  val qs: Seq[Q] = Seq(k1, sim1, sim2, sim3, sim4, sim5, d5, d7, a5, a6, st3, st4)
 }

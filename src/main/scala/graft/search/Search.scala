@@ -514,6 +514,67 @@ object Search {
       .select(col("q_id"), col("id").as("vec_id"), col("score"), col("rk"))
   }
 
+  /** The combined FAISS-IVFPQ query semantics in-memory: coarse probe
+    * (nProbe nearest cells per query — candidate generation is a broadcast
+    * join on cell id over ~nProbe/nCentroids of the table, [[knnIvf]]'s
+    * shape) × PQ asymmetric-distance scoring on the candidates only
+    * ([[knnPq]]'s lookup-sum — the candidate rows' codes, never their
+    * vectors). The serving twin is [[graft.serve.IvfIndex]]'s partitioned
+    * ADC path, where the probe becomes directory pruning and the codes
+    * column pruning; here the whole pipeline stays a single lazy plan so
+    * it can be differentially hash-checked (sim5). */
+  def knnIvfPq(vectors: DataFrame, vecCol: String, idCol: String,
+               queryIds: Seq[Long], dim: Int, nCentroids: Int, iters: Int,
+               nProbe: Int, m: Int, ksub: Int, pqIters: Int, k: Int,
+               exactMeans: Boolean = false): DataFrame = {
+    val spark = vectors.sparkSession
+    val base = vectors.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("v"))
+    val cents = ivfCentroids(base, "v", "id", nCentroids, iters, exactMeans)
+    val books = pqCodebooks(base, "v", "id", dim, m, ksub, pqIters, exactMeans)
+    val encoded = base
+      .withColumn("cid", ivfAssign(col("v"), cents))
+      .select(col("id"), col("cid"), pqCodes(col("v"), books, dim).as("codes"))
+    val dsub = dim / m
+    val qRows = base.filter(col("id").isin(queryIds: _*)).collect()
+    // per-query probe list + lookup table, both tiny driver math
+    val probes = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1).toArray
+      cents.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < c.length) { val t = qv(j) - c(j); d += t * t; j += 1 }
+        (qid, i, d)
+      }.sortBy { case (_, cid, d) => (d, cid) }
+        .take(nProbe).map { case (q, cid, _) => (q, cid) }
+    }
+    val probesDf = spark.createDataFrame(probes.toIndexedSeq).toDF("q_id", "cid")
+    val qT = qRows.map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1).toArray
+      val t: Seq[Seq[Double]] = (0 until m).map { j =>
+        (0 until ksub).map { c =>
+          var s = 0.0; var i = 0
+          while (i < dsub) { s += qv(j * dsub + i) * books(j)(c)(i); i += 1 }
+          s
+        }.toSeq
+      }.toSeq
+      (qid, t)
+    }
+    val qtDf = spark.createDataFrame(qT.toIndexedSeq).toDF("q_id", "t")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("id"))
+    encoded.join(broadcast(probesDf), "cid")
+      .filter(col("q_id") =!= col("id"))
+      .join(broadcast(qtDf), "q_id")
+      .withColumn("score", round(
+        aggregate(
+          zip_with(col("codes"), col("t"), (c, tj) => element_at(tj, c + 1)),
+          lit(0.0), (s, x) => s + x), 5) + 0.0)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("id").as("vec_id"), col("score"), col("rk"))
+  }
+
   /** ANN top-k via multi-table LSH: candidates = vectors sharing ANY
     * table's bucket with the query (deduplicated), then exact cosine on the
     * candidate set only. Recall vs knnBruteForce asserted in tests. */
