@@ -84,6 +84,26 @@ class IvfPqServeSpec extends SparkSpec {
       "all-probe all-shortlist refine must equal brute force exactly")
   }
 
+  test("malformed sidecars fail loudly on open, never yield a silent wrong index") {
+    val h = built
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-bad").toString
+    // copy the parquet layout but write garbage sidecars
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmp, "_centroids.json"),
+      "not json at all".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmp, "_pq.json"),
+      """{"dim": abc, "books": [[""".getBytes("UTF-8"))
+    intercept[Exception](IvfIndex.openPq(spark, tmp))
+    // and a MISSING pq sidecar on a plain (non-PQ) index is loud too
+    val plain = java.nio.file.Files.createTempDirectory("graft-ivf-plain").toString
+    IvfIndex.write(Tables.embeddings(spark, sf("sf0.001")),
+      "embedding", "vec_id", plain, nCentroids = 4, iters = 1)
+    intercept[Exception](IvfIndex.openPq(spark, plain))
+    // the happy path is unaffected
+    assert(IvfIndex.openPq(spark, h.path).books.nonEmpty)
+  }
+
   test("moderate shortlist: refined recall beats raw ADC (the refine story)") {
     val h = built
     val emb = Tables.embeddings(spark, sf("sf0.001"))

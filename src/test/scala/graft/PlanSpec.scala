@@ -144,6 +144,19 @@ class PlanSpec extends SparkSpec {
       s"x17 should pay at most the per-doc reaggregation shuffle:\n$p")
   }
 
+  /** PLANS.md's "no cartesian anywhere" claim for the probed ANN family,
+    * now machine-checked: candidate generation must stay a broadcast join
+    * on the coarse cell id (never an all-pairs shape), and the per-query
+    * ranking a window — the fns run their k-means fits eagerly while
+    * building the plan, so these also smoke the fit paths. */
+  for (n <- Seq("sim3_knn_ivf", "sim5_knn_ivfpq"))
+    test(s"$n: probed candidates via broadcast cell join — never cartesian") {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n grew a cartesian:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$n lost the cell broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$n degraded to sort-merge:\n$p")
+    }
+
   test("flip1 spine: broadcast gather, TakeOrderedAndProject top-k, one ingest window") {
     // the lazy lifecycle (the query fn materializes before closing the
     // engine, leaving only a LocalTableScan — lazySearch exposes the plan)
