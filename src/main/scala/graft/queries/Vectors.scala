@@ -428,6 +428,48 @@ object Vectors {
       .orderBy("q_id", "rk"),
     Some(sim5Sql))
 
+  // sim6: SQ8 ANN — the FOURTH compression lever (after sim2 LSH, sim3
+  // IVF, sim4 PQ): per-dimension 8-bit scalar quantization, FAISS's
+  // ScalarQuantizer QT_8bit. The fit is one min/max aggregation pass, the
+  // encode is dim BYTES per vector (8× smaller than doubles at near-exact
+  // recall — the refine-friendly compression, vs PQ's 128×-but-lossier
+  // codes), and scoring is asymmetric: the query stays exact, the corpus
+  // side is dequantized mn + c·Δ/255 inside a per-query lookup table
+  // (SQ8 ≡ PQ with dsub=1/ksub=256 on the uniform-grid codebook, so the
+  // Spark side reuses the packed-ADC codegen kernel). Every op in the
+  // fit→encode→dequantize→dot chain is IEEE-exact or identically rounded
+  // cross-engine (min/max are comparisons; sub/div/mul are single-rounded;
+  // round() is half-away-from-zero on nonnegative values in both engines),
+  // so the DuckDB twin — same min/max fit, same rounded codes, same
+  // dequantized list, same sequential dot — hash-matches bit-for-bit
+  // before the 5-dp display rounding.
+  private def sq8Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        mm AS (SELECT i.i AS pos, min(e.v[i.i]) AS mn, max(e.v[i.i]) AS mx
+               FROM e, range(1, ${IvfDim + 1}) i(i) GROUP BY i.i),
+        dq AS (SELECT e.vec_id,
+            list(CASE WHEN m.mx = m.mn THEN m.mn
+                 ELSE m.mn + round((e.v[m.pos] - m.mn) / (m.mx - m.mn) * 255)
+                      * (m.mx - m.mn) / 255
+                 END ORDER BY m.pos) AS dv
+          FROM e, mm m GROUP BY e.vec_id),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+        scored AS (SELECT q.q_id, d.vec_id,
+            round(list_dot_product(d.dv, q.qv), 5) + 0.0 AS score
+          FROM dq d, q WHERE d.vec_id != q.q_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY score DESC, vec_id) AS rk FROM scored)
+        SELECT q_id, vec_id, score, rk FROM ranked
+        WHERE rk <= 5 ORDER BY q_id, rk"""
+
+  private val sim6 = Q(
+    "sim6_knn_sq8",
+    (s, d) => Search.knnSq(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", queryIds = Seq(0L, 1L, 2L), dim = IvfDim, k = 5)
+      .orderBy("q_id", "rk"),
+    Some(sq8Sql))
+
   // st3: batch twin of the STREAMING near-dup filter
   // (Streaming.nearDupFilter — dedup-on-ingest): greedy first-seen-wins
   // leader clustering per single-table LSH bucket; a doc is a duplicate of
@@ -594,5 +636,5 @@ object Vectors {
       .orderBy("q_id", "rk"),
     Some(ivfSql))
 
-  val qs: Seq[Q] = Seq(k1, sim1, sim2, sim3, sim4, sim5, d5, d7, a5, a6, st3, st4)
+  val qs: Seq[Q] = Seq(k1, sim1, sim2, sim3, sim4, sim5, sim6, d5, d7, a5, a6, st3, st4)
 }

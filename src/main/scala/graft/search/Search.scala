@@ -575,6 +575,87 @@ object Search {
       .select(col("q_id"), col("id").as("vec_id"), col("score"), col("rk"))
   }
 
+  /** Scalar-quantization (SQ8) fit: per-dimension (min, max) over the
+    * corpus — ONE aggregation pass (2·dim agg expressions, partial+final
+    * combine), the FAISS ScalarQuantizer QT_8bit train step. Null vectors
+    * are excluded (ivfCentroids convention). */
+  def sqParams(vectors: DataFrame, vecCol: String,
+               dim: Int): (Array[Double], Array[Double]) = {
+    val v = asDouble(col(vecCol))
+    val aggs = (0 until dim).map(i => min(element_at(v, i + 1))) ++
+      (0 until dim).map(i => max(element_at(v, i + 1)))
+    val r = vectors.filter(col(vecCol).isNotNull)
+      .agg(aggs.head, aggs.tail: _*).head()
+    (Array.tabulate(dim)(r.getDouble), Array.tabulate(dim)(i => r.getDouble(dim + i)))
+  }
+
+  /** SQ8 encode: code_i = round((v_i − mn_i) / (mx_i − mn_i) · 255) — an
+    * array<int> of dim entries in [0, 255]; pack with
+    * [[org.apache.spark.sql.graft.PqCodes.pack]] for the byte-tight form
+    * (dim BYTES per vector: 8× smaller than doubles at near-exact recall,
+    * the FAISS SQ8 trade vs PQ's 128×-but-lossier codes). A constant
+    * dimension (mx == mn) encodes 0 and dequantizes to mn exactly. The
+    * arithmetic order (sub, div, mul, round) is pinned — the sim6 oracle
+    * twin states the identical expression. */
+  def sqCodes(vec: Column, mins: Array[Double], maxs: Array[Double]): Column = {
+    val v = asDouble(vec)
+    array(mins.indices.map { i =>
+      val d = maxs(i) - mins(i)
+      if (d == 0.0) lit(0)
+      else round((element_at(v, i + 1) - lit(mins(i))) / lit(d) * lit(255), 0)
+        .cast("int")
+    }: _*)
+  }
+
+  /** SQ8 ANN top-k by dequantized asymmetric scoring for a small query-id
+    * set: fit per-dimension (min, max), encode every vector to dim packed
+    * code BYTES, and score a row without touching its original vector.
+    * SQ8 is exactly PQ with dsub = 1 / ksub = 256 whose per-dimension
+    * codebook is the uniform grid mn + c·Δ/255 — so scoring REUSES the
+    * packed-ADC codegen kernel: per query the lookup table
+    * T[i][c] = (mn_i + c·Δ_i/255) · q_i (dim·256 doubles, driver math) is
+    * broadcast and score = Σ_i T[i][code_i], a lookup-sum over the raw
+    * bytes. The scale shape: the scan reads dim bytes per row instead of
+    * dim doubles (8× IO/memory), the query side is a broadcast, ranking is
+    * TakeOrderedAndProject-class per-query heaps via the window top-k;
+    * quantization error is ≤ Δ_i/510 per dimension, so recall is
+    * near-exact (asserted in SqSpec). Composes with [[knnIvf]]'s coarse
+    * probe the same way [[knnPq]] does. */
+  def knnSq(vectors: DataFrame, vecCol: String, idCol: String,
+            queryIds: Seq[Long], dim: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.PqCodes
+    val spark = vectors.sparkSession
+    val base = vectors.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("v"))
+    val (mins, maxs) = sqParams(base, "v", dim)
+    val encoded = base.select(col("id"),
+      PqCodes.pack(sqCodes(col("v"), mins, maxs)).as("sq"))
+    val qRows = base.filter(col("id").isin(queryIds: _*)).collect()
+    val qT = qRows.map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1).toArray
+      val t = new Array[Double](dim * 256)
+      var i = 0
+      while (i < dim) {
+        val mn = mins(i); val d = maxs(i) - mn
+        var c = 0
+        // same op order as the oracle's dequant: (c·Δ)/255, +mn, ·q_i
+        while (c < 256) { t(i * 256 + c) = (mn + c * d / 255.0) * qv(i); c += 1 }
+        i += 1
+      }
+      (qid, t.toSeq)
+    }
+    val qDf = spark.createDataFrame(qT.toIndexedSeq).toDF("q_id", "t")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("id"))
+    encoded.crossJoin(broadcast(qDf))
+      .filter(col("q_id") =!= col("id"))
+      .withColumn("score",
+        round(PqCodes.adcPacked(col("sq"), col("t"), 256), 5) + 0.0)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("id").as("vec_id"), col("score"), col("rk"))
+  }
+
   /** ANN top-k via multi-table LSH: candidates = vectors sharing ANY
     * table's bucket with the query (deduplicated), then exact cosine on the
     * candidate set only. Recall vs knnBruteForce asserted in tests. */

@@ -14,8 +14,8 @@ import graft.queries.Registry
   *    final determinism ORDER BY (range partitioning) — never a
   *    hash-partitioning exchange;
   *  - small-side joins (k3 dim table, x11 probe grams, x19 per-term df)
-  *    broadcast instead of sort-merge (flip1's gather cannot be pinned
-  *    here: its fn materializes internally and returns a LocalTableScan);
+  *    broadcast instead of sort-merge; flip1's spine (gather broadcast,
+  *    top-k shape, single ingest window) is pinned by its own test below;
   *  - top-k queries (k1/fr6/x19) plan TakeOrderedAndProject (per-partition
   *    heaps, no global sort);
   *  - filter pushdown reaches the parquet scan (p10).
