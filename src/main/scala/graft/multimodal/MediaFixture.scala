@@ -22,6 +22,7 @@ object MediaFixture {
 
   val imagesPath = "/root/repo/data/media/images.parquet"
   val audioPath  = "/root/repo/data/media/audio.parquet"
+  val videosPath = "/root/repo/data/media/videos.parquet"
 
   /** 16×16 so a 4×4 grid pools 4×4-pixel cells: 16 pixels per cell keeps
     * every mean a dyadic rational (exact in IEEE double on both engines). */
@@ -67,8 +68,38 @@ object MediaFixture {
     else if (id == NAudio + 1L) null
     else Array[Byte](9, 9, 9)
 
+  /** 4 frames of 16×16 BMP per AVI: the mjpegAvi film strip is 16×64, so
+    * a 4×16 grid pools 4×4-pixel cells (16 px — dyadic-exact means, x20's
+    * discipline) and each frame contributes 4 cell rows: the signature is
+    * a joint spatio-TEMPORAL contrast map. Frames are complete BMP files
+    * inside '00db' chunks ([[Multimodal.aviPayload]]) so every frame byte
+    * sits at a fixed, SQL-sliceable offset. The extra edge row (vs
+    * x20/x21's flat/null/corrupt trio) is a MIXED-DIMENSIONS AVI — the
+    * strict per-frame decode refuses it ("frames disagree"), pinning that
+    * path under the hash via the undecodable −1 indicator. */
+  val VidFrames = 4
+  val NVideos = 30
+
+  def videoPayload(id: Long): Array[Byte] =
+    if (id < NVideos)
+      Multimodal.aviPayload((0 until VidFrames).map(f =>
+        Multimodal.bmp24(ImgW, ImgH, (x, y) => (
+          ((id * 37 + f * 53 + y * 11 + x * 7) % 256).toInt,
+          ((id * 23 + f * 29 + y * 5 + x * 13) % 256).toInt,
+          ((id * 41 + f * 61 + y * 3 + x * 17) % 256).toInt))))
+    else if (id == NVideos.toLong) // flat frames → zero signature
+      Multimodal.aviPayload(Seq.fill(VidFrames)(
+        Multimodal.bmp24(ImgW, ImgH, (_, _) => (77, 77, 77))))
+    else if (id == NVideos + 1L) null
+    else if (id == NVideos + 2L) Array[Byte](1, 2, 3, 4) // corrupt short
+    else // frames disagree on dimensions → strict decode refuses
+      Multimodal.aviPayload(Seq(
+        Multimodal.bmp24(ImgW, ImgH, (x, y) => (x * 16, y * 16, 0)),
+        Multimodal.bmp24(8, 8, (x, y) => (x * 32, y * 32, 0))))
+
   def images(spark: SparkSession): DataFrame = corpus(spark, NImages + 3, imagePayload)
   def audio(spark: SparkSession): DataFrame = corpus(spark, NAudio + 3, audioPayload)
+  def videos(spark: SparkSession): DataFrame = corpus(spark, NVideos + 4, videoPayload)
 
   private def corpus(spark: SparkSession, n: Int,
                      payload: Long => Array[Byte]): DataFrame = {
@@ -83,7 +114,8 @@ object MediaFixture {
     spark.sparkContext.setLogLevel("WARN")
     images(spark).coalesce(1).write.mode("overwrite").parquet(imagesPath)
     audio(spark).coalesce(1).write.mode("overwrite").parquet(audioPath)
-    println(s"[media-fixture] wrote $imagesPath and $audioPath")
+    videos(spark).coalesce(1).write.mode("overwrite").parquet(videosPath)
+    println(s"[media-fixture] wrote $imagesPath, $audioPath and $videosPath")
     spark.stop()
   }
 }

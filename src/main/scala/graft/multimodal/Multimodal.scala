@@ -436,6 +436,33 @@ object Multimodal {
     bb.array()
   }
 
+  /** Minimal RIFF/AVI writer — the encode twin of [[aviFrames]]' chunk
+    * walk: RIFF('AVI ') wrapping a single LIST('movi') of '00db' frame
+    * chunks (little-endian sizes, word-aligned with a pad byte after odd
+    * sizes, per the RIFF form). Each frame payload is stored VERBATIM;
+    * the x22 fixture convention stores complete uncompressed BMP files
+    * ([[bmp24]]) so an external engine can slice every frame byte at a
+    * fixed offset — [[mjpegAvi]]'s strict per-frame path decodes them
+    * through the same readImageGuarded as any MJPEG frame, so the whole
+    * RIFF-walk → frame-decode → film-strip pipeline goes under the
+    * differential hash. */
+  def aviPayload(frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "AVI with no frames")
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val body = frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val moviSize = 4 + body
+    val total = 12 + 8 + moviSize
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(ascii)).putInt(total - 8).put("AVI ".getBytes(ascii))
+    bb.put("LIST".getBytes(ascii)).putInt(moviSize).put("movi".getBytes(ascii))
+    frames.foreach { f =>
+      bb.put("00db".getBytes(ascii)).putInt(f.length).put(f)
+      if ((f.length & 1) == 1) bb.put(0.toByte)
+    }
+    bb.array()
+  }
+
   /** Build a fake payload (header + pixels) — test/fixture helper. */
   def fakePayload(w: Int, h: Int, seed: Int): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(8 + w * h)

@@ -144,5 +144,46 @@ object Media {
           WHERE len = $Mono8Len)""",
         Seq(MonoLen, StereoLen, Mono8Len), nCells = 4, k = audK)}"""))
 
-  val qs: Seq[Q] = Seq(x20, x21)
+  // ---- x22: VIDEO block over real RIFF/AVI containers ------------------
+  // The mjpegAvi codec walks the RIFF chunk tree ('00db'/'00dc' frames
+  // inside LIST('movi')), decodes every frame via javax.imageio, and
+  // concatenates lumas into the (w, h·nFrames) FILM STRIP, so the 4×16
+  // grid is a joint spatio-temporal contrast signature (each frame = 4
+  // cell rows). The fixture stores complete 16×16 BMPs in the '00db'
+  // chunks (Multimodal.aviPayload), putting every frame byte at a fixed
+  // offset: frame f's BMP starts at 24 (RIFF + LIST headers) + f·830
+  // (chunk header + 822-byte BMP) + 8. The oracle slices the SAME x20
+  // pixel math per frame and maps pixel (f, x, y) onto strip cell
+  // ((f·16 + y)//4)·4 + x//4. The fourth edge row — an AVI whose frames
+  // disagree on dimensions — exercises the strict decode's refusal
+  // (undecodable −1), alongside flat/null/corrupt.
+
+  private val VidFrameChunk = 8 + ImgLen                             // 830
+  private val VidLen = 24 + MediaFixture.VidFrames * VidFrameChunk   // 3344
+  private val vidK = MediaFixture.NVideos + 4
+
+  /** Frame f.f's BMP pixel byte: AVI offset 32 + f·830 + x20's
+    * bottom-up BGR math. */
+  private def vidByte(ch: Int): String =
+    byteAt(s"32 + f.f * $VidFrameChunk + 54 + (15 - p.i // 16) * 48" +
+      s" + (p.i % 16) * 3 + $ch")
+
+  private val x22 = Q(
+    "x22_video_block_topk",
+    (s, _) => fused(s, MediaFixture.videosPath, 4, 16, Multimodal.mjpegAvi, vidK),
+    Some(s"""WITH src AS (
+        SELECT media_id, hex(payload) AS hx, octet_length(payload) AS len
+        FROM read_parquet('${MediaFixture.videosPath}/*.parquet')),
+      ${oracleTail(
+        s"""vals AS (
+          SELECT media_id,
+            ((f.f * 16 + p.i // 16) // 4) * 4 + ((p.i % 16) // 4) AS cell,
+            (${vidByte(2)} * 299 + ${vidByte(1)} * 587 + ${vidByte(0)} * 114
+             + 500) // 1000 AS v
+          FROM src, (SELECT unnest(range(0, ${MediaFixture.VidFrames})) AS f) f,
+               (SELECT unnest(range(0, 256)) AS i) p
+          WHERE len = $VidLen)""",
+        Seq(VidLen), nCells = 64, k = vidK)}"""))
+
+  val qs: Seq[Q] = Seq(x20, x21, x22)
 }

@@ -45,6 +45,41 @@ class MediaFixtureSpec extends AnyFunSuite {
     assert(f8 == 3 && px8.toSeq == Seq[Byte](-128, 0, 127))
   }
 
+  test("aviPayload round-trips through mjpegAvi to the per-frame film strip") {
+    val id = 7L
+    val (w, h, px) = Multimodal.mjpegAvi.decode(MediaFixture.videoPayload(id))
+    assert(w == 16 && h == 16 * MediaFixture.VidFrames)
+    for (f <- 0 until MediaFixture.VidFrames; y <- 0 until 16; x <- 0 until 16) {
+      val r = ((id * 37 + f * 53 + y * 11 + x * 7) % 256).toInt
+      val g = ((id * 23 + f * 29 + y * 5 + x * 13) % 256).toInt
+      val b = ((id * 41 + f * 61 + y * 3 + x * 17) % 256).toInt
+      val expect = (r * 299 + g * 587 + b * 114 + 500) / 1000
+      assert((px((f * 16 + y) * 16 + x) & 0xff) == expect, s"frame $f pixel ($x,$y)")
+    }
+    // the chunk walk sees exactly VidFrames frames, each a complete BMP
+    val frames = Multimodal.aviFrames(MediaFixture.videoPayload(id))
+    assert(frames.size == MediaFixture.VidFrames)
+    assert(frames.forall(f => f.length == 822 && f(0) == 'B' && f(1) == 'M'))
+    // fixed-offset contract the x22 oracle slices by: frame f at 24 + f·830
+    val payload = MediaFixture.videoPayload(id)
+    for (f <- 0 until MediaFixture.VidFrames)
+      assert(payload(24 + f * 830 + 8) == 'B' && payload(24 + f * 830 + 9) == 'M',
+        s"frame $f not at its pinned offset")
+  }
+
+  test("video edge rows: flat decodes, mixed-dims refused, null/corrupt undecodable") {
+    val (_, h, _) = Multimodal.mjpegAvi.decode(MediaFixture.videoPayload(MediaFixture.NVideos))
+    assert(h == 16 * MediaFixture.VidFrames)
+    assert(MediaFixture.videoPayload(MediaFixture.NVideos + 1L) == null)
+    // corrupt short payload: not an AVI, below even the fake-header minimum
+    intercept[Exception](Multimodal.mjpegAvi.decode(
+      MediaFixture.videoPayload(MediaFixture.NVideos + 2L)))
+    // frames disagreeing on dimensions must be refused, not silently padded
+    val ex = intercept[IllegalArgumentException](Multimodal.mjpegAvi.decode(
+      MediaFixture.videoPayload(MediaFixture.NVideos + 3L)))
+    assert(ex.getMessage.contains("disagree"))
+  }
+
   test("fixture edge rows: flat decodes, null is null, corrupt defeats every codec") {
     // flat image/audio decode fine (the zero-signature path is downstream)
     assert(Multimodal.imageIo.decode(MediaFixture.imagePayload(MediaFixture.NImages))._1 == 16)

@@ -157,6 +157,20 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("SortMergeJoin"), s"$n degraded to sort-merge:\n$p")
     }
 
+  /** The full-scan ADC family (pure-PQ sim4, SQ8 sim6) scores every
+    * corpus row against a tiny BROADCAST per-query lookup-table side —
+    * a BroadcastNestedLoopJoin over 3 rows is the intended shape; what
+    * must never appear is a CartesianProduct (both sides shuffled) or a
+    * SortMergeJoin (corpus rows sorted for a 3-row side). */
+  for (n <- Seq("sim4_knn_pq", "sim6_knn_sq8"))
+    test(s"$n: ADC scan joins the broadcast query side — never cartesian/SMJ") {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n grew a cartesian:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$n degraded to sort-merge:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$n lost the broadcast query side:\n$p")
+    }
+
   test("flip1 spine: broadcast gather, TakeOrderedAndProject top-k, one ingest window") {
     // the lazy lifecycle (the query fn materializes before closing the
     // engine, leaving only a LocalTableScan — lazySearch exposes the plan)
