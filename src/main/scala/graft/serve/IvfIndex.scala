@@ -203,6 +203,82 @@ object IvfIndex {
       .select(col("id").as("vec_id"), col("score"))
   }
 
+  // ---- IVF + SQ8: the near-exact compressed serving index --------------
+
+  final case class SqHandle(path: String, centroids: Array[Array[Double]],
+                            mins: Array[Double], maxs: Array[Double], dim: Int)
+
+  /** Write the index WITH SQ8 codes — the FAISS IVF+SQ8 layout: same
+    * cid-partitioned dataset plus an `sq` column of dim packed BYTES per
+    * row ([[Search.sqCodes]] through PqCodes.pack) and the per-dimension
+    * (min, max) grid in a `_sq.json` sidecar. The same two pruning axes
+    * as [[writePq]] compose at read time (directories via `cid IN
+    * (probes)`, columns via an (id, sq) projection), but the compression
+    * point differs: 8× instead of 128×, at NEAR-EXACT recall (≤ Δ/510
+    * per-dimension dequantization error) — the serving tier you pick when
+    * the shortlist must be trustworthy WITHOUT an exact-refine pass. */
+  def writeSq(vectors: DataFrame, vecCol: String, idCol: String, path: String,
+              nCentroids: Int, iters: Int, dim: Int): SqHandle = {
+    val base = vectors.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        Search.asDouble(col(vecCol)).as("v"))
+    val cents = Search.ivfCentroids(base, "v", "id", nCentroids, iters)
+    val (mins, maxs) = Search.sqParams(base, "v", dim)
+    base
+      .withColumn("vn", Search.l2Norm(col("v")))
+      .withColumn("sq",
+        org.apache.spark.sql.graft.PqCodes.pack(
+          Search.sqCodes(col("v"), mins, maxs)))
+      .withColumn("cid", Search.ivfAssign(col("v"), cents))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    writeSidecar(vectors.sparkSession, path, "_centroids.json",
+      cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
+    writeSidecar(vectors.sparkSession, path, "_sq.json",
+      s"""{"dim": $dim, "mins": ${mins.mkString("[", ",", "]")}, "maxs": ${
+        maxs.mkString("[", ",", "]")}}""")
+    SqHandle(path, cents, mins, maxs, dim)
+  }
+
+  /** Reopen an SQ8 index from its sidecars — no scan, no refit. */
+  def openSq(spark: SparkSession, path: String): SqHandle = {
+    val base = open(spark, path)
+    val raw = readSidecar(spark, path, "_sq.json")
+    val dim = raw.replaceAll("(?s).*\"dim\":\\s*(\\d+).*", "$1").toInt
+    def arr(key: String): Array[Double] =
+      raw.replaceAll(s"""(?s).*"$key":\\s*\\[([^\\]]*)\\].*""", "$1")
+        .split(",").map(_.trim.toDouble)
+    SqHandle(path, base.centroids, arr("mins"), arr("maxs"), dim)
+  }
+
+  /** Probed SQ8 top-k: directory pruning AND column pruning — the scan
+    * projects only (id, sq), never the dim-wide `v`/`vn`. Scoring folds
+    * the dequantization grid into the per-query lookup table
+    * T[i][c] = (mn_i + c·Δ_i/255)·q_i and runs [[Search.knnSq]]'s byte
+    * lookup-sum (AdcPacked with ksub = 256) over the pruned scan. The
+    * approximate IP score ranks like the exact one to within the SQ8
+    * error bound, so no refine pass is wired — [[probedTopKRefined]]'s
+    * recipe applies unchanged if one is ever wanted. */
+  def probedTopKSq(spark: SparkSession, h: SqHandle, q: Array[Double],
+                   nProbe: Int, k: Int): DataFrame = {
+    val cells = probeCells(Handle(h.path, h.centroids), q, nProbe)
+    val tFlat = new Array[Double](h.dim * 256)
+    var i = 0
+    while (i < h.dim) {
+      val mn = h.mins(i); val d = h.maxs(i) - mn
+      var c = 0
+      while (c < 256) { tFlat(i * 256 + c) = (mn + c * d / 255.0) * q(i); c += 1 }
+      i += 1
+    }
+    prunedScan(spark, Handle(h.path, h.centroids), cells)
+      .select(col("id"), col("sq"))
+      .withColumn("score", round(
+        org.apache.spark.sql.graft.PqCodes.adcPacked(
+          col("sq"), typedLit(tFlat.toSeq), 256), 5) + 0.0)
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .select(col("id").as("vec_id"), col("score"))
+  }
+
   /** STREAMING index maintenance: append an arriving vector stream into
     * the same cid-partitioned layout — the narrow assignment projection
     * against the FIXED centroids (no refit; the standard IVF maintenance
