@@ -24,7 +24,10 @@ class IvfSqServeSpec extends SparkSpec {
       nCentroids = nCents, iters = 3, dim = dim)
   }
 
-  private def q0: Array[Double] = Tables.embeddings(spark, sf("sf0.001"))
+  // MUST be a lazy val, not a def: test 3's driver recompute indexes
+  // q0(i) inside a per-row/per-dim loop — as a def that ran the whole
+  // head() pipeline 500×64 times (~17 min of tiny Spark jobs).
+  private lazy val q0: Array[Double] = Tables.embeddings(spark, sf("sf0.001"))
     .filter(col("vec_id") === 7L).select("embedding")
     .head().getSeq[Float](0).map(_.toDouble).toArray
 
