@@ -23,7 +23,7 @@ class IvfPqServeSpec extends SparkSpec {
       nCentroids = nCents, iters = 3, dim = dim, m = 8, ksub = 16, pqIters = 3)
   }
 
-  private def q0: Array[Double] = Tables.embeddings(spark, sf("sf0.001"))
+  private lazy val q0: Array[Double] = Tables.embeddings(spark, sf("sf0.001"))
     .filter(col("vec_id") === 7L).select("embedding")
     .head().getSeq[Float](0).map(_.toDouble).toArray
 
