@@ -103,7 +103,16 @@ object Search {
     val distinctQ = scala.collection.mutable.LinkedHashMap.empty[Seq[Double], Int]
     val qIdx: Array[Int] = queries.map(q =>
       distinctQ.getOrElseUpdate(q.toSeq, distinctQ.size)).toArray
-    val vd = asDouble(col(vecCol))
+    // the compressed serving tiers score PACKED code columns (binary) via
+    // a custom scoreExpr — pass the raw column through for those; the
+    // array<double> cast stays the default for real vector columns
+    val vd = vectors.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.BinaryType =>
+        require(scoreExpr != null,
+          s"binary column '$vecCol' needs an explicit scoreExpr")
+        col(vecCol)
+      case _ => asDouble(col(vecCol))
+    }
     // scoreExpr generalizes the per-(row, query) score beyond the raw inner
     // product — e.g. the IVF serving path's cosine with its precomputed
     // per-row norm column — while keeping the same rounding / −0.0 collapse

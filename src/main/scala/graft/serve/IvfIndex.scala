@@ -157,19 +157,26 @@ object IvfIndex {
     * or `vn` (spec-asserted via ReadSchema). Scoring is the lookup-sum
     * over the broadcast query-vs-codebook IP table ([[Search.knnPq]]'s
     * asymmetric distance), rounded like every serving score. */
-  def probedTopKAdc(spark: SparkSession, h: PqHandle, q: Array[Double],
-                    nProbe: Int, k: Int): DataFrame = {
-    val cells = probeCells(Handle(h.path, h.centroids), q, nProbe)
+  /** Flattened ADC lookup table for one query, subspace-major: T[j][c] at
+    * j·ksub + c — the codegen AdcPacked loop reads it without nested-array
+    * hops. ONE builder shared by the single and batched paths so their
+    * scores are bit-identical by construction. */
+  private def adcTable(h: PqHandle, q: Array[Double]): Seq[Double] = {
     val m = h.books.length
     val ksub = h.books(0).length
     val dsub = h.dim / m
-    // flattened lookup table, subspace-major: T[j][c] at j·ksub + c —
-    // the codegen AdcPacked loop reads it without nested-array hops
-    val tFlat: Seq[Double] = (for (j <- 0 until m; c <- 0 until ksub) yield {
+    (for (j <- 0 until m; c <- 0 until ksub) yield {
       var s = 0.0; var i = 0
       while (i < dsub) { s += q(j * dsub + i) * h.books(j)(c)(i); i += 1 }
       s
     }).toSeq
+  }
+
+  def probedTopKAdc(spark: SparkSession, h: PqHandle, q: Array[Double],
+                    nProbe: Int, k: Int): DataFrame = {
+    val cells = probeCells(Handle(h.path, h.centroids), q, nProbe)
+    val ksub = h.books(0).length
+    val tFlat = adcTable(h, q)
     prunedScan(spark, Handle(h.path, h.centroids), cells)
       .select(col("id"), col("codes"))
       .withColumn("score", round(
@@ -258,9 +265,10 @@ object IvfIndex {
     * approximate IP score ranks like the exact one to within the SQ8
     * error bound, so no refine pass is wired — [[probedTopKRefined]]'s
     * recipe applies unchanged if one is ever wanted. */
-  def probedTopKSq(spark: SparkSession, h: SqHandle, q: Array[Double],
-                   nProbe: Int, k: Int): DataFrame = {
-    val cells = probeCells(Handle(h.path, h.centroids), q, nProbe)
+  /** Per-query SQ8 lookup table T[i][c] = (mn_i + c·Δ_i/255)·q_i — the
+    * dequantization grid folded into the byte-lookup table. ONE builder
+    * shared by the single and batched paths (bit-identity by construction). */
+  private def sqTable(h: SqHandle, q: Array[Double]): Seq[Double] = {
     val tFlat = new Array[Double](h.dim * 256)
     var i = 0
     while (i < h.dim) {
@@ -269,11 +277,17 @@ object IvfIndex {
       while (c < 256) { tFlat(i * 256 + c) = (mn + c * d / 255.0) * q(i); c += 1 }
       i += 1
     }
+    tFlat.toSeq
+  }
+
+  def probedTopKSq(spark: SparkSession, h: SqHandle, q: Array[Double],
+                   nProbe: Int, k: Int): DataFrame = {
+    val cells = probeCells(Handle(h.path, h.centroids), q, nProbe)
     prunedScan(spark, Handle(h.path, h.centroids), cells)
       .select(col("id"), col("sq"))
       .withColumn("score", round(
         org.apache.spark.sql.graft.PqCodes.adcPacked(
-          col("sq"), typedLit(tFlat.toSeq), 256), 5) + 0.0)
+          col("sq"), typedLit(sqTable(h, q)), 256), 5) + 0.0)
       .orderBy(col("score").desc, col("id"))
       .limit(k)
       .select(col("id").as("vec_id"), col("score"))
@@ -361,4 +375,46 @@ object IvfIndex {
         Search.dot(typedLit(q.toSeq), vd) / (lit(math.sqrt(qn)) * col("vn"))
       })
   }
+
+  /** Shared spine of the batched COMPRESSED tiers: union the probed cells
+    * across the batch, prune directories once, project only (id, codeCol)
+    * — the column-pruning axis survives batching — and score all P
+    * queries in the one scan via [[Search.multiTopK]]'s per-partition
+    * k-heaps over each query's own ADC lookup table. Per-query `eligible`
+    * masks keep results bit-identical to P sequential calls: a row read
+    * only because SOME OTHER query probed its cell never leaks in. */
+  private def batchedAdc(spark: SparkSession, base: Handle, codeCol: String,
+                         queries: Seq[Array[Double]], nProbe: Int, k: Int,
+                         table: Array[Double] => Seq[Double], ksub: Int)
+      : IndexedSeq[Seq[(Long, Double)]] = {
+    if (queries.isEmpty) return IndexedSeq.empty
+    val cellsPer = queries.map(q => probeCells(base, q, nProbe))
+    val union = cellsPer.flatten.distinct.sorted
+    val scan = prunedScan(spark, base, union)
+      .select(col("id"), col(codeCol), col("cid"))
+    val eligible = cellsPer.map(cs => col("cid").isin(cs.map(Integer.valueOf): _*))
+    Search.multiTopK(scan, codeCol, "id", queries, k, eligible = eligible,
+      scoreExpr = (codes, q) =>
+        org.apache.spark.sql.graft.PqCodes.adcPacked(
+          codes, typedLit(table(q)), ksub))
+  }
+
+  /** Batched PQ serving: P ADC queries in ONE pruned (id, codes) scan —
+    * [[probedTopKBatch]]'s contract on the compressed tier. Bit-identical
+    * to P sequential [[probedTopKAdc]] calls (same [[adcTable]], same
+    * 5-dp round / −0.0 collapse, same score-desc/id-asc tie-break). */
+  def probedTopKBatchAdc(spark: SparkSession, h: PqHandle,
+                         queries: Seq[Array[Double]], nProbe: Int,
+                         k: Int): IndexedSeq[Seq[(Long, Double)]] =
+    batchedAdc(spark, Handle(h.path, h.centroids), "codes", queries, nProbe,
+      k, q => adcTable(h, q), h.books(0).length)
+
+  /** Batched SQ8 serving: P near-exact byte-lookup queries in ONE pruned
+    * (id, sq) scan. Bit-identical to P sequential [[probedTopKSq]] calls
+    * (same [[sqTable]], rounding and tie-break). */
+  def probedTopKBatchSq(spark: SparkSession, h: SqHandle,
+                        queries: Seq[Array[Double]], nProbe: Int,
+                        k: Int): IndexedSeq[Seq[(Long, Double)]] =
+    batchedAdc(spark, Handle(h.path, h.centroids), "sq", queries, nProbe,
+      k, q => sqTable(h, q), 256)
 }

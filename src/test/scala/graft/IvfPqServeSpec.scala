@@ -84,6 +84,27 @@ class IvfPqServeSpec extends SparkSpec {
       "all-probe all-shortlist refine must equal brute force exactly")
   }
 
+  test("batched ADC serving is bit-identical to sequential probedTopKAdc calls") {
+    val h = built
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val qs = Seq(3L, 7L, 11L, 7L).map { id => // includes a duplicate query
+      emb.filter(col("vec_id") === id).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+    }
+    for (nProbe <- Seq(2, nCents)) {
+      val batch = IvfIndex.probedTopKBatchAdc(spark, h, qs, nProbe, 10)
+      val sequential = qs.map { q =>
+        IvfIndex.probedTopKAdc(spark, h, q, nProbe, 10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      }
+      assert(batch.size == qs.size)
+      (batch, sequential).zipped.foreach { (b, s) =>
+        assert(b == s, s"nProbe=$nProbe batch $b != sequential $s")
+      }
+    }
+    assert(IvfIndex.probedTopKBatchAdc(spark, h, Nil, 2, 10).isEmpty)
+  }
+
   test("malformed sidecars fail loudly on open, never yield a silent wrong index") {
     val h = built
     val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-bad").toString

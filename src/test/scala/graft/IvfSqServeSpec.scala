@@ -89,6 +89,27 @@ class IvfSqServeSpec extends SparkSpec {
     assert(sqLens == Seq(dim), s"sq byte widths on disk: $sqLens")
   }
 
+  test("batched SQ8 serving is bit-identical to sequential probedTopKSq calls") {
+    val h = built
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val qs = Seq(3L, 7L, 11L, 7L).map { id => // includes a duplicate query
+      emb.filter(col("vec_id") === id).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+    }
+    for (nProbe <- Seq(2, nCents)) {
+      val batch = IvfIndex.probedTopKBatchSq(spark, h, qs, nProbe, 10)
+      val sequential = qs.map { q =>
+        IvfIndex.probedTopKSq(spark, h, q, nProbe, 10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      }
+      assert(batch.size == qs.size)
+      (batch, sequential).zipped.foreach { (b, s) =>
+        assert(b == s, s"nProbe=$nProbe batch $b != sequential $s")
+      }
+    }
+    assert(IvfIndex.probedTopKBatchSq(spark, h, Nil, 2, 10).isEmpty)
+  }
+
   test("exhaustive-probe SQ8 top-k == exact IP top-k on the fixture (no-refine claim)") {
     val h = built
     val got = IvfIndex.probedTopKSq(spark, h, q0, nProbe = nCents, k = 10)
