@@ -70,6 +70,25 @@ object IvfServeBench {
     val tRef = med5(IvfIndex.probedTopKRefined(spark, hp, q, 2, 10, kAdc = 40).collect())
     println(f"[ivf] pq ADC(nProbe=2) $tAdc%.3f s, refined(kAdc=40) $tRef%.3f s " +
       f"vs exact pruned $pruned%.3f s")
+    // batched COMPRESSED serving: the probedTopKBatch contract on the PQ
+    // and SQ8 tiers — P queries' own ADC tables in one (id, codes|sq) scan
+    val tSeqAdc = med5(batchQ.foreach(q =>
+      IvfIndex.probedTopKAdc(spark, hp, q, 2, 10).collect()))
+    val tBatchAdc = med5(IvfIndex.probedTopKBatchAdc(spark, hp, batchQ, 2, 10))
+    println(f"[ivf] pq batch P=${batchQ.size} nProbe=2: batched $tBatchAdc%.3f s vs " +
+      f"sequential $tSeqAdc%.3f s = ${tBatchAdc / tSeqAdc}%.2fx " +
+      f"(one-query ADC scan was $tAdc%.3f s)")
+    val sqPath = java.nio.file.Files.createTempDirectory("graft-ivfsq-bench").toString
+    val s0 = System.nanoTime()
+    val hs = IvfIndex.writeSq(emb, "embedding", "vec_id", sqPath,
+      nCents, iters = 3, dim = q.length)
+    println(f"[ivf] sq build ${(System.nanoTime() - s0) / 1e9}%.1f s ($sqPath)")
+    val tSq = med5(IvfIndex.probedTopKSq(spark, hs, q, 2, 10).collect())
+    val tSeqSq = med5(batchQ.foreach(q =>
+      IvfIndex.probedTopKSq(spark, hs, q, 2, 10).collect()))
+    val tBatchSq = med5(IvfIndex.probedTopKBatchSq(spark, hs, batchQ, 2, 10))
+    println(f"[ivf] sq8(nProbe=2) $tSq%.3f s; batch P=${batchQ.size}: " +
+      f"batched $tBatchSq%.3f s vs sequential $tSeqSq%.3f s = ${tBatchSq / tSeqSq}%.2fx")
     spark.stop()
   }
 }
