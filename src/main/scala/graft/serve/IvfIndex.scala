@@ -417,4 +417,44 @@ object IvfIndex {
                         k: Int): IndexedSeq[Seq[(Long, Double)]] =
     batchedAdc(spark, Handle(h.path, h.centroids), "sq", queries, nProbe,
       k, q => sqTable(h, q), 256)
+
+  /** Recall-calibrated probe selection — the FAISS-autotune knob for this
+    * index: measure recall@k of probed serving against the exhaustive
+    * probe on a SAMPLE of queries and return the SMALLEST nProbe whose
+    * mean recall meets `target`, plus every (nProbe, recall) point
+    * measured on the way. Probed recall is monotone in nProbe (the probed
+    * set only grows), so a doubling sweep brackets the answer and a
+    * binary search pins it — O(log nCentroids) levels, each ONE batched
+    * pruned scan ([[probedTopKBatch]]), never a per-query job storm.
+    * Calibration cost is sample-bounded and independent of corpus size:
+    * exactly the shape that lets an operator re-tune a 100-TB index from
+    * a few hundred held-out queries. */
+  def calibrateNProbe(spark: SparkSession, h: Handle,
+                      sample: Seq[Array[Double]], k: Int, target: Double)
+      : (Int, Seq[(Int, Double)]) = {
+    require(sample.nonEmpty, "calibration needs at least one sample query")
+    require(target > 0.0 && target <= 1.0, s"recall target $target outside (0,1]")
+    val n = h.centroids.length
+    val exact = probedTopKBatch(spark, h, sample, n, k).map(_.map(_._1).toSet)
+    val measured = scala.collection.mutable.LinkedHashMap.empty[Int, Double]
+    def recallAt(p: Int): Double = measured.getOrElseUpdate(p, {
+      val got = probedTopKBatch(spark, h, sample, p, k)
+      (got, exact).zipped.map { (g, e) =>
+        if (e.isEmpty) 1.0 else g.count(t => e(t._1)).toDouble / e.size
+      }.sum / sample.size
+    })
+    // doubling sweep to the first passing level, tracking the largest
+    // KNOWN-failing level as the bracket floor (the exhaustive probe
+    // passes any target by construction: recall vs itself is 1.0)
+    var lo = 0
+    var hi = 1
+    while (hi < n && recallAt(hi) < target) { lo = hi; hi = math.min(hi * 2, n) }
+    // binary search the minimal passing nProbe inside (lo, hi]
+    while (lo + 1 < hi) {
+      val mid = (lo + hi) / 2
+      if (recallAt(mid) >= target) hi = mid else lo = mid
+    }
+    recallAt(hi) // the chosen level is always on the returned curve
+    (hi, measured.toSeq.sortBy(_._1))
+  }
 }

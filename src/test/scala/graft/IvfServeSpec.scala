@@ -188,4 +188,45 @@ class IvfServeSpec extends SparkSpec {
       !p.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").trim.isEmpty,
       s"no partition filters pushed:\n$p")
   }
+
+  test("calibrateNProbe returns the MINIMAL probe count meeting the recall target") {
+    val (h, _) = built
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val sample = Seq(3L, 7L, 11L, 19L, 23L).map { id =>
+      emb.filter(col("vec_id") === id).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+    }
+    val k = 10
+    // recall is exactly reproducible from the same batched calls the
+    // calibrator makes, so minimality is directly checkable
+    val exact = IvfIndex.probedTopKBatch(spark, h, sample, nCents, k)
+      .map(_.map(_._1).toSet)
+    def recallAt(p: Int): Double = {
+      val got = IvfIndex.probedTopKBatch(spark, h, sample, p, k)
+      (got, exact).zipped.map((g, e) =>
+        g.count(t => e(t._1)).toDouble / e.size).sum / sample.size
+    }
+    for (target <- Seq(0.5, 0.9, 1.0)) {
+      val (chosen, curve) = IvfIndex.calibrateNProbe(spark, h, sample, k, target)
+      assert(chosen >= 1 && chosen <= nCents)
+      assert(recallAt(chosen) >= target,
+        s"chosen nProbe=$chosen misses target $target")
+      if (chosen > 1)
+        assert(recallAt(chosen - 1) < target,
+          s"nProbe=${chosen - 1} already meets $target — $chosen not minimal")
+      // every measured point is on the curve, the chosen one included,
+      // and the curve is monotone non-decreasing in nProbe
+      assert(curve.exists(_._1 == chosen))
+      (curve, curve.tail).zipped.foreach { case ((pa, ra), (pb, rb)) =>
+        assert(pa < pb && ra <= rb + 1e-12,
+          s"recall curve not monotone: ($pa,$ra) → ($pb,$rb)")
+      }
+      info(s"target $target → nProbe=$chosen; curve ${curve.map {
+        case (p, r) => f"$p:$r%.2f" }.mkString(" ")}")
+    }
+    // an exhaustive-probe sample calibrates to nProbe=1 iff 1 already
+    // recalls perfectly — degenerate single-query sample sanity
+    val one = IvfIndex.calibrateNProbe(spark, h, sample.take(1), k, 0.01)._1
+    assert(one == 1, s"any positive target passes at nProbe=1 recall>0: $one")
+  }
 }
