@@ -431,17 +431,39 @@ object IvfIndex {
     * a few hundred held-out queries. */
   def calibrateNProbe(spark: SparkSession, h: Handle,
                       sample: Seq[Array[Double]], k: Int, target: Double)
+      : (Int, Seq[(Int, Double)]) =
+    calibrate(h.centroids.length, sample.size, target,
+      p => probedTopKBatch(spark, h, sample, p, k))
+
+  /** [[calibrateNProbe]] on the PQ tier: recall measured against the
+    * tier's OWN exhaustive probe (ADC everywhere) — the knob tunes the
+    * probe share; the quantization error is the separate, fixed axis
+    * the recall-vs-compression artifact quantifies. */
+  def calibrateNProbeAdc(spark: SparkSession, h: PqHandle,
+                         sample: Seq[Array[Double]], k: Int, target: Double)
+      : (Int, Seq[(Int, Double)]) =
+    calibrate(h.centroids.length, sample.size, target,
+      p => probedTopKBatchAdc(spark, h, sample, p, k))
+
+  /** [[calibrateNProbe]] on the SQ8 tier. */
+  def calibrateNProbeSq(spark: SparkSession, h: SqHandle,
+                        sample: Seq[Array[Double]], k: Int, target: Double)
+      : (Int, Seq[(Int, Double)]) =
+    calibrate(h.centroids.length, sample.size, target,
+      p => probedTopKBatchSq(spark, h, sample, p, k))
+
+  private def calibrate(n: Int, sampleSize: Int, target: Double,
+                        probe: Int => IndexedSeq[Seq[(Long, Double)]])
       : (Int, Seq[(Int, Double)]) = {
-    require(sample.nonEmpty, "calibration needs at least one sample query")
+    require(sampleSize > 0, "calibration needs at least one sample query")
     require(target > 0.0 && target <= 1.0, s"recall target $target outside (0,1]")
-    val n = h.centroids.length
-    val exact = probedTopKBatch(spark, h, sample, n, k).map(_.map(_._1).toSet)
+    val exact = probe(n).map(_.map(_._1).toSet)
     val measured = scala.collection.mutable.LinkedHashMap.empty[Int, Double]
     def recallAt(p: Int): Double = measured.getOrElseUpdate(p, {
-      val got = probedTopKBatch(spark, h, sample, p, k)
+      val got = probe(p)
       (got, exact).zipped.map { (g, e) =>
         if (e.isEmpty) 1.0 else g.count(t => e(t._1)).toDouble / e.size
-      }.sum / sample.size
+      }.sum / sampleSize
     })
     // doubling sweep to the first passing level, tracking the largest
     // KNOWN-failing level as the bracket floor (the exhaustive probe

@@ -105,6 +105,31 @@ class IvfPqServeSpec extends SparkSpec {
     assert(IvfIndex.probedTopKBatchAdc(spark, h, Nil, 2, 10).isEmpty)
   }
 
+  test("calibrateNProbeAdc: minimal probe count vs the tier's own exhaustive probe") {
+    val h = built
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val sample = Seq(3L, 7L, 11L).map { id =>
+      emb.filter(col("vec_id") === id).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+    }
+    val k = 10
+    val exact = IvfIndex.probedTopKBatchAdc(spark, h, sample, nCents, k)
+      .map(_.map(_._1).toSet)
+    def recallAt(p: Int): Double = {
+      val got = IvfIndex.probedTopKBatchAdc(spark, h, sample, p, k)
+      (got, exact).zipped.map((g, e) =>
+        g.count(t => e(t._1)).toDouble / e.size).sum / sample.size
+    }
+    val target = 0.9
+    val (chosen, curve) = IvfIndex.calibrateNProbeAdc(spark, h, sample, k, target)
+    assert(chosen >= 1 && chosen <= nCents)
+    assert(recallAt(chosen) >= target)
+    if (chosen > 1) assert(recallAt(chosen - 1) < target,
+      s"nProbe=${chosen - 1} already meets $target — $chosen not minimal")
+    assert(curve.exists(_._1 == chosen))
+    info(s"PQ target $target → nProbe=$chosen")
+  }
+
   test("malformed sidecars fail loudly on open, never yield a silent wrong index") {
     val h = built
     val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-bad").toString

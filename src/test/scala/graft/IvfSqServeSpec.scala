@@ -110,6 +110,31 @@ class IvfSqServeSpec extends SparkSpec {
     assert(IvfIndex.probedTopKBatchSq(spark, h, Nil, 2, 10).isEmpty)
   }
 
+  test("calibrateNProbeSq: minimal probe count vs the tier's own exhaustive probe") {
+    val h = built
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val sample = Seq(3L, 7L, 11L).map { id =>
+      emb.filter(col("vec_id") === id).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+    }
+    val k = 10
+    val exact = IvfIndex.probedTopKBatchSq(spark, h, sample, nCents, k)
+      .map(_.map(_._1).toSet)
+    def recallAt(p: Int): Double = {
+      val got = IvfIndex.probedTopKBatchSq(spark, h, sample, p, k)
+      (got, exact).zipped.map((g, e) =>
+        g.count(t => e(t._1)).toDouble / e.size).sum / sample.size
+    }
+    val target = 0.9
+    val (chosen, curve) = IvfIndex.calibrateNProbeSq(spark, h, sample, k, target)
+    assert(chosen >= 1 && chosen <= nCents)
+    assert(recallAt(chosen) >= target)
+    if (chosen > 1) assert(recallAt(chosen - 1) < target,
+      s"nProbe=${chosen - 1} already meets $target — $chosen not minimal")
+    assert(curve.exists(_._1 == chosen))
+    info(s"SQ8 target $target → nProbe=$chosen")
+  }
+
   test("exhaustive-probe SQ8 top-k == exact IP top-k on the fixture (no-refine claim)") {
     val h = built
     val got = IvfIndex.probedTopKSq(spark, h, q0, nProbe = nCents, k = 10)
