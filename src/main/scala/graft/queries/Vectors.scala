@@ -300,10 +300,13 @@ object Vectors {
   private def pqDist(v: String, c: String) =
     s"list_dot_product($v,$v) - 2*list_dot_product($v,$c) + list_dot_product($c,$c)"
 
-  /** Shared PQ-fit CTE block (after an `e(vec_id, v)` CTE): m unrolled
+  /** Shared PQ-fit CTE block (after a `$src(vec_id, v)` CTE): m unrolled
     * per-subspace k-means → `codes(vec_id, sub, cid)` + `cent(sub, cid, c)`.
-    * Used by the pure-PQ (sim4) and IVF+PQ (sim5) oracles. */
-  private def pqFitCtes: String = {
+    * Used by the pure-PQ (sim4), IVF+PQ (sim5), and residual-IVF+PQ (sim8
+    * — `src` = the residual CTE) oracles. */
+  private def pqFitCtes: String = pqFitCtesFrom("e")
+
+  private def pqFitCtesFrom(src: String): String = {
     def dist(v: String, c: String) = pqDist(v, c)
     val perSub = (0 until PqM).map { j =>
       val lo = j * PqDsub + 1; val hi = (j + 1) * PqDsub
@@ -318,9 +321,9 @@ object Vectors {
             c${i}_$j AS (SELECT p.cid, coalesce(n.c, p.c) AS c
                     FROM c${i - 1}_$j p LEFT JOIN n${i}_$j n USING (cid))"""
       }.mkString(",\n")
-      s"""e_$j AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+      s"""e_$j AS (SELECT vec_id, v[$lo:$hi] AS v FROM $src),
           c0_$j AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
-                 v[$lo:$hi] AS c FROM e ORDER BY vec_id LIMIT $PqKsub),
+                 v[$lo:$hi] AS c FROM $src ORDER BY vec_id LIMIT $PqKsub),
           $iterCtes,
           af_$j AS (SELECT e.vec_id,
               (min({'d': ${dist("e.v", "c.c")}, 'cid': c.cid})).cid AS cid
@@ -376,7 +379,11 @@ object Vectors {
   // composes both unrolled fits (coarse block g-prefixed so the two
   // k-means CTE families coexist) and re-ranks the probed candidates only
   // — the full two-stage ANN pipeline under one hash.
-  private def sim5Sql: String = {
+  /** Shared coarse-quantizer CTE block (g-prefixed so it coexists with the
+    * PQ fit CTEs): unrolled sim3-discipline k-means → `gc$IvfIters(cid, c)`
+    * + `gaf(vec_id, cid)`. Used by the IVF+PQ (sim5) and residual (sim8)
+    * oracles. */
+  private def coarseCtes: String = {
     val coarseIters = (1 to IvfIters).map { i =>
       s"""ga$i AS (SELECT e.vec_id, any_value(e.v) AS v,
             (min({'d': ${pqDist("e.v", "c.c")}, 'cid': c.cid})).cid AS cid
@@ -388,14 +395,18 @@ object Vectors {
           gc$i AS (SELECT p.cid, coalesce(n.c, p.c) AS c
                   FROM gc${i - 1} p LEFT JOIN gn$i n USING (cid))"""
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        gc0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+    s"""gc0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
                embedding::DOUBLE[] AS c FROM embeddings
                ORDER BY vec_id LIMIT $IvfCentroidsN),
         $coarseIters,
         gaf AS (SELECT e.vec_id,
             (min({'d': ${pqDist("e.v", "gc.c")}, 'cid': gc.cid})).cid AS cid
-          FROM e, gc$IvfIters gc GROUP BY e.vec_id),
+          FROM e, gc$IvfIters gc GROUP BY e.vec_id)"""
+  }
+
+  private def sim5Sql: String = {
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        $coarseCtes,
         $pqFitCtes,
         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
         $pqTCte,
@@ -416,6 +427,58 @@ object Vectors {
         SELECT q_id, vec_id, score, rk FROM ranked
         WHERE rk <= 5 ORDER BY q_id, rk"""
   }
+
+  // sim8: RESIDUAL IVF+PQ — the true FAISS IVFPQ encoding (sim5 PQ-encodes
+  // raw vectors; production IVFPQ encodes v − c_cid, the within-cell
+  // displacement, whose spread is far tighter than the raw space — the
+  // same byte budget quantizes finer). Scoring adds the per-(query, cell)
+  // offset back: ⟨q, v⟩ = ⟨q, c_cid⟩ + ⟨q, r⟩, with only the second term
+  // approximated by ADC. The oracle composes the shared coarse block, a
+  // residual CTE (exact per-element subtraction against the unrolled
+  // centroids), the PQ fit RE-RUN ON RESIDUALS, and offset + ordered
+  // list_sum scoring (sequential adds in Spark's aggregate order) — the
+  // full residual pipeline under one hash.
+  private def sim8Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        $coarseCtes,
+        res AS (SELECT a.vec_id,
+            list_transform(range(1, ${IvfDim + 1}), i -> e.v[i] - c.c[i]) AS v
+          FROM gaf a
+          JOIN e ON e.vec_id = a.vec_id
+          JOIN gc$IvfIters c ON c.cid = a.cid),
+        ${pqFitCtesFrom("res")},
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+        $pqTCte,
+        off AS (SELECT q.q_id, gc.cid, list_dot_product(q.qv, gc.c) AS o
+                FROM q, gc$IvfIters gc),
+        pr AS (SELECT q_id, cid FROM (
+            SELECT q.q_id, gc.cid, row_number() OVER (PARTITION BY q.q_id
+              ORDER BY ${pqDist("q.qv", "gc.c")}, gc.cid) AS r
+            FROM q, gc$IvfIters gc) WHERE r <= $IvfProbe),
+        cand AS (SELECT p.q_id, a.vec_id, p.cid FROM pr p JOIN gaf a USING (cid)
+                 WHERE a.vec_id != p.q_id),
+        scored AS (SELECT c.q_id, c.vec_id,
+            round(any_value(o.o) + list_sum(list(t.t ORDER BY t.sub)), 5) + 0.0 AS score
+          FROM cand c
+          JOIN codes k ON k.vec_id = c.vec_id
+          JOIN t ON t.q_id = c.q_id AND t.sub = k.sub AND t.cid = k.cid
+          JOIN off o ON o.q_id = c.q_id AND o.cid = c.cid
+          GROUP BY c.q_id, c.vec_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY score DESC, vec_id) AS rk FROM scored)
+        SELECT q_id, vec_id, score, rk FROM ranked
+        WHERE rk <= 5 ORDER BY q_id, rk"""
+
+  private val sim8 = Q(
+    "sim8_knn_ivfpq_residual",
+    (s, d) => Search.knnIvfPq(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", queryIds = Seq(0L, 1L, 2L), dim = IvfDim,
+        nCentroids = IvfCentroidsN, iters = IvfIters, nProbe = IvfProbe,
+        m = PqM, ksub = PqKsub, pqIters = PqIters, k = 5,
+        exactMeans = true, residual = true)
+      .orderBy("q_id", "rk"),
+    Some(sim8Sql))
 
   private val sim5 = Q(
     "sim5_knn_ivfpq",
@@ -469,6 +532,58 @@ object Vectors {
         "embedding", "vec_id", queryIds = Seq(0L, 1L, 2L), dim = IvfDim, k = 5)
       .orderBy("q_id", "rk"),
     Some(sq8Sql))
+
+  // sim7: binary-quantization ANN — the FIFTH compression lever (after
+  // sim2 LSH, sim3 IVF, sim4 PQ, sim6 SQ8): 1 bit per dimension (sign
+  // around the per-dimension exact-DECIMAL mean), 64 dims packed into one
+  // BIGINT word, Hamming shortlist (xor + popcount) and exact-cosine
+  // refine. The DuckDB twin re-runs the identical fit (same decimal mean),
+  // re-packs the same bits (HUGEINT accumulation wrapped to the signed-64
+  // pattern — bit 63 is the long's sign bit on the Spark side), Hamming-
+  // ranks via bit_count(xor(...)), and refines the same shortlist — the
+  // whole fit→pack→Hamming→refine pipeline under one hash.
+  private val BqShortlist = 40
+
+  private def binarySql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        mm AS (SELECT i.i AS pos,
+                 sum(e.v[i.i]::DECIMAL(28,6))::DOUBLE / count(*) AS m
+               FROM e, range(1, ${IvfDim + 1}) i(i) GROUP BY i.i),
+        us AS (SELECT e.vec_id,
+                 sum(CASE WHEN e.v[m.pos] > m.m
+                     THEN 1::HUGEINT << (m.pos - 1) ELSE 0::HUGEINT END) AS u
+               FROM e, mm m GROUP BY e.vec_id),
+        sigs AS (SELECT vec_id,
+                 (CASE WHEN u >= 9223372036854775808::HUGEINT
+                  THEN u - 18446744073709551616::HUGEINT ELSE u END)::BIGINT AS sig
+                 FROM us),
+        q AS (SELECT vec_id AS q_id, sig AS q_sig FROM sigs
+              WHERE vec_id IN (0, 1, 2)),
+        ham AS (SELECT q.q_id, s.vec_id,
+                  bit_count(xor(s.sig, q.q_sig))::BIGINT AS hamming
+                FROM sigs s, q WHERE s.vec_id != q.q_id),
+        short AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY hamming, vec_id) AS hrk FROM ham),
+        sc AS (SELECT h.q_id, h.vec_id, h.hamming,
+                 round(list_cosine_similarity(qe.embedding::DOUBLE[],
+                   ve.embedding::DOUBLE[]), 5) + 0.0 AS score
+               FROM short h
+               JOIN embeddings qe ON qe.vec_id = h.q_id
+               JOIN embeddings ve ON ve.vec_id = h.vec_id
+               WHERE h.hrk <= $BqShortlist),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                     ORDER BY score DESC, vec_id) AS rk FROM sc)
+        SELECT q_id, vec_id, hamming, score, rk FROM ranked
+        WHERE rk <= 5 ORDER BY q_id, rk"""
+
+  private val sim7 = Q(
+    "sim7_knn_binary",
+    (s, d) => Search.knnBinary(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", queryIds = Seq(0L, 1L, 2L), dim = IvfDim,
+        k = 5, shortlist = BqShortlist)
+      .orderBy("q_id", "rk"),
+    Some(binarySql))
 
   // st3: batch twin of the STREAMING near-dup filter
   // (Streaming.nearDupFilter — dedup-on-ingest): greedy first-seen-wins
@@ -636,5 +751,5 @@ object Vectors {
       .orderBy("q_id", "rk"),
     Some(ivfSql))
 
-  val qs: Seq[Q] = Seq(k1, sim1, sim2, sim3, sim4, sim5, sim6, d5, d7, a5, a6, st3, st4)
+  val qs: Seq[Q] = Seq(k1, sim1, sim2, sim3, sim4, sim5, sim6, sim7, sim8, d5, d7, a5, a6, st3, st4)
 }

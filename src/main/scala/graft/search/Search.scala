@@ -535,29 +535,44 @@ object Search {
   def knnIvfPq(vectors: DataFrame, vecCol: String, idCol: String,
                queryIds: Seq[Long], dim: Int, nCentroids: Int, iters: Int,
                nProbe: Int, m: Int, ksub: Int, pqIters: Int, k: Int,
-               exactMeans: Boolean = false): DataFrame = {
+               exactMeans: Boolean = false, residual: Boolean = false): DataFrame = {
     val spark = vectors.sparkSession
     val base = vectors.select(col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("v"))
     val cents = ivfCentroids(base, "v", "id", nCentroids, iters, exactMeans)
-    val books = pqCodebooks(base, "v", "id", dim, m, ksub, pqIters, exactMeans)
-    val encoded = base
-      .withColumn("cid", ivfAssign(col("v"), cents))
-      .select(col("id"), col("cid"), pqCodes(col("v"), books, dim).as("codes"))
+    val assigned = base.withColumn("cid", ivfAssign(col("v"), cents))
+    // residual mode = the real FAISS IVFPQ: PQ encodes v − c_cid (the
+    // within-cell displacement, whose spread is much tighter than the raw
+    // space, so the same byte budget quantizes finer); scoring adds the
+    // per-(query, cell) offset ⟨q, c_cid⟩ back, since
+    // ⟨q, v⟩ = ⟨q, c_cid⟩ + ⟨q, r⟩ exactly.
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val pqInput =
+      if (residual)
+        assigned.withColumn("pqv",
+          zip_with(col("v"), element_at(centsLit, col("cid") + 1), (x, c) => x - c))
+      else assigned.withColumn("pqv", col("v"))
+    val books = pqCodebooks(pqInput, "pqv", "id", dim, m, ksub, pqIters, exactMeans)
+    val encoded = pqInput
+      .select(col("id"), col("cid"), pqCodes(col("pqv"), books, dim).as("codes"))
     val dsub = dim / m
     val qRows = base.filter(col("id").isin(queryIds: _*)).collect()
-    // per-query probe list + lookup table, both tiny driver math
+    // per-query probe list (with the ⟨q, c_cid⟩ offset) + lookup table,
+    // both tiny driver math
     val probes = qRows.flatMap { r =>
       val qid = r.getLong(0)
       val qv = r.getSeq[Double](1).toArray
       cents.zipWithIndex.map { case (c, i) =>
-        var d = 0.0; var j = 0
-        while (j < c.length) { val t = qv(j) - c(j); d += t * t; j += 1 }
-        (qid, i, d)
-      }.sortBy { case (_, cid, d) => (d, cid) }
-        .take(nProbe).map { case (q, cid, _) => (q, cid) }
+        var d = 0.0; var o = 0.0; var j = 0
+        while (j < c.length) {
+          val t = qv(j) - c(j); d += t * t; o += qv(j) * c(j); j += 1
+        }
+        (qid, i, d, if (residual) o else 0.0)
+      }.sortBy { case (_, cid, d, _) => (d, cid) }
+        .take(nProbe).map { case (q, cid, _, o) => (q, cid, o) }
     }
-    val probesDf = spark.createDataFrame(probes.toIndexedSeq).toDF("q_id", "cid")
+    val probesDf = spark.createDataFrame(probes.toIndexedSeq)
+      .toDF("q_id", "cid", "off")
     val qT = qRows.map { r =>
       val qid = r.getLong(0)
       val qv = r.getSeq[Double](1).toArray
@@ -576,7 +591,7 @@ object Search {
       .filter(col("q_id") =!= col("id"))
       .join(broadcast(qtDf), "q_id")
       .withColumn("score", round(
-        aggregate(
+        col("off") + aggregate(
           zip_with(col("codes"), col("t"), (c, tj) => element_at(tj, c + 1)),
           lit(0.0), (s, x) => s + x), 5) + 0.0)
       .withColumn("rk", row_number().over(w).cast("long"))
@@ -663,6 +678,94 @@ object Search {
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("id").as("vec_id"), col("score"), col("rk"))
+  }
+
+  /** Binary-quantization fit: the per-dimension mean threshold — ONE
+    * aggregation pass (dim exact-DECIMAL(28,6) sums + a count; the sim3
+    * exact-means discipline, so the fit is order-independent and
+    * bit-reproducible cross-engine). The mean is the balance point that
+    * splits each dimension ~50/50, the standard binarization threshold
+    * (ITQ/LSH sign quantization trains a rotation first; the thresholded
+    * sign is the rotation-free baseline). */
+  def bqThresholds(vectors: DataFrame, vecCol: String,
+                   dim: Int): Array[Double] = {
+    import org.apache.spark.sql.types.DecimalType
+    val v = asDouble(col(vecCol))
+    val aggs = (0 until dim).map(i =>
+      sum(element_at(v, i + 1).cast(DecimalType(28, 6))).cast("double")) :+
+      count(lit(1)).cast("long")
+    val r = vectors.filter(col(vecCol).isNotNull)
+      .agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getLong(dim).toDouble
+    // same IEEE division as the oracle's sum(::DECIMAL)::DOUBLE / count(*)
+    Array.tabulate(dim)(i => r.getDouble(i) / n)
+  }
+
+  /** Binary signature: bit i set iff v_i > threshold_i (strict — ties are
+    * deterministic on both engines), packed 64 dimensions per BIGINT word
+    * (array of ⌈dim/64⌉ longs). THE maximal compression tier: 1 bit per
+    * dimension — 64× smaller than doubles (a 64-dim vector is ONE long), a
+    * billion 64-dim vectors = 8 GB of signatures. Bit 63 is the long's
+    * sign bit (1L << 63 = Long.MinValue); Hamming arithmetic is
+    * sign-agnostic. */
+  def bqSignatures(vec: Column, thresholds: Array[Double]): Column = {
+    val v = asDouble(vec)
+    val words = thresholds.indices.grouped(64).map { idxs =>
+      idxs.map { i =>
+        when(element_at(v, i + 1) > lit(thresholds(i)), lit(1L << (i % 64)))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }.toSeq
+    array(words: _*)
+  }
+
+  /** Hamming distance between two packed signature arrays: per-word
+    * xor + popcount, summed — codegen'd HOFs over a handful of longs
+    * (java.lang.Long.bitCount intrinsic under `bit_count`). */
+  def hammingDistance(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (s, x) => s + x)
+
+  /** Binary ANN top-k for a small query-id set — the FIFTH compression
+    * lever (LSH buckets / IVF cells / PQ codes / SQ8 bytes / sign BITS):
+    * fit per-dimension mean thresholds, pack every vector to ⌈dim/64⌉
+    * signature words, Hamming-rank a shortlist of `shortlist` candidates
+    * per query (xor + popcount per row — the cheapest possible scoring),
+    * then exact-cosine refine the shortlist only. The 100-TB shape: the
+    * shortlist phase scans ONLY (id, sig) — 64× less IO than the vectors —
+    * and the exact vectors are read for the |queries|·shortlist survivors
+    * alone via an id join; both rankings break ties on id, so the whole
+    * fit→pack→Hamming→refine pipeline is deterministic and differentially
+    * hash-checkable (sim7). */
+  def knnBinary(vectors: DataFrame, vecCol: String, idCol: String,
+                queryIds: Seq[Long], dim: Int, k: Int,
+                shortlist: Int): DataFrame = {
+    val base = vectors.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("v"))
+    val th = bqThresholds(base, "v", dim)
+    // narrow (id, sig) projection — at scale this is the serving scan
+    val sigs = base.select(col("id"), bqSignatures(col("v"), th).as("sig"))
+    val q = sigs.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("q_id"), col("sig").as("q_sig"))
+    val wH = Window.partitionBy(col("q_id")).orderBy(col("hamming"), col("id"))
+    val short = sigs.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("id"))
+      .withColumn("hamming", hammingDistance(col("sig"), col("q_sig")))
+      .withColumn("hrk", row_number().over(wH))
+      .filter(col("hrk") <= shortlist)
+      .select(col("q_id"), col("id"), col("hamming"))
+    // exact refine: vectors are read ONLY for the shortlist (broadcast id
+    // join against the full table — shortlist is |queries|·shortlist rows)
+    val qv = base.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("q_id"), col("v").as("qv"))
+    val wS = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("id"))
+    base.join(broadcast(short), "id")
+      .join(broadcast(qv), "q_id")
+      .withColumn("score", round(cosine(col("qv"), col("v")), 5) + 0.0)
+      .withColumn("rk", row_number().over(wS).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("id").as("vec_id"), col("hamming"),
+        col("score"), col("rk"))
   }
 
   /** ANN top-k via multi-table LSH: candidates = vectors sharing ANY

@@ -145,6 +145,43 @@ class PqSpec extends SparkSpec {
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .flatMap(t => Option(t.getMessage)).toSeq
 
+  test("residual IVFPQ: ADC error shrinks vs raw-vector IVFPQ (sim8 vs sim5)") {
+    // the textbook motivation for encoding residuals: on a clustered
+    // corpus the coarse centroid absorbs the between-cluster spread, so
+    // the PQ byte budget only has to quantize the small within-cell
+    // displacement — the ⟨q,v⟩ approximation error must DROP vs
+    // PQ-encoding raw vectors with the same (m, ksub)
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(16, dim)(rnd.nextDouble() * 4 - 2)
+    val rows = for (c <- 0 until 16; i <- 0 until 12) yield
+      ((c * 12 + i).toLong,
+        centers(c).map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = rows.map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    val qIds = Seq(0L, 60L, 120L)
+    def meanErr(residual: Boolean): Double = {
+      val got = Search.knnIvfPq(df, "embedding", "vec_id", qIds, dim,
+        nCentroids = 16, iters = 3, nProbe = 4, m = 8, ksub = 16, pqIters = 3,
+        k = 10, residual = residual)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val errs = got.map { case (q, id, s) =>
+        val ip = (exact(q), exact(id)).zipped.map(_ * _).sum
+        math.abs(s - ip)
+      }
+      errs.sum / errs.length
+    }
+    val raw = meanErr(residual = false)
+    val res = meanErr(residual = true)
+    info(f"mean |ADC − exact IP|: raw=$raw%.4f residual=$res%.4f")
+    // the absolute error stays material on this fixture (the deterministic
+    // first-rows k-means init seeds all 16 coarse cells from clusters 0–1,
+    // so cells only partially align with the true clusters) — the claim
+    // residual encoding makes is RELATIVE: same byte budget, less error
+    assert(res < raw / 2,
+      f"residual encoding must cut ADC error on clustered data: raw=$raw%.4f res=$res%.4f")
+  }
+
   test("codes and top-k are invariant to input partitioning") {
     val e1 = emb.repartition(1)
     val e8 = emb.repartition(8)
