@@ -293,6 +293,91 @@ object IvfIndex {
       .select(col("id").as("vec_id"), col("score"))
   }
 
+  // ---- IVF + binary: the maximal-compression serving index -------------
+
+  final case class BqHandle(path: String, centroids: Array[Array[Double]],
+                            thresholds: Array[Double], dim: Int)
+
+  /** Write the index WITH binary signatures — the 1-bit tier next to PQ's
+    * bytes and SQ8's grid: same cid-partitioned dataset plus a `sig`
+    * column of ⌈dim/64⌉ BIGINT words per row ([[Search.bqSignatures]])
+    * and the per-dimension mean thresholds in a `_bq.json` sidecar. The
+    * same two pruning axes compose (directories via `cid IN (probes)`,
+    * columns via an (id, sig) projection), at the extreme compression
+    * point: 64× — a billion 64-dim vectors is 8 GB of signatures — with
+    * Hamming (xor + popcount) as the cheapest possible shortlist scorer;
+    * serving always refines the shortlist against the exact vectors
+    * (the binary tier's ranking is too coarse to serve unrefined). */
+  def writeBq(vectors: DataFrame, vecCol: String, idCol: String, path: String,
+              nCentroids: Int, iters: Int, dim: Int): BqHandle = {
+    val base = vectors.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        Search.asDouble(col(vecCol)).as("v"))
+    val cents = Search.ivfCentroids(base, "v", "id", nCentroids, iters)
+    val th = Search.bqThresholds(base, "v", dim)
+    base
+      .withColumn("vn", Search.l2Norm(col("v")))
+      .withColumn("sig", Search.bqSignatures(col("v"), th))
+      .withColumn("cid", Search.ivfAssign(col("v"), cents))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    writeSidecar(vectors.sparkSession, path, "_centroids.json",
+      cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
+    writeSidecar(vectors.sparkSession, path, "_bq.json",
+      s"""{"dim": $dim, "thresholds": ${th.mkString("[", ",", "]")}}""")
+    BqHandle(path, cents, th, dim)
+  }
+
+  /** Reopen a binary index from its sidecars — no scan, no refit. */
+  def openBq(spark: SparkSession, path: String): BqHandle = {
+    val base = open(spark, path)
+    val raw = readSidecar(spark, path, "_bq.json")
+    val dim = raw.replaceAll("(?s).*\"dim\":\\s*(\\d+).*", "$1").toInt
+    val th = raw.replaceAll("""(?s).*"thresholds":\s*\[([^\]]*)\].*""", "$1")
+      .split(",").map(_.trim.toDouble)
+    BqHandle(path, base.centroids, th, dim)
+  }
+
+  /** The query's packed signature words — the driver twin of
+    * [[Search.bqSignatures]] (same strict >, same 64-per-word layout,
+    * same sign-bit placement), so serving never runs a fit. */
+  private def bqSigWords(h: BqHandle, q: Array[Double]): Seq[Long] =
+    q.indices.grouped(64).map { idxs =>
+      idxs.foldLeft(0L) { (w, i) =>
+        if (q(i) > h.thresholds(i)) w | (1L << (i % 64)) else w
+      }
+    }.toSeq
+
+  /** Probed binary top-k: directory pruning AND column pruning — the
+    * Hamming shortlist phase projects only (id, sig), ⌈dim/64⌉ longs per
+    * row instead of the dim-wide `v`/`vn` (64× less IO); the exact-cosine
+    * refine then reads vectors for the `shortlist` survivors alone via an
+    * id predicate over the already-probed directories
+    * ([[probedTopKRefined]]'s recipe — bounded by the shortlist, not the
+    * data). Ascending-Hamming/ascending-id and score-desc/id-asc
+    * tie-breaks make the whole path deterministic. */
+  def probedTopKBq(spark: SparkSession, h: BqHandle, q: Array[Double],
+                   nProbe: Int, k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist smaller than k=$k")
+    val cells = probeCells(Handle(h.path, h.centroids), q, nProbe)
+    val qSig = bqSigWords(h, q)
+    val ids = prunedScan(spark, Handle(h.path, h.centroids), cells)
+      .select(col("id"), col("sig"))
+      .withColumn("hamming", Search.hammingDistance(col("sig"), typedLit(qSig)))
+      .orderBy(col("hamming"), col("id"))
+      .limit(shortlist)
+      .collect().map(_.getLong(0))
+    var qn = 0.0; var j = 0
+    while (j < q.length) { qn += q(j) * q(j); j += 1 }
+    prunedScan(spark, Handle(h.path, h.centroids), cells)
+      .filter(col("id").isin(ids.map(java.lang.Long.valueOf): _*))
+      .withColumn("score",
+        round(Search.dot(typedLit(q.toSeq), col("v")) /
+          (lit(math.sqrt(qn)) * col("vn")), 5) + 0.0)
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .select(col("id").as("vec_id"), col("score"))
+  }
+
   /** STREAMING index maintenance: append an arriving vector stream into
     * the same cid-partitioned layout — the narrow assignment projection
     * against the FIXED centroids (no refit; the standard IVF maintenance

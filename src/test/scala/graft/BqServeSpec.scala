@@ -1,0 +1,105 @@
+package graft
+
+import graft.search.Search
+import graft.serve.IvfIndex
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** IVF+binary serving: the 64×-compressed tier. Same two-axis pruning
+  * contract as IVF+PQ/SQ8 (directories via the cid filter, columns via
+  * the (id, sig) projection — ⌈dim/64⌉ longs instead of dim doubles),
+  * with Hamming shortlist + mandatory exact refine; at full probe and a
+  * corpus-sized shortlist the refined top-k must equal the exact index's.
+  */
+class BqServeSpec extends SparkSpec {
+
+  private val nCents = 8
+  private val dim = 64
+
+  private lazy val built: IvfIndex.BqHandle = {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfbq").toString
+    IvfIndex.writeBq(emb, "embedding", "vec_id", path,
+      nCentroids = nCents, iters = 3, dim = dim)
+  }
+
+  private lazy val q0: Array[Double] = Tables.embeddings(spark, sf("sf0.001"))
+    .filter(col("vec_id") === 7L).select("embedding")
+    .head().getSeq[Float](0).map(_.toDouble).toArray
+
+  test("sidecars round-trip: centroids AND thresholds, no scan") {
+    val h = built
+    val reopened = IvfIndex.openBq(spark, h.path)
+    assert(reopened.dim == dim)
+    assert(reopened.thresholds.toSeq == h.thresholds.toSeq)
+    (reopened.centroids, h.centroids).zipped.foreach { (a, b) =>
+      assert(a.toSeq == b.toSeq) }
+  }
+
+  test("shortlist scan prunes directories AND columns: sig words read, vectors not") {
+    val h = built
+    // drive the shortlist phase alone (the first job inside probedTopKBq):
+    // project (id, sig), Hamming, limit — and inspect its executed scan
+    val cells = IvfIndex.probeCells(
+      IvfIndex.Handle(h.path, h.centroids), q0, 2)
+    val qSig = q0.indices.grouped(64).map { idxs =>
+      idxs.foldLeft(0L) { (w, i) =>
+        if (q0(i) > h.thresholds(i)) w | (1L << (i % 64)) else w
+      }
+    }.toSeq
+    val df = IvfIndex.prunedScan(spark, IvfIndex.Handle(h.path, h.centroids), cells)
+      .select(col("id"), col("sig"))
+      .withColumn("hamming", Search.hammingDistance(col("sig"), typedLit(qSig)))
+      .orderBy(col("hamming"), col("id")).limit(40)
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val schema = scans.map(_.requiredSchema.fieldNames.toSeq).head
+    assert(schema.contains("sig") && schema.contains("id"),
+      s"shortlist scan must read id+sig: $schema")
+    assert(!schema.contains("v") && !schema.contains("vn"),
+      s"shortlist scan must NOT read the exact vectors: $schema")
+    // directory pruning: only the probed cells' files
+    val probedFiles = cells.map { c =>
+      new java.io.File(s"${h.path}/cid=$c").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    }.sum
+    assert(scans.map(_.metrics("numFiles").value).sum == probedFiles)
+  }
+
+  test("full probe + corpus-wide shortlist == the exact index's top-k") {
+    val h = built
+    val n = Tables.embeddings(spark, sf("sf0.001")).count().toInt
+    val refined = IvfIndex.probedTopKBq(spark, h, q0, nProbe = nCents,
+        k = 10, shortlist = n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // exact tier on the same layout (writeBq keeps v/vn like write does)
+    val exact = IvfIndex.probedTopK(spark,
+        IvfIndex.Handle(h.path, h.centroids), q0, nProbe = nCents, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(refined == exact,
+      "corpus-wide-shortlist binary serving must equal exact serving")
+  }
+
+  test("probed binary serving: sane recall at a 40-candidate shortlist") {
+    val h = built
+    val got = IvfIndex.probedTopKBq(spark, h, q0, nProbe = nCents,
+        k = 10, shortlist = 40)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.size == 10)
+    val exact = IvfIndex.probedTopK(spark,
+        IvfIndex.Handle(h.path, h.centroids), q0, nProbe = nCents, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    info(s"binary(shortlist=40) recall@10 vs exact: $recall")
+    // the 64×-compression trade on the adversarial random corpus: must
+    // beat chance (40/~600) clearly; real corpora with cluster structure
+    // do far better (PqSpec's clustered-corpus precedent)
+    assert(recall >= 0.2, s"below floor: $recall")
+  }
+}
