@@ -378,6 +378,46 @@ object IvfIndex {
       .select(col("id").as("vec_id"), col("score"))
   }
 
+  /** Batched binary serving: P queries in TWO pruned scans total — one
+    * (id, sig) Hamming-shortlist pass (negated Hamming through
+    * [[Search.multiTopK]]'s score-desc heaps ≡ the sequential
+    * ascending-Hamming/ascending-id order), one exact-refine pass over the
+    * UNION of shortlists with per-query id masks. Bit-identical to P
+    * sequential [[probedTopKBq]] calls (spec-asserted): same probe cells,
+    * same shortlist order, same rounded cosine and tie-breaks. */
+  def probedTopKBqBatch(spark: SparkSession, h: BqHandle,
+                        queries: Seq[Array[Double]], nProbe: Int, k: Int,
+                        shortlist: Int): IndexedSeq[Seq[(Long, Double)]] = {
+    require(shortlist >= k, s"shortlist $shortlist smaller than k=$k")
+    if (queries.isEmpty) return IndexedSeq.empty
+    val base = Handle(h.path, h.centroids)
+    val cellsPer = queries.map(q => probeCells(base, q, nProbe))
+    val union = cellsPer.flatten.distinct.sorted
+    val sigScan = prunedScan(spark, base, union)
+      .select(col("id"), col("sig"), col("cid"))
+    val eligibleCells = cellsPer.map(cs =>
+      col("cid").isin(cs.map(Integer.valueOf): _*))
+    val shortlists = Search.multiTopK(sigScan, "sig", "id", queries, shortlist,
+      eligible = eligibleCells,
+      // negated Hamming: multiTopK keeps top by (score desc, id asc) ≡
+      // (hamming asc, id asc), the sequential shortlist's orderBy; the
+      // sig words ride raw (the scored column arg is ignored)
+      scoreExpr = (_, q) =>
+        -Search.hammingDistance(col("sig"), typedLit(bqSigWords(h, q))))
+    val idsPer = shortlists.map(_.map(_._1))
+    val allIds = idsPer.flatten.distinct
+    val refScan = prunedScan(spark, base, union)
+      .filter(col("id").isin(allIds.map(java.lang.Long.valueOf): _*))
+    val eligibleIds = idsPer.map(ids =>
+      col("id").isin(ids.map(java.lang.Long.valueOf): _*))
+    Search.multiTopK(refScan, "v", "id", queries, k, eligible = eligibleIds,
+      scoreExpr = (vd, q) => {
+        var qn = 0.0; var j = 0
+        while (j < q.length) { qn += q(j) * q(j); j += 1 }
+        Search.dot(typedLit(q.toSeq), vd) / (lit(math.sqrt(qn)) * col("vn"))
+      })
+  }
+
   /** STREAMING index maintenance: append an arriving vector stream into
     * the same cid-partitioned layout — the narrow assignment projection
     * against the FIXED centroids (no refit; the standard IVF maintenance

@@ -86,6 +86,24 @@ class BqServeSpec extends SparkSpec {
       "corpus-wide-shortlist binary serving must equal exact serving")
   }
 
+  test("batched binary serving == P sequential calls, bit-identical") {
+    val h = built
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val queries = Seq(3L, 7L, 11L, 13L).map { id =>
+      emb.filter(col("vec_id") === id).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+    }
+    val batch = IvfIndex.probedTopKBqBatch(spark, h, queries, nProbe = 3,
+      k = 5, shortlist = 30)
+    val seq = queries.map { q =>
+      IvfIndex.probedTopKBq(spark, h, q, nProbe = 3, k = 5, shortlist = 30)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    (batch, seq).zipped.foreach { (b, s) =>
+      assert(b == s, s"batched $b != sequential $s")
+    }
+  }
+
   test("probed binary serving: sane recall at a 40-candidate shortlist") {
     val h = built
     val got = IvfIndex.probedTopKBq(spark, h, q0, nProbe = nCents,
