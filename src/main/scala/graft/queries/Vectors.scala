@@ -480,6 +480,43 @@ object Vectors {
       .orderBy("q_id", "rk"),
     Some(sim8Sql))
 
+  // d9: SemDeDup-style SEMANTIC dedup (Abbas et al. 2023) — k-means
+  // cluster the embeddings (sim3's exact-decimal fit), then mark
+  // near-duplicates WITHIN cells only: the clustering bounds pairwise
+  // cost at Σ|cell|², the shape that makes embedding dedup tractable at
+  // corpus scale (d5 blocks on an existing label; d9 LEARNS the blocks).
+  // Deterministic lowest-id-wins policy; dup_of = −1 sentinel when kept.
+  // The oracle re-runs the shared unrolled coarse fit and replays the
+  // same within-cell pair scan — fit, assignment, cosine threshold and
+  // keeper policy all under one hash.
+  // fixture threshold: the synthetic corpus' pairwise cosines top out
+  // ~0.45, so SemDeDup's 1−ε ≈ 0.95 would never fire; 0.35 sits in the
+  // top ~0.1% of the pair distribution — dups exist, most rows survive
+  private val D9Tau = 0.35
+
+  private def d9Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        $coarseCtes,
+        dup AS (SELECT b.vec_id AS b_id, min(a.vec_id) AS dup_of
+                FROM gaf a JOIN gaf b ON a.cid = b.cid AND a.vec_id < b.vec_id
+                JOIN e ea ON ea.vec_id = a.vec_id
+                JOIN e eb ON eb.vec_id = b.vec_id
+                WHERE round(list_cosine_similarity(ea.v, eb.v), 5) >= $D9Tau
+                GROUP BY b.vec_id)
+        SELECT f.vec_id, f.cid::BIGINT AS cid,
+               d.dup_of IS NULL AS kept,
+               coalesce(d.dup_of, -1)::BIGINT AS dup_of
+        FROM gaf f LEFT JOIN dup d ON d.b_id = f.vec_id
+        ORDER BY f.vec_id"""
+
+  private val d9 = Q(
+    "d9_semantic_dedup",
+    (s, d) => Search.semanticDedup(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", nCentroids = IvfCentroidsN, iters = IvfIters,
+        tau = D9Tau, exactMeans = true),
+    Some(d9Sql))
+
   private val sim5 = Q(
     "sim5_knn_ivfpq",
     (s, d) => Search.knnIvfPq(
@@ -751,5 +788,6 @@ object Vectors {
       .orderBy("q_id", "rk"),
     Some(ivfSql))
 
-  val qs: Seq[Q] = Seq(k1, sim1, sim2, sim3, sim4, sim5, sim6, sim7, sim8, d5, d7, a5, a6, st3, st4)
+  val qs: Seq[Q] = Seq(k1, sim1, sim2, sim3, sim4, sim5, sim6, sim7, sim8,
+    d5, d7, d9, a5, a6, st3, st4)
 }

@@ -680,6 +680,42 @@ object Search {
       .select(col("q_id"), col("id").as("vec_id"), col("score"), col("rk"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    * cluster the embeddings, then mark near-duplicates WITHIN each cell
+    * only — the clustering bounds the pairwise cost (Σ|cell|² instead of
+    * n²), which is what makes embedding dedup tractable at corpus scale;
+    * at 100 TB the operator runs with nCentroids sized so cells hold
+    * ~10³ rows and the per-cell join stays a cheap shuffle on `cid`.
+    * Policy: deterministic lowest-id-wins — a row is a duplicate iff some
+    * LOWER-id row in its cell has rounded cosine ≥ tau with it; `dup_of`
+    * = the lowest such id (st3's −1 sentinel when kept). Norms are
+    * hoisted to the per-ROW side (d5's trick) so the pair join computes
+    * one dot product per candidate pair. */
+  def semanticDedup(vectors: DataFrame, vecCol: String, idCol: String,
+                    nCentroids: Int, iters: Int, tau: Double,
+                    exactMeans: Boolean = false): DataFrame = {
+    val base = vectors.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("v"))
+    val cents = ivfCentroids(base, "v", "id", nCentroids, iters, exactMeans)
+    val assigned = base
+      .withColumn("cid", ivfAssign(col("v"), cents).cast("long"))
+      .withColumn("n", l2Norm(col("v")))
+    val a = assigned.select(col("cid"), col("id").as("a_id"),
+      col("v").as("a_v"), col("n").as("a_n"))
+    val b = assigned.select(col("cid"), col("id").as("b_id"),
+      col("v").as("b_v"), col("n").as("b_n"))
+    val dupOf = a.join(b, Seq("cid"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")), 5)
+        >= tau)
+      .groupBy(col("b_id")).agg(min(col("a_id")).as("dup_of"))
+    assigned.join(dupOf, assigned("id") === dupOf("b_id"), "left")
+      .select(col("id").as("vec_id"), col("cid"),
+        col("dup_of").isNull.as("kept"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+      .orderBy("vec_id")
+  }
+
   /** Binary-quantization fit: the per-dimension mean threshold — ONE
     * aggregation pass (dim exact-DECIMAL(28,6) sums + a count; the sim3
     * exact-means discipline, so the fit is order-independent and

@@ -80,7 +80,10 @@ class PlanSpec extends SparkSpec {
     * execute. The plan strings include persisted relations' cached plans,
     * so the pins cover the full candidate pipeline. */
   private val bucketJoined = Seq("d3_minhash_lsh_pairs", "d7_lsh_neardup_pairs",
-    "x15_span_neardup", "x18_span_excise")
+    "x15_span_neardup", "x18_span_excise",
+    // d9's within-cell pair scan: an equi-join on the learned cluster id
+    // (SMJ acceptable — both sides are corpus-sized; all-pairs is not)
+    "d9_semantic_dedup")
 
   for (n <- bucketJoined)
     test(s"$n: candidate generation is equi-joined — never cartesian/BNLJ") {
@@ -149,7 +152,7 @@ class PlanSpec extends SparkSpec {
     * on the coarse cell id (never an all-pairs shape), and the per-query
     * ranking a window — the fns run their k-means fits eagerly while
     * building the plan, so these also smoke the fit paths. */
-  for (n <- Seq("sim3_knn_ivf", "sim5_knn_ivfpq"))
+  for (n <- Seq("sim3_knn_ivf", "sim5_knn_ivfpq", "sim8_knn_ivfpq_residual"))
     test(s"$n: probed candidates via broadcast cell join — never cartesian") {
       val p = plan(n)
       assert(!p.contains("CartesianProduct"), s"$n grew a cartesian:\n$p")
@@ -162,7 +165,7 @@ class PlanSpec extends SparkSpec {
     * a BroadcastNestedLoopJoin over 3 rows is the intended shape; what
     * must never appear is a CartesianProduct (both sides shuffled) or a
     * SortMergeJoin (corpus rows sorted for a 3-row side). */
-  for (n <- Seq("sim4_knn_pq", "sim6_knn_sq8"))
+  for (n <- Seq("sim4_knn_pq", "sim6_knn_sq8", "sim7_knn_binary"))
     test(s"$n: ADC scan joins the broadcast query side — never cartesian/SMJ") {
       val p = plan(n)
       assert(!p.contains("CartesianProduct"), s"$n grew a cartesian:\n$p")
