@@ -76,14 +76,26 @@ object CompressionCurve {
       Tier("PQ m=4 ksub=8 (sim4)", 4, "1.00",
         recallOf(Search.knnPq(emb, "embedding", "vec_id", qIds, dim,
           m = 4, ksub = 8, iters = 2, k = k)))) ++
+      Seq(
+        // binary: 1 bit/dim (ONE long at dim=64) Hamming shortlist of 4k
+        // + exact refine — graded vs cosine (what the refine serves)
+        Tier("binary+refine shortlist=4k (sim7)", dim / 8, "1.00",
+          recallOf(Search.knnBinary(emb, "embedding", "vec_id", qIds, dim,
+            k = k, shortlist = 4 * k), topCos))) ++
       Seq(1, 2, 4, 8).map(p =>
         Tier(s"IVF nProbe=$p/8 (sim3)", dim * 8, f"${p / 8.0}%.2f",
           recallOf(Search.knnIvf(emb, "embedding", "vec_id", qIds,
-            nCentroids = 8, iters = 3, nProbe = p, k = k), topCos))) :+
+            nCentroids = 8, iters = 3, nProbe = p, k = k), topCos))) ++
+      Seq(
       Tier("IVF+PQ nProbe=2 m=8 (sim5)", 8, "0.25",
         recallOf(Search.knnIvfPq(emb, "embedding", "vec_id", qIds, dim,
           nCentroids = 8, iters = 3, nProbe = 2, m = 8, ksub = 16,
-          pqIters = 3, k = k)))
+          pqIters = 3, k = k))),
+      // residual encoding at the SAME byte budget — the sim8-vs-sim5 gain
+      Tier("IVF+PQ residual nProbe=2 m=8 (sim8)", 8, "0.25",
+        recallOf(Search.knnIvfPq(emb, "embedding", "vec_id", qIds, dim,
+          nCentroids = 8, iters = 3, nProbe = 2, m = 8, ksub = 16,
+          pqIters = 3, k = k, residual = true))))
 
     println("| tier | bytes/vec | IO share | recall@10 |")
     println("|---|---|---|---|")
