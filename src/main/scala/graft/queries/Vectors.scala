@@ -491,11 +491,19 @@ object Vectors {
   // keeper policy all under one hash.
   // fixture threshold: the synthetic corpus' pairwise cosines top out
   // ~0.45, so SemDeDup's 1−ε ≈ 0.95 would never fire; 0.35 sits in the
-  // top ~0.1% of the pair distribution — dups exist, most rows survive
+  // top ~0.1% of the pair distribution — dups exist, most rows survive.
+  // Input pinned to the vec_id < 5000 cohort (st3/st4 precedent): the
+  // oracle's within-cell pair join at a FIXED 8 cells goes quadratic in
+  // cell size (sf10's 25K-row cells = 2.5G cosines, a DuckDB DNF);
+  // at scale the operator's knob is nCentroids ∝ n (SemDeDup's own
+  // recipe — cells stay ~10³ rows), which the fixed-cell oracle fixture
+  // cannot express. No-op at sf0.01/sf0.1; caps the cohort at sf1+.
   private val D9Tau = 0.35
+  private val D9MaxId = 5000
 
   private def d9Sql: String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                   WHERE vec_id < $D9MaxId),
         $coarseCtes,
         dup AS (SELECT b.vec_id AS b_id, min(a.vec_id) AS dup_of
                 FROM gaf a JOIN gaf b ON a.cid = b.cid AND a.vec_id < b.vec_id
@@ -512,7 +520,8 @@ object Vectors {
   private val d9 = Q(
     "d9_semantic_dedup",
     (s, d) => Search.semanticDedup(
-        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id") < D9MaxId),
         "embedding", "vec_id", nCentroids = IvfCentroidsN, iters = IvfIters,
         tau = D9Tau, exactMeans = true),
     Some(d9Sql))
