@@ -311,21 +311,21 @@ object Vectors {
     val perSub = (0 until PqM).map { j =>
       val lo = j * PqDsub + 1; val hi = (j + 1) * PqDsub
       val iterCtes = (1 to PqIters).map { i =>
-        s"""a${i}_$j AS (SELECT e.vec_id, any_value(e.v) AS v,
+        s"""a${i}_$j AS MATERIALIZED (SELECT e.vec_id, any_value(e.v) AS v,
               (min({'d': ${dist("e.v", "c.c")}, 'cid': c.cid})).cid AS cid
             FROM e_$j e, c${i - 1}_$j c GROUP BY e.vec_id),
             m${i}_$j AS (SELECT a.cid, i.i AS pos,
               sum(a.v[i.i]::DECIMAL(28,6))::DOUBLE / count(*) AS m
             FROM a${i}_$j a, range(1, ${PqDsub + 1}) i(i) GROUP BY a.cid, i.i),
             n${i}_$j AS (SELECT cid, list(m ORDER BY pos) AS c FROM m${i}_$j GROUP BY cid),
-            c${i}_$j AS (SELECT p.cid, coalesce(n.c, p.c) AS c
+            c${i}_$j AS MATERIALIZED (SELECT p.cid, coalesce(n.c, p.c) AS c
                     FROM c${i - 1}_$j p LEFT JOIN n${i}_$j n USING (cid))"""
       }.mkString(",\n")
-      s"""e_$j AS (SELECT vec_id, v[$lo:$hi] AS v FROM $src),
+      s"""e_$j AS MATERIALIZED (SELECT vec_id, v[$lo:$hi] AS v FROM $src),
           c0_$j AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
                  v[$lo:$hi] AS c FROM $src ORDER BY vec_id LIMIT $PqKsub),
           $iterCtes,
-          af_$j AS (SELECT e.vec_id,
+          af_$j AS MATERIALIZED (SELECT e.vec_id,
               (min({'d': ${dist("e.v", "c.c")}, 'cid': c.cid})).cid AS cid
             FROM e_$j e, c${PqIters}_$j c GROUP BY e.vec_id)"""
     }.mkString(",\n")
@@ -385,21 +385,21 @@ object Vectors {
     * oracles. */
   private def coarseCtes: String = {
     val coarseIters = (1 to IvfIters).map { i =>
-      s"""ga$i AS (SELECT e.vec_id, any_value(e.v) AS v,
+      s"""ga$i AS MATERIALIZED (SELECT e.vec_id, any_value(e.v) AS v,
             (min({'d': ${pqDist("e.v", "c.c")}, 'cid': c.cid})).cid AS cid
           FROM e, gc${i - 1} c GROUP BY e.vec_id),
           gm$i AS (SELECT a.cid, i.i AS pos,
             sum(a.v[i.i]::DECIMAL(28,6))::DOUBLE / count(*) AS m
           FROM ga$i a, range(1, ${IvfDim + 1}) i(i) GROUP BY a.cid, i.i),
           gn$i AS (SELECT cid, list(m ORDER BY pos) AS c FROM gm$i GROUP BY cid),
-          gc$i AS (SELECT p.cid, coalesce(n.c, p.c) AS c
+          gc$i AS MATERIALIZED (SELECT p.cid, coalesce(n.c, p.c) AS c
                   FROM gc${i - 1} p LEFT JOIN gn$i n USING (cid))"""
     }.mkString(",\n")
     s"""gc0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
                embedding::DOUBLE[] AS c FROM embeddings
                ORDER BY vec_id LIMIT $IvfCentroidsN),
         $coarseIters,
-        gaf AS (SELECT e.vec_id,
+        gaf AS MATERIALIZED (SELECT e.vec_id,
             (min({'d': ${pqDist("e.v", "gc.c")}, 'cid': gc.cid})).cid AS cid
           FROM e, gc$IvfIters gc GROUP BY e.vec_id)"""
   }
@@ -441,7 +441,7 @@ object Vectors {
   private def sim8Sql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         $coarseCtes,
-        res AS (SELECT a.vec_id,
+        res AS MATERIALIZED (SELECT a.vec_id,
             list_transform(range(1, ${IvfDim + 1}), i -> e.v[i] - c.c[i]) AS v
           FROM gaf a
           JOIN e ON e.vec_id = a.vec_id

@@ -446,6 +446,45 @@ object IvfIndex {
       }
   }
 
+  /** Serving-index DELETE — the other half of the maintenance contract
+    * next to [[appendStream]]: remove rows by id, rewriting ONLY the cell
+    * directories that contain them. The doomed ids' cells are found with
+    * one pruned-by-nothing (id, cid) projection — at scale an id→cid map
+    * usually rides in the caller's metadata, so `cids` can be passed to
+    * skip even that scan — then each affected cid= directory is read,
+    * filtered, and atomically swapped (write to `.tmp`, rename over).
+    * Untouched directories' files are never opened: delete IO is
+    * proportional to the affected cells, not the index. Returns the
+    * number of affected cells. */
+  def delete(spark: SparkSession, h: Handle, ids: Seq[Long],
+             cids: Option[Seq[Int]] = None): Int = {
+    if (ids.isEmpty) return 0
+    val idSet = ids.map(java.lang.Long.valueOf)
+    val affected: Seq[Int] = cids.getOrElse {
+      spark.read.parquet(h.path)
+        .filter(col("id").isin(idSet: _*))
+        .select("cid").distinct().collect().map(_.getInt(0)).toSeq
+    }.sorted
+    val conf = spark.sessionState.newHadoopConf()
+    affected.foreach { cid =>
+      val dir = new org.apache.hadoop.fs.Path(h.path, s"cid=$cid")
+      val fs = dir.getFileSystem(conf)
+      if (fs.exists(dir)) {
+        val tmp = new org.apache.hadoop.fs.Path(h.path, s".tmp-cid=$cid")
+        // read the single cell, drop the doomed rows, rewrite; the `cid`
+        // partition column is directory-encoded, so the survivors keep
+        // their (id, v, vn, ...) schema and land back under cid=<cid>
+        val survivors = spark.read.parquet(dir.toString)
+          .filter(!col("id").isin(idSet: _*))
+        survivors.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(dir, true)
+        if (!fs.rename(tmp, dir))
+          throw new java.io.IOException(s"rename $tmp -> $dir failed")
+      }
+    }
+    affected.size
+  }
+
   private def writeSidecar(spark: SparkSession, path: String, name: String,
                            json: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path, name)

@@ -37,6 +37,41 @@ class IvfServeSpec extends SparkSpec {
     scans.map(_.metrics("numFiles").value).sum
   }
 
+  test("delete: doomed ids vanish, only their cells rewritten") {
+    // build a private index (the shared `built` must stay immutable)
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfdel").toString
+    val h = IvfIndex.write(emb, "embedding", "vec_id", path,
+      nCentroids = nCents, iters = 3)
+    val before = spark.read.parquet(path)
+      .select("id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val doomed = Seq(3L, 7L, 11L)
+    val doomedCells = doomed.map(before).toSet
+    // record untouched directories' file listing (delete must not open them)
+    def listing(cid: Int): Seq[(String, Long)] = {
+      val d = new java.io.File(s"$path/cid=$cid")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSeq.sorted
+    }
+    val untouched = before.values.toSet.diff(doomedCells).toSeq.sorted
+    val untouchedBefore = untouched.map(c => c -> listing(c)).toMap
+    val nAffected = IvfIndex.delete(spark, h, doomed)
+    assert(nAffected == doomedCells.size)
+    val after = spark.read.parquet(path).select("id").collect().map(_.getLong(0)).toSet
+    doomed.foreach(id => assert(!after.contains(id), s"id $id survived delete"))
+    assert(after.size == before.size - doomed.size, "non-doomed rows lost")
+    untouched.foreach(c => assert(listing(c) == untouchedBefore(c),
+      s"untouched cell $c was rewritten"))
+    // the index still serves: deleted ids can never appear in a top-k
+    val q = emb.filter(col("vec_id") === 3L).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val top = IvfIndex.probedTopK(spark, h, q, nProbe = nCents, k = 10)
+      .collect().map(_.getLong(0))
+    doomed.foreach(id => assert(!top.contains(id)))
+  }
+
   test("index layout: one directory per cell + centroid sidecar reopens") {
     val (h, totalFiles) = built
     val cells = new java.io.File(h.path).listFiles()
