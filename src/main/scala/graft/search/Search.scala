@@ -743,8 +743,17 @@ object Search {
     * dimension — 64× smaller than doubles (a 64-dim vector is ONE long), a
     * billion 64-dim vectors = 8 GB of signatures. Bit 63 is the long's
     * sign bit (1L << 63 = Long.MinValue); Hamming arithmetic is
-    * sign-agnostic. */
-  def bqSignatures(vec: Column, thresholds: Array[Double]): Column = {
+    * sign-agnostic. Native expression with the thresholds as a reference
+    * object (org.apache.spark.sql.graft.BqSignature) — code size is
+    * independent of dim, so fused-vector widths (405+) stay inside
+    * whole-stage codegen. Bit-identical to [[bqSignaturesHof]]. */
+  def bqSignatures(vec: Column, thresholds: Array[Double]): Column =
+    org.apache.spark.sql.graft.BqSignature.pack(asDouble(vec), thresholds)
+
+  /** Built-ins-only formulation (64 when-branches per word) — cross-check
+    * twin for tests; inlines one branch per dimension into the generated
+    * code, so it bloats at fused-vector widths. */
+  def bqSignaturesHof(vec: Column, thresholds: Array[Double]): Column = {
     val v = asDouble(vec)
     val words = thresholds.indices.grouped(64).map { idxs =>
       idxs.map { i =>

@@ -616,6 +616,44 @@ object IvfIndex {
     calibrate(h.centroids.length, sample.size, target,
       p => probedTopKBatchSq(spark, h, sample, p, k))
 
+  /** The binary tier's OWN autotune knob is the SHORTLIST size, not the
+    * probe count (its shortlist is what bounds the refine and the recall):
+    * minimal shortlist whose refined top-k meets `target` recall against
+    * the exact ranking at the same probe count. Recall is monotone in
+    * shortlist (the refined candidate set only grows), so the same
+    * doubling + binary search applies — O(log maxShortlist) batched
+    * two-scan rounds, sample-bounded. */
+  def calibrateShortlistBq(spark: SparkSession, h: BqHandle,
+                           sample: Seq[Array[Double]], nProbe: Int, k: Int,
+                           target: Double, maxShortlist: Int)
+      : (Int, Seq[(Int, Double)]) = {
+    require(maxShortlist >= k, s"maxShortlist $maxShortlist below k=$k")
+    require(sample.nonEmpty, "calibration needs at least one sample query")
+    require(target > 0.0 && target <= 1.0, s"recall target $target outside (0,1]")
+    // exact reference: the uncompressed tier on the same index + probes
+    val base = Handle(h.path, h.centroids)
+    val exact = probedTopKBatch(spark, base, sample, nProbe, k)
+      .map(_.map(_._1).toSet)
+    val measured = scala.collection.mutable.LinkedHashMap.empty[Int, Double]
+    def recallAt(s: Int): Double = measured.getOrElseUpdate(s, {
+      val got = probedTopKBqBatch(spark, h, sample, nProbe, k, shortlist = s)
+      (got, exact).zipped.map { (g, e) =>
+        if (e.isEmpty) 1.0 else g.count(t => e(t._1)).toDouble / e.size
+      }.sum / sample.size
+    })
+    var lo = k - 1
+    var hi = k
+    while (hi < maxShortlist && recallAt(hi) < target) {
+      lo = hi; hi = math.min(hi * 2, maxShortlist)
+    }
+    while (lo + 1 < hi) {
+      val mid = (lo + hi) / 2
+      if (recallAt(mid) >= target) hi = mid else lo = mid
+    }
+    recallAt(hi)
+    (hi, measured.toSeq.sortBy(_._1))
+  }
+
   private def calibrate(n: Int, sampleSize: Int, target: Double,
                         probe: Int => IndexedSeq[Seq[(Long, Double)]])
       : (Int, Seq[(Int, Double)]) = {

@@ -61,6 +61,23 @@ class BinarySpec extends SparkSpec {
     }
   }
 
+  test("native BqSignature == HOF twin, bit-for-bit (64 and 405 dims)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    for (d <- Seq(64, 405)) {
+      val rows = (0 until 30).map(i => (i.toLong, Array.fill(d)(rnd.nextGaussian())))
+      val df = rows.toDF("id", "v")
+      val th = Search.bqThresholds(df, "v", d)
+      val both = df.select(
+          Search.bqSignatures(col("v"), th).as("nat"),
+          Search.bqSignaturesHof(col("v"), th).as("hof"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"dim $d drifted")
+      }
+    }
+  }
+
   test("compression contract + threshold balance on the embeddings fixture") {
     val th = Search.bqThresholds(base, "v", dim)
     assert(th.length == dim)

@@ -104,6 +104,32 @@ class BqServeSpec extends SparkSpec {
     }
   }
 
+  test("calibrateShortlistBq: minimal shortlist meeting the target, monotone curve") {
+    val h = built
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val n = emb.count().toInt
+    val sample = Seq(3L, 7L, 11L).map { id =>
+      emb.filter(col("vec_id") === id).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+    }
+    val target = 0.6
+    val (chosen, curve) = IvfIndex.calibrateShortlistBq(spark, h, sample,
+      nProbe = nCents, k = 5, target = target, maxShortlist = n)
+    info(s"chosen shortlist=$chosen; curve=${curve.map { case (s, r) => f"$s:$r%.2f" }.mkString(", ")}")
+    val m = curve.toMap
+    assert(m(chosen) >= target)
+    // minimality among the measured levels below the chosen one
+    curve.filter(_._1 < chosen).foreach { case (s, r) =>
+      assert(r < target, s"shortlist $s already met the target but $chosen chosen")
+    }
+    // monotone within measurement (identical candidate-set growth)
+    curve.sliding(2).foreach {
+      case Seq((s1, r1), (s2, r2)) =>
+        assert(r2 >= r1 - 1e-9, s"recall dropped $s1:$r1 -> $s2:$r2")
+      case _ =>
+    }
+  }
+
   test("probed binary serving: sane recall at a 40-candidate shortlist") {
     val h = built
     val got = IvfIndex.probedTopKBq(spark, h, q0, nProbe = nCents,
