@@ -89,6 +89,19 @@ object IvfServeBench {
     val tBatchSq = med5(IvfIndex.probedTopKBatchSq(spark, hs, batchQ, 2, 10))
     println(f"[ivf] sq8(nProbe=2) $tSq%.3f s; batch P=${batchQ.size}: " +
       f"batched $tBatchSq%.3f s vs sequential $tSeqSq%.3f s = ${tBatchSq / tSeqSq}%.2fx")
+    // IVF+binary: the 64x tier — Hamming shortlist over (id, sig) + exact
+    // refine; the batched path is TWO pruned scans for the whole batch
+    val bqPath = java.nio.file.Files.createTempDirectory("graft-ivfbq-bench").toString
+    val b0 = System.nanoTime()
+    val hb = IvfIndex.writeBq(emb, "embedding", "vec_id", bqPath,
+      nCents, iters = 3, dim = q.length)
+    println(f"[ivf] bq build ${(System.nanoTime() - b0) / 1e9}%.1f s ($bqPath)")
+    val tBq = med5(IvfIndex.probedTopKBq(spark, hb, q, 2, 10, shortlist = 40).collect())
+    val tSeqBq = med5(batchQ.foreach(q =>
+      IvfIndex.probedTopKBq(spark, hb, q, 2, 10, shortlist = 40).collect()))
+    val tBatchBq = med5(IvfIndex.probedTopKBqBatch(spark, hb, batchQ, 2, 10, shortlist = 40))
+    println(f"[ivf] bq(nProbe=2, shortlist=40) $tBq%.3f s; batch P=${batchQ.size}: " +
+      f"batched $tBatchBq%.3f s vs sequential $tSeqBq%.3f s = ${tBatchBq / tSeqBq}%.2fx")
     spark.stop()
   }
 }
