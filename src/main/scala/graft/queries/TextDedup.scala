@@ -1197,6 +1197,82 @@ object TextDedup {
             FROM s GROUP BY user_id, sid
             ORDER BY user_id, session_start"""))
 
+  // X23 character-trigram LM quality score — the CCNet/Gopher-style
+  // "perplexity filter" re-expressed in EXACT arithmetic: fit a char-level
+  // trigram model on the corpus itself (counts over the [a-z ]-normalized
+  // text), score each document by its MEAN smoothed conditional
+  // probability p(c₃|c₁c₂) = (c3+1)/(c2+27) over its trigram positions —
+  // low scores flag gibberish/OOD text, the curation signal LM-perplexity
+  // filters use, with only integer counts, one IEEE division and a
+  // DECIMAL(28,12) order-independent sum in the pipeline, so the DuckDB
+  // twin hash-matches bit-for-bit (no transcendental drift: the
+  // log/exp of true perplexity is a monotone transform of this score —
+  // filtering thresholds translate 1:1).
+  //
+  // Scale shape: trigram explode is row-local; the LM is a BOUNDED
+  // aggregation (vocab ≤ 27³ = 19 683 cells — map-side partial combine,
+  // broadcast back); scoring is two broadcast joins + ONE doc_id reagg
+  // shuffle. The fit is corpus-size-independent state — exactly the shape
+  // that lets the same model run at 100 TB.
+  /** The x23 pipeline on any (doc_id, text) relation — exposed so specs
+    * can feed adversarial corpora (gibberish vs natural text) through the
+    * EXACT query path. */
+  def charLmScores(documents: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "[^a-z ]", "")
+    val docs = documents.select(col("doc_id"), norm.as("t"))
+    // sequence(1, 0) would DESCEND in Spark — guard short strings out
+    val tri = docs.select(col("doc_id"),
+        explode(when(length(col("t")) >= 3,
+          transform(sequence(lit(1), length(col("t")) - 2),
+            i => col("t").substr(i, lit(3))))
+          .otherwise(lit(null).cast("array<string>"))).as("g"))
+    val c3 = tri.groupBy(col("g")).agg(count(lit(1)).as("n3"))
+    val c2 = c3.groupBy(substring(col("g"), 1, 2).as("g2"))
+      .agg(sum(col("n3")).as("n2"))
+    import org.apache.spark.sql.types.DecimalType
+    val scored = tri
+      .join(broadcast(c3), "g")
+      .join(broadcast(c2), substring(col("g"), 1, 2) === col("g2"))
+      .withColumn("p",
+        (col("n3") + 1).cast("double") / (col("n2") + 27).cast("double"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        (round(sum(col("p").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1)), 6) + 0.0).as("lm_score"))
+    documents.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        col("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  private val x23 = Q(
+    "x23_char_lm_quality",
+    (s, d) => charLmScores(Tables.documents(s, d)),
+    Some("""WITH d AS (SELECT doc_id,
+              regexp_replace(lower(text), '[^a-z ]', '', 'g') AS t
+            FROM documents),
+            tri AS (SELECT doc_id,
+              unnest(list_transform(range(1, greatest(length(t) - 2, 0) + 1),
+                i -> t[i:i+2])) AS g
+            FROM d),
+            c3 AS (SELECT g, count(*)::BIGINT AS n3 FROM tri GROUP BY g),
+            c2 AS (SELECT g[1:2] AS g2, sum(n3)::BIGINT AS n2
+                   FROM c3 GROUP BY g[1:2]),
+            agg AS (SELECT t.doc_id, count(*)::BIGINT AS n_trigrams,
+              round(sum(((c3.n3 + 1)::DOUBLE / (c2.n2 + 27)::DOUBLE)::DECIMAL(28,12))::DOUBLE
+                / count(*), 6) + 0.0 AS lm_score
+            FROM tri t
+            JOIN c3 ON c3.g = t.g
+            JOIN c2 ON c2.g2 = t.g[1:2]
+            GROUP BY t.doc_id)
+            SELECT d.doc_id, coalesce(a.n_trigrams, 0)::BIGINT AS n_trigrams,
+              a.lm_score
+            FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+            ORDER BY d.doc_id"""))
+
   val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, d8, x1, x2, x3, x4, x5, x6, x7,
-    x8, x9, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, st1, st2)
+    x8, x9, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x23, st1, st2)
 }

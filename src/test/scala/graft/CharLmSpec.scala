@@ -1,0 +1,57 @@
+package graft
+
+import graft.queries.TextDedup
+import org.apache.spark.sql.functions._
+
+/** Char-trigram LM quality score (x23): the oracle row hash-proves
+  * fit + scoring on the fixture; this spec pins the SIGNAL — the reason
+  * the operator exists — on corpora the fixture can't express, plus the
+  * degenerate edges.
+  */
+class CharLmSpec extends SparkSpec {
+
+  test("gibberish scores below natural-ish text (the curation signal)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // "natural" corpus: sentences built from a small word vocabulary —
+    // repeated character patterns the trigram model learns
+    val vocab = Seq("the", "quick", "brown", "fox", "jumps", "over",
+      "lazy", "dog", "and", "runs", "far", "away", "home", "again")
+    val natural = (0 until 40).map { i =>
+      (i.toLong, (0 until 30).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // gibberish: uniform random characters — no learnable structure
+    val gibberish = (0 until 10).map { i =>
+      ((100 + i).toLong,
+        (0 until 180).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    }
+    val df = (natural ++ gibberish).toDF("doc_id", "text")
+    val scores = TextDedup.charLmScores(df)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val natScores = natural.map(d => scores(d._1))
+    val gibScores = gibberish.map(d => scores(d._1))
+    info(f"natural mean ${natScores.sum / natScores.size}%.4f, " +
+      f"gibberish mean ${gibScores.sum / gibScores.size}%.4f")
+    // full separation: EVERY gibberish doc below EVERY natural doc
+    assert(gibScores.max < natScores.min,
+      s"LM score failed to separate: gib max ${gibScores.max} vs nat min ${natScores.min}")
+  }
+
+  test("degenerate rows: short/empty/symbol-only texts get n_trigrams=0, null score") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "ab"), (2L, ""), (3L, "12345 !!!"), (4L, "abc")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.charLmScores(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSeq
+    val byId = out.map(t => t._1 -> t).toMap
+    // "ab" (2 chars), "" and "12345 !!!" (normalizes to " " — too short
+    // after scrubbing digits/symbols... " " is 1 char): no trigrams
+    assert(byId(1L)._2 == 0L && byId(1L)._3.isEmpty)
+    assert(byId(2L)._2 == 0L && byId(2L)._3.isEmpty)
+    assert(byId(3L)._2 == 0L && byId(3L)._3.isEmpty)
+    // "abc": exactly one trigram; p = (1+1)/(1+27) = 1/14
+    assert(byId(4L)._2 == 1L)
+    assert(math.abs(byId(4L)._3.get.asInstanceOf[Double] - 2.0 / 28.0) < 1e-6)
+  }
+}
