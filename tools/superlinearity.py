@@ -17,7 +17,10 @@ import sys
 
 FLOOR = 0.30   # sf1 seconds below which the ratio is job-floor noise
 BAR = 13.0     # 10x linear growth + 30% allowance
-FIXED = {"rest1", "rest2", "flip1"}  # fixed-CSV queries: scale-independent by design
+# fixed-input queries, scale-independent by design: fixed CSVs
+# (rest1/rest2/flip1), committed media fixtures (x20/x21/x22), and
+# capped-cohort oracles (st3/st4 vec_id<2000, d9 vec_id<5000)
+FIXED = {"rest1", "rest2", "flip1", "x20", "x21", "x22", "st3", "st4", "d9"}
 
 def load(path):
     with open(path) as f:
