@@ -485,6 +485,42 @@ object IvfIndex {
     affected.size
   }
 
+  /** Serving-index COMPACTION — closes the maintenance triangle
+    * (append / delete / compact): [[appendStream]] lands one small file
+    * per (micro-batch × cell), and probed-query latency degrades with
+    * file count (per-file open + footer read inside the probed
+    * directories). Rewrite every cell whose file count exceeds
+    * `maxFilesPerCell` down to `targetFiles` files, with the same atomic
+    * tmp-rename swap as [[delete]] — cells under the threshold are never
+    * opened, so compaction IO is proportional to the fragmented cells
+    * only. Returns the compacted cell ids. */
+  def compact(spark: SparkSession, h: Handle, maxFilesPerCell: Int,
+              targetFiles: Int = 1): Seq[Int] = {
+    require(maxFilesPerCell >= 1 && targetFiles >= 1,
+      s"bad compaction bounds: max=$maxFilesPerCell target=$targetFiles")
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(h.path)
+    val fs = root.getFileSystem(conf)
+    val cells = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
+      .map(st => st.getPath)
+    val fragmented = cells.filter { dir =>
+      fs.listStatus(dir).count(f => f.getPath.getName.endsWith(".parquet")) >
+        maxFilesPerCell
+    }
+    fragmented.map { dir =>
+      val cid = dir.getName.stripPrefix("cid=").toInt
+      val tmp = new org.apache.hadoop.fs.Path(h.path, s".tmp-${dir.getName}")
+      spark.read.parquet(dir.toString)
+        .repartition(targetFiles)
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(dir, true)
+      if (!fs.rename(tmp, dir))
+        throw new java.io.IOException(s"rename $tmp -> $dir failed")
+      cid
+    }.sorted
+  }
+
   private def writeSidecar(spark: SparkSession, path: String, name: String,
                            json: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path, name)

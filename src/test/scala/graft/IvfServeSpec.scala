@@ -72,6 +72,39 @@ class IvfServeSpec extends SparkSpec {
     doomed.foreach(id => assert(!top.contains(id)))
   }
 
+  test("compact: fragmented cells coalesce, rows identical, quiet cells untouched") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfcmp").toString
+    val h = IvfIndex.write(emb, "embedding", "vec_id", path,
+      nCentroids = nCents, iters = 3)
+    // fragment ONE cell with appends (the appendStream effect in batch form)
+    val cells = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("cid=")).map(_.getName.stripPrefix("cid=").toInt)
+      .sorted
+    val victim = cells.head
+    val one = spark.read.parquet(s"$path/cid=$victim").limit(1)
+    (1 to 4).foreach { i =>
+      one.withColumn("id", col("id") + lit(1000L * i))
+        .write.mode("append").parquet(s"$path/cid=$victim")
+    }
+    def files(cid: Int): Seq[String] = {
+      val d = new java.io.File(s"$path/cid=$cid")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSeq.sorted
+    }
+    assert(files(victim).size >= 5, "fixture failed to fragment")
+    val quiet = cells.tail
+    val quietBefore = quiet.map(c => c -> files(c)).toMap
+    val rowsBefore = spark.read.parquet(path).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val compacted = IvfIndex.compact(spark, h, maxFilesPerCell = 2)
+    assert(compacted == Seq(victim), s"compacted $compacted, expected $victim")
+    assert(files(victim).size == 1, s"victim still has ${files(victim).size} files")
+    quiet.foreach(c => assert(files(c) == quietBefore(c), s"quiet cell $c touched"))
+    val rowsAfter = spark.read.parquet(path).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(rowsAfter == rowsBefore, "compaction changed the row set")
+  }
+
   test("index layout: one directory per cell + centroid sidecar reopens") {
     val (h, totalFiles) = built
     val cells = new java.io.File(h.path).listFiles()
