@@ -82,6 +82,15 @@ object CompressionCurve {
         Tier("binary+refine shortlist=4k (sim7)", dim / 8, "1.00",
           recallOf(Search.knnBinary(emb, "embedding", "vec_id", qIds, dim,
             k = k, shortlist = 4 * k), topCos))) ++
+      // Matryoshka prefix truncation: NO fit stage — the coarse code is
+      // the vector's own first p coordinates (column projection); graded
+      // vs cosine (what the refine serves). Random iid coordinates are
+      // the adversarial case (no MRL training concentrating energy in
+      // the prefix), so these recalls are the technique's FLOOR.
+      Seq(16, 32).map(p =>
+        Tier(s"MRL prefix=$p + refine shortlist=4k (sim9)", p * 8, "1.00",
+          recallOf(Search.knnMrl(emb, "embedding", "vec_id", qIds,
+            prefixDim = p, k = k, shortlist = 4 * k), topCos))) ++
       Seq(1, 2, 4, 8).map(p =>
         Tier(s"IVF nProbe=$p/8 (sim3)", dim * 8, f"${p / 8.0}%.2f",
           recallOf(Search.knnIvf(emb, "embedding", "vec_id", qIds,

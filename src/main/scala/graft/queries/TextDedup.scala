@@ -1163,6 +1163,60 @@ object TextDedup {
             SELECT doc_id, source FROM r
             WHERE rn <= ceil(0.2 * n) ORDER BY doc_id"""))
 
+  // X24 per-domain quota — the C4/RefinedWeb "cap documents per domain"
+  // curation step: keep the top X24Cap documents of each `source` by
+  // quality (alpha ratio — x2's signal; doc_id tiebreak). Skew-proof
+  // two-phase top-N: phase 1 ranks within (source, salt), leaving at most
+  // Cap·Salts bounded partial winners per domain regardless of domain
+  // size; only those survivors pay the phase-2 per-source rank. A single
+  // hot domain (the web-crawl reality — one host can be 1% of 100 TB)
+  // never routes its full row set through one reducer: phase-1 partitions
+  // are (source × salt), so the widest key fans out Salts ways and the
+  // phase-2 window sorts ≤ Cap·Salts rows per domain. Exact: every global
+  // top-Cap row is top-Cap within its own salt, so phase 1 cannot drop a
+  // winner. Oracle: the direct one-window QUALIFY.
+  private val X24Cap = 8
+  private val X24Salts = 4
+
+  /** The x24 two-phase per-domain top-N on any (doc_id, source, quality)
+    * relation — exposed so specs can prove salted-phase-1 == direct
+    * one-window on adversarially skewed corpora. */
+  def domainCap(docs: org.apache.spark.sql.DataFrame, cap: Int, salts: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy(col("source"), col("salt"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val w2 = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    docs.withColumn("salt", pmod(hash(col("doc_id")), lit(salts)))
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= cap)
+      .withColumn("dom_rank", row_number().over(w2).cast("long"))
+      .filter(col("dom_rank") <= cap)
+      .select(col("source"), col("doc_id"), col("quality"), col("dom_rank"))
+      .orderBy("source", "dom_rank")
+  }
+
+  private val x24 = Q(
+    "x24_domain_cap",
+    (s, d) => {
+      val q = round(length(regexp_replace(col("text"), "[^a-z]", ""))
+        .cast("double") / length(col("text")), 6)
+      domainCap(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), q.as("quality")),
+        X24Cap, X24Salts)
+    },
+    Some(s"""WITH q AS (SELECT source, doc_id,
+               round(length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+                 / length(text), 6) AS quality
+             FROM documents)
+             SELECT source, doc_id, quality,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY quality DESC, doc_id) AS dom_rank
+             FROM q QUALIFY dom_rank <= $X24Cap
+             ORDER BY source, dom_rank"""))
+
   // ST2 event-time SESSIONIZATION (batch twin of Streaming.sessionize —
   // Spark session_window semantics: events with gaps < 30 min merge, the
   // session ends 30 min after its last event). DuckDB twin: gaps-and-
@@ -1274,5 +1328,6 @@ object TextDedup {
             ORDER BY d.doc_id"""))
 
   val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, d8, x1, x2, x3, x4, x5, x6, x7,
-    x8, x9, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x23, st1, st2)
+    x8, x9, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x23, x24,
+    st1, st2)
 }

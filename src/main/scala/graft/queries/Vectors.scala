@@ -622,6 +622,47 @@ object Vectors {
         SELECT q_id, vec_id, hamming, score, rk FROM ranked
         WHERE rk <= 5 ORDER BY q_id, rk"""
 
+  // sim9: Matryoshka prefix-truncation ANN — the SIXTH compression lever,
+  // and the only one with NO fit stage at all: the coarse representation
+  // is the embedding's own first PrefixDim coordinates (MRL §4 adaptive
+  // retrieval), so the "index build" is a column projection. Shortlist by
+  // prefix cosine, exact full-dim refine — both stages under the hash
+  // (pscore ships in the output). 16/64 dims = 4× byte/FLOP reduction on
+  // the exhaustive pass at 100 TB, same pruned-refine join shape as sim7.
+  private val MrlPrefixDim = 16
+  private val MrlShortlist = 40
+
+  private def mrlSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (SELECT vec_id, v[1:$MrlPrefixDim] AS pv FROM e),
+        q AS (SELECT vec_id AS q_id, pv AS q_pv FROM p
+              WHERE vec_id IN (0, 1, 2)),
+        ps AS (SELECT q.q_id, p.vec_id,
+                 round(list_cosine_similarity(p.pv, q.q_pv), 5) + 0.0 AS pscore
+               FROM p, q WHERE p.vec_id != q.q_id),
+        short AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY pscore DESC, vec_id) AS prk FROM ps),
+        sc AS (SELECT h.q_id, h.vec_id, h.pscore,
+                 round(list_cosine_similarity(qe.embedding::DOUBLE[],
+                   ve.embedding::DOUBLE[]), 5) + 0.0 AS score
+               FROM short h
+               JOIN embeddings qe ON qe.vec_id = h.q_id
+               JOIN embeddings ve ON ve.vec_id = h.vec_id
+               WHERE h.prk <= $MrlShortlist),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                     ORDER BY score DESC, vec_id) AS rk FROM sc)
+        SELECT q_id, vec_id, pscore, score, rk FROM ranked
+        WHERE rk <= 5 ORDER BY q_id, rk"""
+
+  private val sim9 = Q(
+    "sim9_knn_mrl",
+    (s, d) => Search.knnMrl(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", queryIds = Seq(0L, 1L, 2L),
+        prefixDim = MrlPrefixDim, k = 5, shortlist = MrlShortlist)
+      .orderBy("q_id", "rk"),
+    Some(mrlSql))
+
   private val sim7 = Q(
     "sim7_knn_binary",
     (s, d) => Search.knnBinary(
@@ -798,5 +839,5 @@ object Vectors {
     Some(ivfSql))
 
   val qs: Seq[Q] = Seq(k1, sim1, sim2, sim3, sim4, sim5, sim6, sim7, sim8,
-    d5, d7, d9, a5, a6, st3, st4)
+    sim9, d5, d7, d9, a5, a6, st3, st4)
 }

@@ -813,6 +813,49 @@ object Search {
         col("score"), col("rk"))
   }
 
+  /** Matryoshka / prefix-truncated two-stage retrieval (Kusupati et al.
+    * 2022, "Matryoshka Representation Learning", §4 adaptive retrieval):
+    * shortlist by cosine over the FIRST `prefixDim` coordinates, then
+    * exact full-dimension cosine rerank of the shortlist only.
+    *
+    * The 100-TB story: the prefix is the engine's cheapest compression
+    * tier that needs NO fit at all (no codebook, no thresholds, no
+    * centroids — a column projection). At scale the prefix ships as its
+    * own narrow column (prefixDim/dim of the exhaustive pass's bytes and
+    * FLOPs — 4× here), the shortlist is |queries|·shortlist rows, and the
+    * full vectors are re-read only for that shortlist via a broadcast id
+    * join — the same pruned-refine shape as [[knnBinary]]. Emits the
+    * prefix score so the shortlist stage itself sits under the oracle
+    * hash, not just the reranked survivors.
+    */
+  def knnMrl(vectors: DataFrame, vecCol: String, idCol: String,
+             queryIds: Seq[Long], prefixDim: Int, k: Int,
+             shortlist: Int): DataFrame = {
+    val base = vectors.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("v"))
+    // narrow (id, prefix) projection — at scale this is the serving scan
+    val pre = base.select(col("id"), slice(col("v"), 1, prefixDim).as("p"))
+    val qp = pre.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("q_id"), col("p").as("q_p"))
+    val wP = Window.partitionBy(col("q_id")).orderBy(col("pscore").desc, col("id"))
+    val short = pre.crossJoin(broadcast(qp))
+      .filter(col("q_id") =!= col("id"))
+      .withColumn("pscore", round(cosine(col("p"), col("q_p")), 5) + 0.0)
+      .withColumn("prk", row_number().over(wP))
+      .filter(col("prk") <= shortlist)
+      .select(col("q_id"), col("id"), col("pscore"))
+    val qv = base.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("q_id"), col("v").as("qv"))
+    val wS = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("id"))
+    base.join(broadcast(short), "id")
+      .join(broadcast(qv), "q_id")
+      .withColumn("score", round(cosine(col("qv"), col("v")), 5) + 0.0)
+      .withColumn("rk", row_number().over(wS).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("id").as("vec_id"), col("pscore"),
+        col("score"), col("rk"))
+  }
+
   /** ANN top-k via multi-table LSH: candidates = vectors sharing ANY
     * table's bucket with the query (deduplicated), then exact cosine on the
     * candidate set only. Recall vs knnBruteForce asserted in tests. */
