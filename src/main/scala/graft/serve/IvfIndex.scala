@@ -418,6 +418,133 @@ object IvfIndex {
       })
   }
 
+  // ---- IVF + MRL prefix: the fit-free narrow-column serving tier -------
+
+  final case class MrlHandle(path: String, centroids: Array[Array[Double]],
+                             prefixDim: Int)
+
+  /** Write the index WITH a materialized prefix column — the Matryoshka
+    * serving layout (sim9's two-stage on disk): same cid-partitioned
+    * dataset plus `pre` (the vector's own first prefixDim coordinates)
+    * and its norm `pn`. The only compressed tier with NO fit artifact:
+    * no codebook, no grid, no thresholds — `_mrl.json` records just the
+    * prefix width. The same two pruning axes compose (directories via
+    * `cid IN (probes)`, columns via an (id, pre, pn) projection reading
+    * prefixDim/dim of the vector bytes), and unlike PQ/SQ/BQ the
+    * shortlist scorer is the SAME rounded cosine as the refine — the
+    * tier's only error source is truncation, not dequantization. */
+  def writeMrl(vectors: DataFrame, vecCol: String, idCol: String, path: String,
+               nCentroids: Int, iters: Int, prefixDim: Int): MrlHandle = {
+    require(prefixDim > 0, s"prefixDim must be positive: $prefixDim")
+    val base = vectors.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        Search.asDouble(col(vecCol)).as("v"))
+    val cents = Search.ivfCentroids(base, "v", "id", nCentroids, iters)
+    base
+      .withColumn("vn", Search.l2Norm(col("v")))
+      .withColumn("pre", slice(col("v"), 1, prefixDim))
+      .withColumn("pn", Search.l2Norm(col("pre")))
+      .withColumn("cid", Search.ivfAssign(col("v"), cents))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    writeSidecar(vectors.sparkSession, path, "_centroids.json",
+      cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
+    writeSidecar(vectors.sparkSession, path, "_mrl.json",
+      s"""{"prefixDim": $prefixDim}""")
+    MrlHandle(path, cents, prefixDim)
+  }
+
+  /** Reopen an MRL index from its sidecars — no scan, no refit. */
+  def openMrl(spark: SparkSession, path: String): MrlHandle = {
+    val base = open(spark, path)
+    val raw = readSidecar(spark, path, "_mrl.json")
+    val p = raw.replaceAll("(?s).*\"prefixDim\":\\s*(\\d+).*", "$1").toInt
+    MrlHandle(path, base.centroids, p)
+  }
+
+  /** The prefix-shortlist stage as a visible DataFrame — (id, pscore)
+    * over the probed cells, scored by the truncated cosine. Exposed so
+    * specs can pin BOTH pruning axes on the exact plan serving runs:
+    * the scan's requiredSchema must carry (id, pre, pn) and never the
+    * dim-wide `v`/`vn`. */
+  def mrlShortlist(spark: SparkSession, h: MrlHandle, q: Array[Double],
+                   nProbe: Int, shortlist: Int): DataFrame = {
+    val cells = probeCells(Handle(h.path, h.centroids), q, nProbe)
+    val qp = q.take(h.prefixDim)
+    var qpn = 0.0; var j = 0
+    while (j < qp.length) { qpn += qp(j) * qp(j); j += 1 }
+    prunedScan(spark, Handle(h.path, h.centroids), cells)
+      .select(col("id"), col("pre"), col("pn"))
+      .withColumn("pscore",
+        round(Search.dot(typedLit(qp.toSeq), col("pre")) /
+          (lit(math.sqrt(qpn)) * col("pn")), 5) + 0.0)
+      .orderBy(col("pscore").desc, col("id"))
+      .limit(shortlist)
+      .select(col("id"), col("pscore"))
+  }
+
+  /** Probed MRL top-k: truncated-cosine shortlist over the narrow
+    * (id, pre, pn) projection, exact-cosine refine of the `shortlist`
+    * survivors alone via an id predicate over the already-probed
+    * directories ([[probedTopKRefined]]'s recipe). Deterministic:
+    * pscore-desc/id-asc shortlist, score-desc/id-asc refine. */
+  def probedTopKMrl(spark: SparkSession, h: MrlHandle, q: Array[Double],
+                    nProbe: Int, k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist smaller than k=$k")
+    val ids = mrlShortlist(spark, h, q, nProbe, shortlist)
+      .collect().map(_.getLong(0))
+    val cells = probeCells(Handle(h.path, h.centroids), q, nProbe)
+    var qn = 0.0; var j = 0
+    while (j < q.length) { qn += q(j) * q(j); j += 1 }
+    prunedScan(spark, Handle(h.path, h.centroids), cells)
+      .filter(col("id").isin(ids.map(java.lang.Long.valueOf): _*))
+      .withColumn("score",
+        round(Search.dot(typedLit(q.toSeq), col("v")) /
+          (lit(math.sqrt(qn)) * col("vn")), 5) + 0.0)
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .select(col("id").as("vec_id"), col("score"))
+  }
+
+  /** Batched MRL serving: P queries in TWO pruned scans total — one
+    * narrow (id, pre, pn) truncated-cosine shortlist pass, one
+    * exact-refine pass over the UNION of shortlists with per-query id
+    * masks. Bit-identical to P sequential [[probedTopKMrl]] calls
+    * (spec-asserted): same probe cells, same rounded scores, same
+    * tie-breaks — [[Search.multiTopK]] applies the identical 5-dp
+    * round / −0.0 collapse as the per-query orderBy path. */
+  def probedTopKMrlBatch(spark: SparkSession, h: MrlHandle,
+                         queries: Seq[Array[Double]], nProbe: Int, k: Int,
+                         shortlist: Int): IndexedSeq[Seq[(Long, Double)]] = {
+    require(shortlist >= k, s"shortlist $shortlist smaller than k=$k")
+    if (queries.isEmpty) return IndexedSeq.empty
+    val base = Handle(h.path, h.centroids)
+    val cellsPer = queries.map(q => probeCells(base, q, nProbe))
+    val union = cellsPer.flatten.distinct.sorted
+    val preScan = prunedScan(spark, base, union)
+      .select(col("id"), col("pre"), col("pn"), col("cid"))
+    val eligibleCells = cellsPer.map(cs =>
+      col("cid").isin(cs.map(Integer.valueOf): _*))
+    val shortlists = Search.multiTopK(preScan, "pre", "id",
+      queries.map(_.take(h.prefixDim)), shortlist, eligible = eligibleCells,
+      scoreExpr = (vd, qp) => {
+        var qpn = 0.0; var j = 0
+        while (j < qp.length) { qpn += qp(j) * qp(j); j += 1 }
+        Search.dot(typedLit(qp.toSeq), vd) / (lit(math.sqrt(qpn)) * col("pn"))
+      })
+    val idsPer = shortlists.map(_.map(_._1))
+    val allIds = idsPer.flatten.distinct
+    val refScan = prunedScan(spark, base, union)
+      .filter(col("id").isin(allIds.map(java.lang.Long.valueOf): _*))
+    val eligibleIds = idsPer.map(ids =>
+      col("id").isin(ids.map(java.lang.Long.valueOf): _*))
+    Search.multiTopK(refScan, "v", "id", queries, k, eligible = eligibleIds,
+      scoreExpr = (vd, q) => {
+        var qn = 0.0; var j = 0
+        while (j < q.length) { qn += q(j) * q(j); j += 1 }
+        Search.dot(typedLit(q.toSeq), vd) / (lit(math.sqrt(qn)) * col("vn"))
+      })
+  }
+
   /** STREAMING index maintenance: append an arriving vector stream into
     * the same cid-partitioned layout — the narrow assignment projection
     * against the FIXED centroids (no refit; the standard IVF maintenance
