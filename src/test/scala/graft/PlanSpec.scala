@@ -93,16 +93,20 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("Join"), s"$n lost its bucket join entirely:\n$p")
     }
 
-  /** Static physical plan with AQE unwrapped (inputPlan = the pre-runtime
-    * plan, consistent with the string pins above). */
+  /** Static physical plan with AQE DISABLED for the build: an
+    * AdaptiveSparkPlanExec's `inputPlan` predates EnsureRequirements, so
+    * walking it finds ZERO exchanges and every shuffle-count assertion
+    * passes vacuously (caught round 10) — turning AQE off yields the
+    * plain plan with its Exchange nodes physically present. */
   private def sparkPlan(name: String): org.apache.spark.sql.execution.SparkPlan = {
     val q = Registry.all.find(_.name == name)
       .getOrElse(fail(s"no query named $name"))
-    q.fn(spark, dir).queryExecution.executedPlan match {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try q.fn(spark, dir).queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.inputPlan
+        fail(s"$name still planned adaptively with AQE off:\n$a")
       case p => p
-    }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   /** Hash-partitioning shuffles NOT inside a broadcast subtree — i.e. the
@@ -173,6 +177,27 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
         s"$n lost the broadcast query side:\n$p")
     }
+
+  test("sim9_knn_mrl: broadcast query side + broadcast refine — never cartesian/SMJ") {
+    // shortlist = corpus × broadcast 3-row query prefixes (BNLJ intended);
+    // refine = corpus joined to the BROADCAST shortlist/query ids (hash)
+    val p = plan("sim9_knn_mrl")
+    assert(!p.contains("CartesianProduct"), s"sim9 grew a cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"sim9 degraded to sort-merge:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"sim9's refine lost its broadcast:\n$p")
+  }
+
+  test("x24_domain_cap: two window shuffles, no join — the salted top-N shape") {
+    val p = plan("x24_domain_cap")
+    // the whole op is windows over (source, salt) then source: any Join
+    // means the shape regressed to a per-domain count/join variant
+    assert(!p.contains("Join"), s"x24 grew a join:\n$p")
+    // corpus rows pay exactly the two window hash shuffles (phase 2's
+    // input already bounded at cap·salts rows per domain); the third
+    // exchange is the determinism sort's range partitioning
+    assert(corpusHashShuffles(sparkPlan("x24_domain_cap")) == 2,
+      s"x24's corpus rows should pay exactly the two window shuffles:\n$p")
+  }
 
   test("flip1 spine: broadcast gather, TakeOrderedAndProject top-k, one ingest window") {
     // the lazy lifecycle (the query fn materializes before closing the
