@@ -30,11 +30,11 @@ object IvfIndex {
     * driver-local file when `path` is hdfs://, s3a:// etc., separating
     * index and centroids on the very deployments the layout exists for. */
   def write(vectors: DataFrame, vecCol: String, idCol: String, path: String,
-            nCentroids: Int, iters: Int): Handle = {
+            nCentroids: Int, iters: Int, metaCols: Seq[String] = Nil): Handle = {
     val cents = Search.ivfCentroids(vectors, vecCol, idCol, nCentroids, iters)
     vectors.filter(col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"),
-        Search.asDouble(col(vecCol)).as("v"))
+      .select(Seq(col(idCol).cast("long").as("id"),
+        Search.asDouble(col(vecCol)).as("v")) ++ metaCols.map(col): _*)
       .withColumn("vn", Search.l2Norm(col("v")))
       .withColumn("cid", Search.ivfAssign(col("v"), cents))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
@@ -77,12 +77,13 @@ object IvfIndex {
     spark.read.parquet(h.path)
       .filter(col("cid").isin(cells.map(Integer.valueOf): _*))
 
-  def probedTopK(spark: SparkSession, h: Handle, q: Array[Double],
-                 nProbe: Int, k: Int): DataFrame = {
-    val cells = probeCells(h, q, nProbe)
+  /** Rounded-cosine top-k over any (id, v, vn) scan — the one scoring
+    * body every exact-refine path shares, so their rounding/tie-breaks
+    * cannot drift apart. */
+  private def cosineTopK(scan: DataFrame, q: Array[Double], k: Int): DataFrame = {
     var qn = 0.0; var j = 0
     while (j < q.length) { qn += q(j) * q(j); j += 1 }
-    prunedScan(spark, h, cells)
+    scan
       .withColumn("score",
         round(Search.dot(typedLit(q.toSeq), col("v")) /
           (lit(math.sqrt(qn)) * col("vn")), 5) + 0.0)
@@ -90,6 +91,24 @@ object IvfIndex {
       .limit(k)
       .select(col("id").as("vec_id"), col("score"))
   }
+
+  def probedTopK(spark: SparkSession, h: Handle, q: Array[Double],
+                 nProbe: Int, k: Int): DataFrame =
+    cosineTopK(prunedScan(spark, h, probeCells(h, q, nProbe)), q, k)
+
+  /** FILTERED vector search on the serving index — the "metadata filter
+    * + ANN" query vector databases special-case, here expressed as free
+    * Catalyst machinery: metadata columns ride the index
+    * ([[write]]'s `metaCols`), the predicate lands in the probed scan's
+    * PushedFilters (parquet row-group/page skipping INSIDE the
+    * already-pruned directories — spec-asserted), and scoring/top-k
+    * proceed identically. The filter is evaluated BEFORE scoring, so a
+    * selective predicate can never starve k the way a post-filter over
+    * an unfiltered shortlist does. */
+  def probedTopKWhere(spark: SparkSession, h: Handle, q: Array[Double],
+                      nProbe: Int, k: Int,
+                      pred: org.apache.spark.sql.Column): DataFrame =
+    cosineTopK(prunedScan(spark, h, probeCells(h, q, nProbe)).filter(pred), q, k)
 
   // ---- IVF + PQ: the compressed serving index (round 10) ---------------
 

@@ -102,6 +102,19 @@ object IvfServeBench {
     val tBatchBq = med5(IvfIndex.probedTopKBqBatch(spark, hb, batchQ, 2, 10, shortlist = 40))
     println(f"[ivf] bq(nProbe=2, shortlist=40) $tBq%.3f s; batch P=${batchQ.size}: " +
       f"batched $tBatchBq%.3f s vs sequential $tSeqBq%.3f s = ${tBatchBq / tSeqBq}%.2fx")
+    // IVF+MRL: the fit-free prefix tier — truncated-cosine shortlist over
+    // (id, pre, pn) + exact refine; batched = two pruned scans total
+    val mrlPath = java.nio.file.Files.createTempDirectory("graft-ivfmrl-bench").toString
+    val m0 = System.nanoTime()
+    val hm = IvfIndex.writeMrl(emb, "embedding", "vec_id", mrlPath,
+      nCents, iters = 3, prefixDim = 16)
+    println(f"[ivf] mrl build ${(System.nanoTime() - m0) / 1e9}%.1f s ($mrlPath)")
+    val tMrl = med5(IvfIndex.probedTopKMrl(spark, hm, q, 2, 10, shortlist = 40).collect())
+    val tSeqMrl = med5(batchQ.foreach(q =>
+      IvfIndex.probedTopKMrl(spark, hm, q, 2, 10, shortlist = 40).collect()))
+    val tBatchMrl = med5(IvfIndex.probedTopKMrlBatch(spark, hm, batchQ, 2, 10, shortlist = 40))
+    println(f"[ivf] mrl(prefix=16, nProbe=2, shortlist=40) $tMrl%.3f s; batch P=${batchQ.size}: " +
+      f"batched $tBatchMrl%.3f s vs sequential $tSeqMrl%.3f s = ${tBatchMrl / tSeqMrl}%.2fx")
     spark.stop()
   }
 }

@@ -105,6 +105,64 @@ class IvfServeSpec extends SparkSpec {
     assert(rowsAfter == rowsBefore, "compaction changed the row set")
   }
 
+  test("filtered search: metadata predicate pushes into the probed scan") {
+    // metadata rides the index; the label predicate must (a) produce the
+    // exact filtered ranking, (b) reach the parquet scan's PushedFilters
+    // (row-group skipping inside already-pruned directories), (c) keep
+    // directory pruning intact
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfmeta").toString
+    val h = IvfIndex.write(emb, "embedding", "vec_id", path,
+      nCentroids = nCents, iters = 3, metaCols = Seq("label"))
+    val q = emb.filter(col("vec_id") === 7L).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val nProbe = 2; val k = 5; val wantLabel = 1
+    def freshDf = IvfIndex.probedTopKWhere(spark, h, q, nProbe, k,
+      col("label") === wantLabel)
+    val got = freshDf.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.nonEmpty, "fixture holds no matching rows — filter untested")
+    // driver twin: rounded cosine over the probed cells' matching rows
+    val cells = IvfIndex.probeCells(h, q, nProbe).toSet
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val want = spark.read.parquet(path)
+      .filter(col("cid").isin(cells.toSeq.map(Integer.valueOf): _*))
+      .filter(col("label") === wantLabel)
+      .select("id", "v").collect()
+      .map { r =>
+        val v = r.getSeq[Double](1)
+        var s = 0.0; var vn = 0.0; var i = 0
+        while (i < v.length) { s += q(i) * v(i); vn += v(i) * v(i); i += 1 }
+        val sc = BigDecimal(s / (qn * math.sqrt(vn)))
+          .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+        (r.getLong(0), sc)
+      }
+      .sortBy { case (id, sc) => (-sc, id) }.take(k).toSeq
+    assert(got == want, s"filtered ranking diverged:\ngot  $got\nwant $want")
+    // every served row actually matches the filter
+    val labels = spark.read.parquet(path).select("id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { case (id, _) => assert(labels(id) == wantLabel) }
+    // plan: predicate in PushedFilters + directory pruning preserved
+    // (a FRESH DataFrame — metrics on a re-collected AQE plan read 0)
+    val df = freshDf
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val planStr = plan.toString
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(label".r.findFirstIn(planStr).isDefined,
+      s"label predicate not pushed to the scan:\n$planStr")
+    val expectFiles = cells.toSeq.map { c =>
+      new java.io.File(s"$path/cid=$c").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    }.sum
+    assert(scans.map(_.metrics("numFiles").value).sum == expectFiles,
+      "filtered scan lost directory pruning")
+  }
+
   test("index layout: one directory per cell + centroid sidecar reopens") {
     val (h, totalFiles) = built
     val cells = new java.io.File(h.path).listFiles()
