@@ -808,17 +808,38 @@ object IvfIndex {
   def calibrateShortlistBq(spark: SparkSession, h: BqHandle,
                            sample: Seq[Array[Double]], nProbe: Int, k: Int,
                            target: Double, maxShortlist: Int)
+      : (Int, Seq[(Int, Double)]) =
+    calibrateShortlist(spark, Handle(h.path, h.centroids), sample, nProbe,
+      k, target, maxShortlist,
+      s => probedTopKBqBatch(spark, h, sample, nProbe, k, shortlist = s))
+
+  /** [[calibrateShortlistBq]]'s knob on the MRL tier: minimal prefix
+    * shortlist whose refined top-k meets `target` recall against the
+    * exact probed ranking at the same probe count. The prefix width is
+    * fixed at build time (it is the index layout); the shortlist is the
+    * query-time lever trading refine IO for truncation recall. */
+  def calibrateShortlistMrl(spark: SparkSession, h: MrlHandle,
+                            sample: Seq[Array[Double]], nProbe: Int, k: Int,
+                            target: Double, maxShortlist: Int)
+      : (Int, Seq[(Int, Double)]) =
+    calibrateShortlist(spark, Handle(h.path, h.centroids), sample, nProbe,
+      k, target, maxShortlist,
+      s => probedTopKMrlBatch(spark, h, sample, nProbe, k, shortlist = s))
+
+  private def calibrateShortlist(spark: SparkSession, base: Handle,
+                                 sample: Seq[Array[Double]], nProbe: Int,
+                                 k: Int, target: Double, maxShortlist: Int,
+                                 probe: Int => IndexedSeq[Seq[(Long, Double)]])
       : (Int, Seq[(Int, Double)]) = {
     require(maxShortlist >= k, s"maxShortlist $maxShortlist below k=$k")
     require(sample.nonEmpty, "calibration needs at least one sample query")
     require(target > 0.0 && target <= 1.0, s"recall target $target outside (0,1]")
     // exact reference: the uncompressed tier on the same index + probes
-    val base = Handle(h.path, h.centroids)
     val exact = probedTopKBatch(spark, base, sample, nProbe, k)
       .map(_.map(_._1).toSet)
     val measured = scala.collection.mutable.LinkedHashMap.empty[Int, Double]
     def recallAt(s: Int): Double = measured.getOrElseUpdate(s, {
-      val got = probedTopKBqBatch(spark, h, sample, nProbe, k, shortlist = s)
+      val got = probe(s)
       (got, exact).zipped.map { (g, e) =>
         if (e.isEmpty) 1.0 else g.count(t => e(t._1)).toDouble / e.size
       }.sum / sample.size

@@ -103,6 +103,27 @@ class MrlServeSpec extends SparkSpec {
     assert(recalls.forall(_ >= 0.3), s"below floor: $recalls")
   }
 
+  test("calibrateShortlistMrl: minimal shortlist meeting the target, monotone curve") {
+    val h = built
+    val n = Tables.embeddings(spark, sf("sf0.001")).count().toInt
+    val sample = Seq(3L, 7L, 11L).map(qVec)
+    val target = 0.6
+    val (chosen, curve) = IvfIndex.calibrateShortlistMrl(spark, h, sample,
+      nProbe = nCents, k = 5, target = target, maxShortlist = n)
+    info(s"chosen shortlist=$chosen; curve=${curve.map { case (s, r) => f"$s:$r%.2f" }.mkString(", ")}")
+    val m = curve.toMap
+    assert(m(chosen) >= target)
+    curve.filter(_._1 < chosen).foreach { case (s, r) =>
+      assert(r < target, s"shortlist $s already met the target but $chosen chosen")
+    }
+    // monotone within measurement (identical candidate-set growth)
+    curve.sliding(2).foreach {
+      case Seq((s1, r1), (s2, r2)) =>
+        assert(r2 >= r1 - 1e-9, s"recall dropped $s1:$r1 -> $s2:$r2")
+      case _ =>
+    }
+  }
+
   test("batch == sequential, bit-identical") {
     val h = built
     val qs = Seq(0L, 3L, 7L, 11L).map(qVec)
