@@ -708,12 +708,32 @@ object IvfIndex {
     * pass with P bounded heaps, driver merge of ≤ partitions·P·k rows. */
   def probedTopKBatch(spark: SparkSession, h: Handle,
                       queries: Seq[Array[Double]], nProbe: Int,
-                      k: Int): IndexedSeq[Seq[(Long, Double)]] = {
+                      k: Int): IndexedSeq[Seq[(Long, Double)]] =
+    probedTopKBatchWhere(spark, h, queries, nProbe, k, preds = Nil)
+
+  /** FILTERED batched serving: each query carries its OWN metadata
+    * predicate ([[probedTopKWhere]]'s semantics at batch grain). The
+    * predicate folds into that query's eligibility mask — evaluated
+    * per row inside the single pruned scan, alongside the probed-cell
+    * membership — so P differently-filtered searches still cost ONE
+    * scan, and a row failing query i's filter can never enter query
+    * i's heap while remaining fully visible to query j. Bit-identical
+    * to P sequential [[probedTopKWhere]] calls (spec-asserted). Pass
+    * `preds = Nil` for unfiltered (≡ [[probedTopKBatch]]). */
+  def probedTopKBatchWhere(spark: SparkSession, h: Handle,
+                           queries: Seq[Array[Double]], nProbe: Int, k: Int,
+                           preds: Seq[org.apache.spark.sql.Column])
+      : IndexedSeq[Seq[(Long, Double)]] = {
+    require(preds.isEmpty || preds.size == queries.size,
+      s"preds size ${preds.size} != queries size ${queries.size}")
     if (queries.isEmpty) return IndexedSeq.empty
     val cellsPer = queries.map(q => probeCells(h, q, nProbe))
     val union = cellsPer.flatten.distinct.sorted
     val scan = prunedScan(spark, h, union)
-    val eligible = cellsPer.map(cs => col("cid").isin(cs.map(Integer.valueOf): _*))
+    val eligible = cellsPer.zipWithIndex.map { case (cs, i) =>
+      val inCells = col("cid").isin(cs.map(Integer.valueOf): _*)
+      if (preds.isEmpty) inCells else inCells && preds(i)
+    }
     Search.multiTopK(scan, "v", "id", queries, k, eligible = eligible,
       scoreExpr = (vd, q) => {
         var qn = 0.0; var j = 0

@@ -163,6 +163,34 @@ class IvfServeSpec extends SparkSpec {
       "filtered scan lost directory pruning")
   }
 
+  test("batched filtered serving == sequential probedTopKWhere, bit-identical") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfmetab").toString
+    val h = IvfIndex.write(emb, "embedding", "vec_id", path,
+      nCentroids = nCents, iters = 3, metaCols = Seq("label"))
+    val qs = Seq(0L, 3L, 7L, 11L).map { id =>
+      emb.filter(col("vec_id") === id).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+    }
+    // each query carries a DIFFERENT predicate — incl. one unfiltered
+    val preds = Seq(col("label") === 1, col("label") =!= 2,
+      col("label") < 5, lit(true))
+    val nProbe = 2; val k = 5
+    val batch = IvfIndex.probedTopKBatchWhere(spark, h, qs, nProbe, k, preds)
+    val seq = (qs, preds).zipped.map { (q, p) =>
+      IvfIndex.probedTopKWhere(spark, h, q, nProbe, k, p)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    (batch, seq).zipped.zipWithIndex.foreach { case ((b, s), i) =>
+      assert(b == s, s"query $i diverged:\nbatch $b\nseq   $s")
+    }
+    // and every served row matches its query's own filter
+    val labels = spark.read.parquet(path).select("id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    batch(0).foreach { case (id, _) => assert(labels(id) == 1) }
+    batch(1).foreach { case (id, _) => assert(labels(id) != 2) }
+  }
+
   test("index layout: one directory per cell + centroid sidecar reopens") {
     val (h, totalFiles) = built
     val cells = new java.io.File(h.path).listFiles()
