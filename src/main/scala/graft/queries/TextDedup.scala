@@ -600,6 +600,41 @@ object TextDedup {
                   ((cum - n) % $X12Budget) AS bin_offset
            FROM c ORDER BY doc_id"""))
 
+  // X25 token-window chunking — the RAG/pretraining document SPLITTER
+  // complementary to x12's packer: overlapping fixed-width token windows
+  // (width 16, stride 8), one output row per (doc, window). Entirely
+  // row-local — window starts are a sequence() over the token count,
+  // the chunk a slice() of the token array; the only shuffle is the
+  // determinism sort. At 100 TB chunking is a narrow flatMap whose
+  // output cardinality is ~n_tokens/stride per document — the shape
+  // that feeds an embedding-index build without ever collecting a doc.
+  private val X25Win = 16
+  private val X25Stride = 8
+  private val x25 = Q(
+    "x25_chunk_windows",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        // `/` is double division in Spark SQL; the cast truncates — equal
+        // to floor for the nonnegative token counts here
+        explode(sequence(lit(0),
+          ((size(col("t")) - 1) / X25Stride).cast("int"))).as("i"))
+      .withColumn("chunk", slice(col("t"), col("i") * X25Stride + 1, lit(X25Win)))
+      .select(col("doc_id"), col("i").cast("long").as("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id"),
+    Some(s"""WITH t AS (SELECT doc_id,
+               string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS tok
+             FROM documents),
+             w AS (SELECT doc_id, tok,
+               unnest(range(0, ((len(tok) - 1) // $X25Stride) + 1)) AS i
+             FROM t)
+             SELECT doc_id, i::BIGINT AS chunk_id,
+               len(tok[i*$X25Stride + 1 : i*$X25Stride + $X25Win])::BIGINT AS n_tokens,
+               array_to_string(tok[i*$X25Stride + 1 : i*$X25Stride + $X25Win], ' ') AS chunk_text
+             FROM w ORDER BY doc_id, chunk_id"""))
+
   // X13 TF-IDF keyword extraction — top-3 salient terms per document.
   // tf = term count in the doc, df = #docs containing the term,
   // idf = (N+1)/(df+1): the smoothed inverse-document-frequency RATIO.
@@ -1329,5 +1364,5 @@ object TextDedup {
 
   val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, d8, x1, x2, x3, x4, x5, x6, x7,
     x8, x9, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x23, x24,
-    st1, st2)
+    x25, st1, st2)
 }

@@ -31,7 +31,9 @@ class PlanSpec extends SparkSpec {
   }
 
   private val narrow = Seq("x1_token_count", "x2_quality_score",
-    "x5_bpe_token_count", "x16_pii_scrub")
+    "x5_bpe_token_count", "x16_pii_scrub",
+    // chunking explodes row-locally — the windows must never shuffle
+    "x25_chunk_windows")
 
   for (n <- narrow)
     test(s"$n: no hash-partitioning exchange — only the determinism sort") {
