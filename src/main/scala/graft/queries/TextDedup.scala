@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
-  private def tokens(text: Column): Column = split(trim(text), "\\s+")
+  private[queries] def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   // ---- dedup ----
 
@@ -61,15 +61,19 @@ object TextDedup {
              GROUP BY doc_id ORDER BY doc_id"""))
 
   /** Shared MinHash-signature plan for banding (2 bands × 4 hashes);
-    * signatures row-local, see above. */
-  private def bandedSigs(s: SparkSession, d: String): DataFrame = {
-    val sigs = withDistinctToks(Tables.spread(Tables.documents(s, d)))
+    * signatures row-local, see above. Over an arbitrary (doc_id, text)
+    * relation so pipeline compositions (x26) can band a FILTERED cohort. */
+  private def bandedSigsOf(docs: DataFrame): DataFrame = {
+    val sigs = withDistinctToks(docs)
       .select(col("doc_id") +:
         sigCols(8).map(j => minhash(col("__dtoks"), j).as(s"h$j")): _*)
     sigs
       .withColumn("band0", md5(concat(col("h0"), col("h1"), col("h2"), col("h3"))))
       .withColumn("band1", md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))))
   }
+
+  private def bandedSigs(s: SparkSession, d: String): DataFrame =
+    bandedSigsOf(Tables.spread(Tables.documents(s, d)))
 
   /** Single-scan band-salted bucket relation — the candidate-generation
     * input shared by d3 (pair scoring) and d8 (clustering); the salt

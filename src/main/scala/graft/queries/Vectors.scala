@@ -46,7 +46,13 @@ object Vectors {
             ORDER BY q_id, rk"""))
 
   // Embedding-cosine near-duplicate pairs, blocked by label (the exact
-  // oracle-checkable variant; LSH-blocked variant is sim2 + tests)
+  // oracle-checkable variant; LSH-blocked variant is sim2 + tests).
+  // τ = 0.4 is deliberately below a production near-dup threshold: the
+  // synthetic embeddings are near-random (max intra-label cosine ≈ 0.45
+  // at sf0.01 / 0.51 at sf0.1), so τ = 0.9 matched NOTHING at any scale
+  // and the differential was an empty-vs-empty vacuity. At 0.4 the row
+  // bites: 5 pairs at sf0.01, 86 at sf0.1, 860 at sf1 — every pair's
+  // score goes under the oracle hash.
   private val d5 = Q(
     "d5_embedding_neardup",
     (s, d) => {
@@ -65,7 +71,7 @@ object Vectors {
         .filter(col("a_id") < col("b_id"))
         .withColumn("score",
           round(Search.dot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n")), 5) + 0.0)
-        .filter(col("score") >= 0.9)
+        .filter(col("score") >= 0.4)
         .select(col("a_id"), col("b_id"), col("score"))
         .orderBy("a_id", "b_id")
     },
@@ -73,7 +79,7 @@ object Vectors {
             round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) + 0.0 AS score
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) >= 0.9
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) >= 0.4
             ORDER BY a_id, b_id"""))
 
   // A5 argmax-by (reference np.nanargmax, src/encode.py:155-157): per

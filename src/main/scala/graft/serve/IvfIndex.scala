@@ -31,6 +31,10 @@ object IvfIndex {
     * index and centroids on the very deployments the layout exists for. */
   def write(vectors: DataFrame, vecCol: String, idCol: String, path: String,
             nCentroids: Int, iters: Int, metaCols: Seq[String] = Nil): Handle = {
+    val reserved = metaCols.toSet.intersect(Set("id", "v", "vn", "cid"))
+    require(reserved.isEmpty,
+      s"metaCols ${reserved.mkString(", ")} collide with the index layout's " +
+        "reserved columns (id, v, vn, cid) — rename them before indexing")
     val cents = Search.ivfCentroids(vectors, vecCol, idCol, nCentroids, iters)
     vectors.filter(col(vecCol).isNotNull)
       .select(Seq(col(idCol).cast("long").as("id"),
@@ -43,8 +47,67 @@ object IvfIndex {
     Handle(path, cents)
   }
 
-  /** Reopen a written index from its sidecar — no scan, no refit. */
+  /** Crash-safe cell swap used by [[delete]] and [[compact]]: the freshly
+    * written `tmp` replaces the live `dir` with NO window where the cell's
+    * only copy sits in a hidden dot-directory that Spark reads skip.
+    * Ordering: move the live dir aside (`cid=N` → `.old-cid=N`), rename
+    * the tmp in, then delete the old copy; if the rename-in fails the old
+    * copy is restored so the index keeps serving its pre-swap state. A
+    * crash at any point leaves a recoverable copy — [[recover]] (run by
+    * [[open]] and at the start of every maintenance call) sweeps the
+    * leftovers.
+    *
+    * Atomicity caveat (single maintenance writer assumed): HDFS/posix
+    * `rename` is atomic; on object stores (s3a) rename is copy+delete, so
+    * the swap is crash-SAFE (no state becomes unrecoverable) but not
+    * crash-ATOMIC — a reader racing a mid-copy crash can see a partial
+    * cell until [[recover]] runs. Reopen (or call [[recover]]) after any
+    * maintenance crash before serving. */
+  private def swapCell(fs: org.apache.hadoop.fs.FileSystem,
+                       root: org.apache.hadoop.fs.Path,
+                       dir: org.apache.hadoop.fs.Path,
+                       tmp: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(root, s".old-${dir.getName}")
+    if (fs.exists(old)) fs.delete(old, true) // stale leftover, already superseded
+    if (!fs.rename(dir, old))
+      throw new java.io.IOException(s"move-aside $dir -> $old failed")
+    if (!fs.rename(tmp, dir)) {
+      fs.rename(old, dir) // restore the live copy before failing
+      throw new java.io.IOException(s"rename $tmp -> $dir failed; live cell restored")
+    }
+    fs.delete(old, true)
+  }
+
+  /** Sweep the leftovers of a maintenance crash (see [[swapCell]]):
+    * `.old-cid=N` with a live `cid=N` → the swap committed, drop the old
+    * copy; `.old-cid=N` without one → the swap never committed, restore
+    * it; a bare `.tmp-cid=N` → uncommitted write, drop it. Idempotent and
+    * free on a clean index (one directory listing). Returns the swept
+    * entry names. */
+  def recover(spark: SparkSession, path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Nil
+    val entries = fs.listStatus(root).toSeq.map(_.getPath)
+    val swept = scala.collection.mutable.ArrayBuffer.empty[String]
+    entries.filter(_.getName.startsWith(".old-cid=")).foreach { old =>
+      val live = new org.apache.hadoop.fs.Path(root, old.getName.stripPrefix(".old-"))
+      if (fs.exists(live)) fs.delete(old, true)
+      else if (!fs.rename(old, live))
+        throw new java.io.IOException(s"recovery rename $old -> $live failed")
+      swept += old.getName
+    }
+    entries.filter(_.getName.startsWith(".tmp-cid=")).foreach { tmp =>
+      fs.delete(tmp, true)
+      swept += tmp.getName
+    }
+    swept.toSeq
+  }
+
+  /** Reopen a written index from its sidecar — no scan, no refit. Sweeps
+    * any maintenance-crash leftovers first ([[recover]]). */
   def open(spark: SparkSession, path: String): Handle = {
+    recover(spark, path)
     val raw = readSidecar(spark, path, "_centroids.json")
     // strict parse of the [[...],[...]] doubles written above
     val cents = raw.trim.stripPrefix("[").stripSuffix("]")
@@ -598,13 +661,15 @@ object IvfIndex {
     * one pruned-by-nothing (id, cid) projection — at scale an id→cid map
     * usually rides in the caller's metadata, so `cids` can be passed to
     * skip even that scan — then each affected cid= directory is read,
-    * filtered, and atomically swapped (write to `.tmp`, rename over).
-    * Untouched directories' files are never opened: delete IO is
-    * proportional to the affected cells, not the index. Returns the
-    * number of affected cells. */
+    * filtered, and swapped in crash-safe order ([[swapCell]]: move live
+    * aside, rename tmp in, drop the old copy — the live cell is never the
+    * only copy of the data). Untouched directories' files are never
+    * opened: delete IO is proportional to the affected cells, not the
+    * index. Returns the number of affected cells. */
   def delete(spark: SparkSession, h: Handle, ids: Seq[Long],
              cids: Option[Seq[Int]] = None): Int = {
     if (ids.isEmpty) return 0
+    recover(spark, h.path)
     val idSet = ids.map(java.lang.Long.valueOf)
     val affected: Seq[Int] = cids.getOrElse {
       spark.read.parquet(h.path)
@@ -623,9 +688,7 @@ object IvfIndex {
         val survivors = spark.read.parquet(dir.toString)
           .filter(!col("id").isin(idSet: _*))
         survivors.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(dir, true)
-        if (!fs.rename(tmp, dir))
-          throw new java.io.IOException(s"rename $tmp -> $dir failed")
+        swapCell(fs, new org.apache.hadoop.fs.Path(h.path), dir, tmp)
       }
     }
     affected.size
@@ -636,14 +699,15 @@ object IvfIndex {
     * per (micro-batch × cell), and probed-query latency degrades with
     * file count (per-file open + footer read inside the probed
     * directories). Rewrite every cell whose file count exceeds
-    * `maxFilesPerCell` down to `targetFiles` files, with the same atomic
-    * tmp-rename swap as [[delete]] — cells under the threshold are never
-    * opened, so compaction IO is proportional to the fragmented cells
-    * only. Returns the compacted cell ids. */
+    * `maxFilesPerCell` down to `targetFiles` files, with the same
+    * crash-safe swap as [[delete]] ([[swapCell]]) — cells under the
+    * threshold are never opened, so compaction IO is proportional to the
+    * fragmented cells only. Returns the compacted cell ids. */
   def compact(spark: SparkSession, h: Handle, maxFilesPerCell: Int,
               targetFiles: Int = 1): Seq[Int] = {
     require(maxFilesPerCell >= 1 && targetFiles >= 1,
       s"bad compaction bounds: max=$maxFilesPerCell target=$targetFiles")
+    recover(spark, h.path)
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(h.path)
     val fs = root.getFileSystem(conf)
@@ -660,9 +724,7 @@ object IvfIndex {
       spark.read.parquet(dir.toString)
         .repartition(targetFiles)
         .write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(dir, true)
-      if (!fs.rename(tmp, dir))
-        throw new java.io.IOException(s"rename $tmp -> $dir failed")
+      swapCell(fs, root, dir, tmp)
       cid
     }.sorted
   }
@@ -873,7 +935,16 @@ object IvfIndex {
       val mid = (lo + hi) / 2
       if (recallAt(mid) >= target) hi = mid else lo = mid
     }
-    recallAt(hi)
+    // An infeasible target must be VISIBLE: without this check, hitting
+    // the maxShortlist ceiling returned (maxShortlist, curve) exactly like
+    // a successful calibration, and a caller could deploy believing the
+    // recall target is met.
+    val achieved = recallAt(hi)
+    if (achieved < target)
+      throw new IllegalStateException(
+        f"recall target $target%.3f infeasible on this tier: recall at " +
+          f"maxShortlist=$maxShortlist is $achieved%.3f — raise maxShortlist, " +
+          "nProbe, or the tier's fidelity")
     (hi, measured.toSeq.sortBy(_._1))
   }
 

@@ -55,6 +55,19 @@ case class BqSignature(child: Expression, thresholds: Array[Double])
 
   override protected def withNewChildInternal(newChild: Expression): BqSignature =
     copy(child = newChild)
+
+  // Array fields compare by REFERENCE under the synthesized case-class
+  // equals, so two expressions with identical thresholds never canonicalize
+  // equal and Catalyst's common-subexpression elimination can't dedup them
+  // (conservative, never incorrect — but free sharing lost). Compare the
+  // contents.
+  override def equals(other: Any): Boolean = other match {
+    case b: BqSignature =>
+      child == b.child && java.util.Arrays.equals(thresholds, b.thresholds)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(thresholds)
 }
 
 object BqSignature {

@@ -35,6 +35,18 @@ case class IvfAssign(child: Expression, cents: Array[Array[Double]])
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_ivf_assign"
 
+  // value equality over the centroid matrix (reference equality would stop
+  // canonicalization/CSE from ever matching two semantically equal assigns)
+  override def equals(other: Any): Boolean = other match {
+    case a: IvfAssign =>
+      child == a.child && java.util.Arrays.deepEquals(
+        cents.asInstanceOf[Array[AnyRef]], a.cents.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(cents.asInstanceOf[Array[AnyRef]])
+
   // |c|² per centroid, left-to-right — matches the literal form's driver loop
   @transient private lazy val centNorms: Array[Double] = cents.map { c =>
     var s = 0.0; var j = 0

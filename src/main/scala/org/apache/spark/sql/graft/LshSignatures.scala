@@ -30,6 +30,21 @@ case class LshSignatures(child: Expression, planes: Array[Array[Double]],
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_lsh_signatures"
 
+  // value equality over the plane matrix — the BqSignature/IvfAssign
+  // canonicalization fix (array fields otherwise compare by reference)
+  override def equals(other: Any): Boolean = other match {
+    case l: LshSignatures =>
+      child == l.child && nTables == l.nTables && nBits == l.nBits &&
+        java.util.Arrays.deepEquals(
+          planes.asInstanceOf[Array[AnyRef]], l.planes.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int = {
+    var h = 31 * child.hashCode() + nTables
+    h = 31 * h + nBits
+    31 * h + java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])
+  }
+
   def signPublic(v: ArrayData): Array[Long] = {
     val dim = v.numElements()
     val out = new Array[Long](nTables)

@@ -130,6 +130,23 @@ class BqServeSpec extends SparkSpec {
     }
   }
 
+  test("calibrateShortlistBq: an infeasible target THROWS instead of silently returning maxShortlist") {
+    val h = built
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val sample = Seq(3L, 7L, 11L).map { id =>
+      emb.filter(col("vec_id") === id).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+    }
+    // shortlist capped at k on the 64×-lossy binary tier: perfect recall is
+    // unreachable, and the old code returned (maxShortlist, curve) exactly
+    // like a success — a caller would deploy believing target met
+    val e = intercept[IllegalStateException] {
+      IvfIndex.calibrateShortlistBq(spark, h, sample,
+        nProbe = nCents, k = 5, target = 1.0, maxShortlist = 5)
+    }
+    assert(e.getMessage.contains("infeasible"))
+  }
+
   test("probed binary serving: sane recall at a 40-candidate shortlist") {
     val h = built
     val got = IvfIndex.probedTopKBq(spark, h, q0, nProbe = nCents,

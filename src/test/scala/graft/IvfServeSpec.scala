@@ -105,6 +105,60 @@ class IvfServeSpec extends SparkSpec {
     assert(rowsAfter == rowsBefore, "compaction changed the row set")
   }
 
+  test("recover: maintenance-crash leftovers are swept, every row restored") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfrec").toString
+    IvfIndex.write(emb, "embedding", "vec_id", path,
+      nCentroids = nCents, iters = 3)
+    val rows = spark.read.parquet(path).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val cells = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("cid="))
+      .map(_.getName.stripPrefix("cid=").toInt).sorted
+    assert(cells.length >= 3, "fixture needs >=3 cells")
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(path)
+    // crash A: tmp written, swap never started → must be dropped
+    val cA = cells(0)
+    Files.createDirectory(p.resolve(s".tmp-cid=$cA"))
+    // crash B: live dir moved aside, rename-in never happened → restore it
+    // (under the OLD delete-then-rename ordering this state was a silent
+    // data LOSS: the only copy sat in a hidden dir Spark reads skip)
+    val cB = cells(1)
+    Files.move(p.resolve(s"cid=$cB"), p.resolve(s".old-cid=$cB"))
+    // crash C: swap committed, old copy not yet deleted → drop the old
+    val cC = cells(2)
+    Files.createDirectory(p.resolve(s".old-cid=$cC"))
+    Files.write(p.resolve(s".old-cid=$cC").resolve("stale.bin"), Array[Byte](1, 2, 3))
+    // pre-recovery, the crashed-B cell's rows are INVISIBLE to a reader
+    val crashed = spark.read.parquet(path).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(crashed.size < rows.size, "hidden dir unexpectedly visible")
+    val swept = IvfIndex.recover(spark, path).toSet
+    assert(swept == Set(s".tmp-cid=$cA", s".old-cid=$cB", s".old-cid=$cC"))
+    assert(!Files.exists(p.resolve(s".tmp-cid=$cA")))
+    assert(Files.exists(p.resolve(s"cid=$cB")))
+    assert(!Files.exists(p.resolve(s".old-cid=$cB")))
+    assert(!Files.exists(p.resolve(s".old-cid=$cC")))
+    val after = spark.read.parquet(path).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(after == rows, "recovery lost or duplicated rows")
+    // open() runs the sweep implicitly
+    Files.createDirectory(p.resolve(s".tmp-cid=$cA"))
+    IvfIndex.open(spark, path)
+    assert(!Files.exists(p.resolve(s".tmp-cid=$cA")))
+  }
+
+  test("write rejects metaCols colliding with the reserved index layout") {
+    val emb = Tables.embeddings(spark, sf("sf0.001")).withColumn("cid", lit(1))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfbad").toString
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.write(emb, "embedding", "vec_id", path,
+        nCentroids = 2, iters = 1, metaCols = Seq("cid"))
+    }
+    assert(e.getMessage.contains("cid"))
+  }
+
   test("filtered search: metadata predicate pushes into the probed scan") {
     // metadata rides the index; the label predicate must (a) produce the
     // exact filtered ranking, (b) reach the parquet scan's PushedFilters
