@@ -80,6 +80,12 @@ object TextDedup {
     * prevents cross-band md5 equality from pairing docs. One definition so
     * the two queries (and their oracle twins) can never diverge on the
     * banding scheme. */
+  private[queries] def bandBucketsOf(docs: DataFrame): DataFrame =
+    bandedSigsOf(docs)
+      .select(col("doc_id"), explode(array(
+        concat(lit("0:"), col("band0")),
+        concat(lit("1:"), col("band1")))).as("bucket"))
+
   private def bandBuckets(s: SparkSession, d: String): DataFrame =
     bandedSigs(s, d)
       .select(col("doc_id"), explode(array(
@@ -115,7 +121,7 @@ object TextDedup {
     * twins' `range(1, len − n + 2)` is empty there too; an unguarded
     * `sequence` would run DESCENDING and hit index 0). Shared by d4
     * (bigrams), x6 (trigrams) and x11 (5-grams). */
-  private def wordNgrams(toks: Column, n: Int): Column =
+  private[queries] def wordNgrams(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
@@ -464,7 +470,7 @@ object TextDedup {
   /** Distinct md5 hashes of the document's word 5-grams ([[wordNgrams]];
     * `toks` MUST be a bound attribute — see the helper's aliasing note:
     * unaliased, this path measured 33 s instead of 0.3 s at sf0.1). */
-  private def gramHashes(toks: Column): Column =
+  private[queries] def gramHashes(toks: Column): Column =
     array_distinct(transform(wordNgrams(toks, X11N), g => md5(g)))
   private val x11 = Q(
     "x11_contamination",

@@ -201,6 +201,52 @@ class PlanSpec extends SparkSpec {
       s"x24's corpus rows should pay exactly the two window shuffles:\n$p")
   }
 
+  // r10 ask #8: rr1/rr2 run ≤50-row unpartitioned windows BY DESIGN — the
+  // safety claim is that every such window sits ABOVE the k-bounded top-k
+  // cut, so the corpus side never routes through a single partition. Pin
+  // it structurally: each zero-partitionSpec WindowExec must have a
+  // TakeOrderedAndProject (or a global Limit) somewhere in its subtree.
+  for (n <- Seq("rr1_rerank_pipeline", "rr2_geo_rerank"))
+    test(s"$n: unpartitioned rerank windows are k-bounded by the top-k cut") {
+      import org.apache.spark.sql.execution.window.WindowExec
+      import org.apache.spark.sql.execution.{BaseLimitExec, TakeOrderedAndProjectExec}
+      val p = sparkPlan(n)
+      val wins = p.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(wins.nonEmpty, s"$n lost its rerank windows entirely:\n$p")
+      wins.foreach { w =>
+        val bounded = w.collectFirst {
+          case t: TakeOrderedAndProjectExec => t
+          case l: BaseLimitExec => l
+        }
+        assert(bounded.nonEmpty,
+          s"$n has an unpartitioned window with NO k-bounding limit below it " +
+            s"— the corpus would flow through one partition:\n$w")
+      }
+    }
+
+  test("x26_training_manifest: manifest assembly reads from the persist joints, not parquet") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // the query fn runs its own staging actions (LM threshold, components)
+    // and persists the three fan-out joints; the FINAL assembly plan must
+    // read exclusively from those caches — a parquet scan here means some
+    // stage re-runs the whole chain above it (the 100-TB re-scan bug)
+    val q = Registry.all.find(_.name == "x26_training_manifest")
+      .getOrElse(fail("x26 not registered"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = q.fn(spark, dir).queryExecution.executedPlan
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      assert(scans.isEmpty,
+        s"x26's final assembly re-reads ${scans.size} parquet scan(s):\n$plan")
+      val cached = plan.collect { case c: InMemoryTableScanExec => c }
+      assert(cached.nonEmpty, s"x26 lost its persist joints:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("flip1 spine: broadcast gather, TakeOrderedAndProject top-k, one ingest window") {
     // the lazy lifecycle (the query fn materializes before closing the
     // engine, leaving only a LocalTableScan — lazySearch exposes the plan)
