@@ -186,13 +186,18 @@ object Vectors {
       val b = Search.lshBuckets(e, "embedding", Sim2Dim, Sim2Bits, Sim2Tables)
         .select(col("vec_id"), col("bucket"))
         .persist()
-      // candidate pairs ride the distinct as ONE packed long via the shared
+      // candidate pairs ride the dedup as ONE packed long via the shared
       // 64-bit-safe packer (Search.packPair: a<<32|b, sound to 2³² ids with
       // a loud overflow assert — d3 uses the same helper, so the dedup
       // family stays in lockstep). cappedBandPairs = the band-skew guard
-      // (oracle mirrors the cap).
-      val cand = Search.cappedBandPairs(b, "vec_id", "bucket")
-        .select(Search.packPair(col("a_id"), col("b_id")).as("pair")).distinct()
+      // (oracle mirrors the cap). The dedup is the SPILL-FRIENDLY
+      // sort-based distinctLongs, not a hash distinct: the partial-agg
+      // allocation spike lost this query once on the 4g memory-pressure
+      // boundary (r10), while the external sort spills incrementally.
+      val cand = Search.distinctLongs(
+          Search.cappedBandPairs(b, "vec_id", "bucket")
+            .select(Search.packPair(col("a_id"), col("b_id")).as("pair")),
+          "pair")
         .select(Search.unpackPair(col("pair")): _*)
       // L2 norms hoisted to the per-VECTOR side (n rows) instead of per
       // PAIR (d5's trick) — cosine per candidate is then ONE dot product,

@@ -290,6 +290,40 @@ object Search {
     shiftrightunsigned(pair, 32).as("a_id"),
     pair.bitwiseAND(lit(MaxPackableId - 1L)).as("b_id"))
 
+  /** SPILL-FRIENDLY distinct on one LONG key column (the packed-pair
+    * dedup of d3/d7): exchange on the key, EXTERNAL sort within
+    * partitions, then a streaming adjacent-value dedup.
+    *
+    * `distinct()` plans partial + final hash aggregates; on candidate
+    * PAIRS the partial map buffers nearly every input row (cross-band
+    * duplication is small, so pre-aggregation barely reduces) and its
+    * allocation spike at constrained heaps is exactly what lost d7's
+    * bucket join on the 4g memory-pressure boundary (BASELINE.md r10
+    * note). The sort shape has no hash map at all: UnsafeExternalSorter
+    * spills incrementally, so peak memory is bounded by the sorter's
+    * page budget regardless of pair count, and the dedup itself is a
+    * constant-state iterator over the sorted run. Same row set,
+    * bit-identical downstream. */
+  def distinctLongs(df: DataFrame, c: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(c).cast("long"))
+      .repartition(col(c))
+      .sortWithinPartitions(c)
+      .as[Long]
+      .mapPartitions { it =>
+        var first = true
+        var prev = 0L
+        it.filter { v =>
+          val keep = first || v != prev
+          first = false
+          prev = v
+          keep
+        }
+      }
+      .toDF(c)
+  }
+
   /** Default per-bucket cap for [[cappedBandPairs]] — far above any bucket
     * a healthy corpus produces at the configured band widths, so results
     * are identical to the uncapped join unless the data is degenerate. */

@@ -115,6 +115,49 @@ object IvfServeBench {
     val tBatchMrl = med5(IvfIndex.probedTopKMrlBatch(spark, hm, batchQ, 2, 10, shortlist = 40))
     println(f"[ivf] mrl(prefix=16, nProbe=2, shortlist=40) $tMrl%.3f s; batch P=${batchQ.size}: " +
       f"batched $tBatchMrl%.3f s vs sequential $tSeqMrl%.3f s = ${tBatchMrl / tSeqMrl}%.2fx")
+    // r10 ask #5: serving under MAINTENANCE CHURN — batched probes racing
+    // append + compact cycles on the same index. A probe that loses the
+    // listing race to a compaction swap fails LOUDLY (never a silent
+    // partial cell — ConcurrentServeSpec machine-checks that) and is
+    // retried, the serving contract; this row measures what the churn
+    // and retries cost wall-clock next to the quiet batch latency above.
+    locally {
+      import org.apache.spark.sql.functions._
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      @volatile var stop = false
+      val churn = Future {
+        var i = 0
+        while (!stop) {
+          // the appendStream landing shape in batch form: assign against
+          // the fixed centroids, append small files into cid= dirs
+          emb.filter(col("vec_id") < 8)
+            .select((col("vec_id") + 900000L + i * 100L).cast("long").as("id"),
+              graft.search.Search.asDouble(col("embedding")).as("v"))
+            .withColumn("vn", graft.search.Search.l2Norm(col("v")))
+            .withColumn("cid", graft.search.Search.ivfAssign(col("v"), h.centroids))
+            .write.mode("append").partitionBy("cid").parquet(h.path)
+          IvfIndex.compact(spark, h, maxFilesPerCell = 4)
+          i += 1
+        }
+        i
+      }
+      var ok = 0
+      var retried = 0
+      val c0 = System.nanoTime()
+      while (ok < 10) {
+        try { IvfIndex.probedTopKBatch(spark, h, batchQ, 2, 10); ok += 1 }
+        catch { case _: Throwable => retried += 1 }
+      }
+      val perBatch = (System.nanoTime() - c0) / 1e9 / ok
+      stop = true
+      val cycles = Await.result(churn, 600.seconds)
+      println(f"[ivf] churn: batch P=${batchQ.size} nProbe=2 under $cycles " +
+        f"append+compact cycles: $perBatch%.3f s/batch (quiet $tBatch%.3f s), " +
+        f"$retried loud retries")
+    }
     spark.stop()
   }
 }

@@ -44,6 +44,24 @@ class PairPackingSpec extends SparkSpec {
     assert(pairs.toSeq == expected)
   }
 
+  test("distinctLongs == hash distinct (the d7 spill-friendly dedup), incl. sign-bit longs") {
+    import spark.implicits._
+    // duplicates across partitions, negative packed values (a_id >= 2^31),
+    // Long.MinValue-adjacent values, and a value equal to the dedup
+    // iterator's prev-init (0L) first in its partition
+    val vals = Seq(0L, 0L, 1L, -1L, Long.MinValue, Long.MinValue + 1,
+      Long.MaxValue, 42L, 42L, 42L, -5000000000L, -5000000000L, 7L)
+    val df = vals.toDF("pair").repartition(5)
+    val sortBased = Search.distinctLongs(df, "pair")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val hashBased = df.distinct().collect().map(_.getLong(0)).sorted.toSeq
+    assert(sortBased == hashBased)
+    assert(sortBased == vals.distinct.sorted)
+    // plan shape: no hash aggregate — the whole point is the external sort
+    val p = Search.distinctLongs(df, "pair").queryExecution.executedPlan.toString
+    assert(!p.contains("HashAggregate"), s"distinctLongs regressed to hash agg:\n$p")
+  }
+
   test("packed order is NOT pair order past 2^31 — sort must use unpacked cols") {
     import spark.implicits._
     // (2^31, x) packs negative, (1, y) packs positive: packed asc would

@@ -1,0 +1,106 @@
+package graft
+
+import graft.serve.{IvfIndex, ServingPlanner}
+import org.apache.spark.sql.functions._
+
+/** One-call serving configuration (VERDICT r10 ask #7): choose() must
+  * return a MEASURED plan meeting the recall target inside the memory
+  * budget, prefer the most compressed passing tier, and make
+  * infeasibility visible instead of under-delivering silently.
+  */
+class ServingPlannerSpec extends SparkSpec {
+
+  private val nCents = 8
+  private val dim = 64
+  private val k = 5
+
+  private lazy val tiers: ServingPlanner.Tiers = {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    def tmp(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"graft-plan-$tag").toString
+    ServingPlanner.Tiers(
+      flat = IvfIndex.write(emb, "embedding", "vec_id", tmp("flat"),
+        nCentroids = nCents, iters = 3),
+      sq = Some(IvfIndex.writeSq(emb, "embedding", "vec_id", tmp("sq"),
+        nCentroids = nCents, iters = 3, dim = dim)),
+      pq = Some(IvfIndex.writePq(emb, "embedding", "vec_id", tmp("pq"),
+        nCentroids = nCents, iters = 3, dim = dim, m = 8, ksub = 16,
+        pqIters = 3)),
+      bq = Some(IvfIndex.writeBq(emb, "embedding", "vec_id", tmp("bq"),
+        nCentroids = nCents, iters = 3, dim = dim)),
+      mrl = Some(IvfIndex.writeMrl(emb, "embedding", "vec_id", tmp("mrl"),
+        nCentroids = nCents, iters = 3, prefixDim = 16)))
+  }
+
+  private lazy val sample: Seq[Array[Double]] = {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    Seq(3L, 7L, 11L, 15L).map { id =>
+      emb.filter(col("vec_id") === id).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+    }
+  }
+
+  test("choose meets the target, verified by an independent re-measurement") {
+    val plan = ServingPlanner.choose(spark, tiers, dim, sample, k,
+      recallTarget = 0.6, memoryBudgetBytesPerRow = dim * 8, maxShortlist = 64)
+    info(s"plan: ${plan.tier} nProbe=${plan.nProbe} shortlist=${plan.shortlist} " +
+      f"bytes=${plan.bytesPerRow} recall=${plan.measuredRecall}%.3f")
+    assert(plan.measuredRecall >= 0.6)
+    assert(plan.bytesPerRow <= dim * 8)
+    // re-measure the chosen config OURSELVES against the exact index —
+    // the plan's recall claim must reproduce, not just be self-reported
+    val truth = IvfIndex.probedTopKBatch(spark, tiers.flat, sample, nCents, k)
+      .map(_.map(_._1).toSet)
+    val got: IndexedSeq[Seq[(Long, Double)]] = plan.tier match {
+      case "binary" => IvfIndex.probedTopKBqBatch(spark, tiers.bq.get, sample,
+        plan.nProbe, k, plan.shortlist.get)
+      case "pq" => IvfIndex.probedTopKBatchAdc(spark, tiers.pq.get, sample,
+        plan.nProbe, k)
+      case "mrl" => IvfIndex.probedTopKMrlBatch(spark, tiers.mrl.get, sample,
+        plan.nProbe, k, plan.shortlist.get)
+      case "sq8" => IvfIndex.probedTopKBatchSq(spark, tiers.sq.get, sample,
+        plan.nProbe, k)
+      case "flat" => IvfIndex.probedTopKBatch(spark, tiers.flat, sample,
+        plan.nProbe, k)
+      case t => fail(s"unknown tier $t")
+    }
+    val re = (got, truth).zipped.map { (g, e) =>
+      g.count(t => e(t._1)).toDouble / e.size
+    }.sum / sample.size
+    assert(math.abs(re - plan.measuredRecall) < 1e-12,
+      s"plan recall ${plan.measuredRecall} does not reproduce: $re")
+  }
+
+  test("the planner prefers the most compressed passing tier") {
+    // a lax target everything passes at full knobs: the winner must be the
+    // CHEAPEST tier by bytes/row that measured over the bar
+    val plan = ServingPlanner.choose(spark, tiers, dim, sample, k,
+      recallTarget = 0.2, memoryBudgetBytesPerRow = dim * 8, maxShortlist = 64)
+    // binary is 8 bytes at dim=64 and its shortlist=64 ceiling clears 0.2
+    // on this corpus (BqServeSpec's floor is 0.2 at shortlist 40)
+    assert(plan.bytesPerRow <= 16,
+      s"lax target should pick a compressed tier, got ${plan.tier} at ${plan.bytesPerRow} B/row")
+  }
+
+  test("a tight memory budget excludes heavy tiers from the plan") {
+    val plan = ServingPlanner.choose(spark, tiers, dim, sample, k,
+      recallTarget = 0.2, memoryBudgetBytesPerRow = 16, maxShortlist = 64)
+    assert(plan.bytesPerRow <= 16, s"budget violated: ${plan.bytesPerRow}")
+    assert(Set("binary", "pq").contains(plan.tier), s"tier ${plan.tier} over budget")
+  }
+
+  test("perfect recall within a full budget resolves to the exact flat tier") {
+    val plan = ServingPlanner.choose(spark, tiers, dim, sample, k,
+      recallTarget = 1.0, memoryBudgetBytesPerRow = dim * 8, maxShortlist = 8)
+    // flat at nProbe=nCentroids IS the truth ranking — always feasible
+    assert(plan.measuredRecall == 1.0)
+  }
+
+  test("infeasibility throws with the best measured alternative, never under-delivers") {
+    val e = intercept[IllegalStateException] {
+      ServingPlanner.choose(spark, tiers, dim, sample, k,
+        recallTarget = 0.6, memoryBudgetBytesPerRow = 4, maxShortlist = 64)
+    }
+    assert(e.getMessage.contains("bytes/row"))
+  }
+}
