@@ -69,9 +69,16 @@ object LangId {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Predicted language code column (`en|de|es|fr|und`). */
-  def langId(text: Column): Column = {
-    val tris = trigrams(text)
+  /** Predicted language code column (`en|de|es|fr|und`) over a PRE-BOUND
+    * trigram-array attribute. `tris` MUST be a bound column (the x11
+    * aliasing lesson): the four per-language filters each reference it,
+    * and an unbound trigram EXPRESSION would re-run the padding regex
+    * once per trigram POSITION per language — O(len²·langs) per row, the
+    * exact trap [[langIdSqlOver]]'s doc records for the naive twin. The
+    * inlined form measured 282 s for the sf1 gate projection; bound, the
+    * same stage is ~2 s. Use [[annotate]] unless you already hold bound
+    * trigrams. */
+  def langIdOfTris(tris: Column): Column = {
     val scores = profiles.map { case (l, prof) =>
       l -> size(filter(tris, t => t.isin(prof: _*)))
     }
@@ -81,6 +88,30 @@ object LangId {
       when(sc === best && best > 0, lit(l)).otherwise(acc)
     }
   }
+
+  /** `df` plus a language-prediction column: binds the padded text (one
+    * regex evaluation per row) and the trigram array (one transform per
+    * row) as real attributes before scoring — CollapseProject keeps
+    * non-cheap aliases in their own projection, so the binding survives
+    * optimization. This is THE entry point for language-ID; the raw
+    * expression composition is quadratic (see [[langIdOfTris]]). */
+  def annotate(df: org.apache.spark.sql.DataFrame, textCol: String,
+               outCol: String): org.apache.spark.sql.DataFrame = {
+    val pad = "__langid_pad"
+    val tris = "__langid_tris"
+    df.withColumn(pad, padded(col(textCol)))
+      .withColumn(tris,
+        when(length(col(pad)) >= 3,
+          transform(sequence(lit(1), length(col(pad)) - 2),
+            i => substring(col(pad), i, lit(3))))
+          .otherwise(array().cast("array<string>")))
+      .withColumn(outCol, langIdOfTris(col(tris)))
+      .drop(pad, tris)
+  }
+
+  /** Single-Column form, kept for expression-level composition on SHORT
+    * inputs (specs, fixtures): pays the quadratic inlining above. */
+  def langId(text: Column): Column = langIdOfTris(trigrams(text))
 
   /** DuckDB twin of [[langId]] over `documents`: same profiles AND the
     * same [[KeepChars]] normalization class (RE2 accepts literal accented

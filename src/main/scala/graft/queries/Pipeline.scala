@@ -42,17 +42,21 @@ import org.apache.spark.sql.functions._
   *   you would swap the exact k-th statistic for a t-digest quantile
   *   with a documented tolerance; the exact form is what an oracle can
   *   hash.
-  * - FUZZY DEDUP verifies candidates before clustering: d8's raw
-  *   star-edge components are the right semantics for true near-dup
-  *   corpora, but this corpus's tiny shared vocabulary makes random
-  *   docs' token SETS ~0.6 Jaccard, collapsing 94% of it into one
-  *   LSH component (measured). Word-bigram SHINGLES separate perfectly
-  *   (noise ~0.035, injected near-dups ≥0.98), so the pipeline scores
-  *   each capped candidate pair (Search.cappedBandPairs — the d3 skew
-  *   guard, mirrored in the twin) and keeps edges with shingle Jaccard
-  *   ≥ 0.8 — the SlimPajama/RefinedWeb candidate→verify→cluster shape.
-  *   Components over verified edges stay near-singleton, which also
-  *   keeps the twin's recursive label closure linear.
+  * - FUZZY DEDUP bands over SHINGLES and verifies before clustering:
+  *   d8's token-set star-edge components are the right semantics for
+  *   true near-dup corpora, but this corpus's tiny shared vocabulary
+  *   makes random docs' token SETS ~0.6 Jaccard — token banding
+  *   collapsed 94% of sf0.01 into one LSH component and still produced
+  *   10⁵–10⁶ candidate pairs per scale under 16-hash bands. Word-bigram
+  *   SHINGLES separate perfectly (noise ~0.035, injected near-dups
+  *   ≥0.98), so the MinHash signatures are computed over the shingle
+  *   sets (max bucket 2 at sf0.1 / 20 at sf1, measured), candidates go
+  *   through the d3 skew cap (Search.cappedBandPairs, mirrored in the
+  *   twin) and the d7 spill-friendly packed-pair dedup, and edges keep
+  *   only shingle Jaccard ≥ 0.8 — the SlimPajama/RefinedWeb
+  *   candidate→verify→cluster shape. Components over verified edges
+  *   stay near-singleton (≈10-replica clusters on the scaled data),
+  *   which also keeps the twin's recursive label closure linear.
   * - PERSIST BOUNDARIES sit at the three fan-out joints — the gate
   *   cohort (scanned by the LM fit, the count, and the threshold top-k),
   *   the exact-dedup survivors (banding scan + shingle scan + component
@@ -81,11 +85,14 @@ object Pipeline {
   private def x26Frame(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val raw = Tables.documents(s, d)
 
-    // ---- signals: one row-local projection over the training cohort ----
-    val sig = raw
-      .filter(col("doc_id") >= ProbeCap && col("lang") === "en")
-      .select(col("doc_id"), col("source"), col("text"),
-        LangId.langId(col("text")).as("lang_pred"),
+    // ---- signals: row-local projections over the training cohort; the
+    // langid annotation binds its padded text + trigram array as real
+    // attributes (LangId.annotate) — the inlined expression form was
+    // O(len²·langs) per row and cost 282 s of the sf1 chain by itself ----
+    val sig = LangId.annotate(
+        raw.filter(col("doc_id") >= ProbeCap && col("lang") === "en"),
+        "text", "lang_pred")
+      .select(col("doc_id"), col("source"), col("text"), col("lang_pred"),
         org.apache.spark.sql.graft.TokenCount.tokenCount(col("text"))
           .cast("long").as("n_tokens"),
         (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
@@ -121,21 +128,44 @@ object Pipeline {
       .drop("__h", "__keep")
       .persist()
 
-    // ---- fuzzy dedup: LSH candidates → shingle-Jaccard verify → CC ----
-    val buckets = TextDedup.bandBucketsOf(exact.select("doc_id", "text")).persist()
-    val cand = graft.search.Search.cappedBandPairs(buckets, "doc_id", "bucket")
-      .select(graft.search.Search.packPair(col("a_id"), col("b_id")).as("pair"))
-      .distinct()
-      .select(graft.search.Search.unpackPair(col("pair")): _*)
+    // ---- fuzzy dedup: SHINGLE-minhash LSH candidates → Jaccard verify → CC ----
+    // MinHash runs over the word-bigram SHINGLE sets, not token sets: this
+    // corpus's tiny vocabulary makes long documents' token SETS nearly
+    // identical (token-set banding put 94% of sf0.01 in one bucket, and
+    // still produced 10⁵–10⁶ candidate pairs per scale under 16-hash
+    // bands), while the shingle space separates cleanly — random-doc
+    // shingle Jaccard ≈ 0.035, so a 4-hash band collides noise pairs at
+    // ~0.035⁴ and buckets stay single-digit (max bn 2 at sf0.1, 20 at
+    // sf1, measured). The shingle arrays are computed ONCE and shared by
+    // the signatures and the verification join.
     val shingles = exact.select(col("doc_id"),
       array_distinct(TextDedup.wordNgrams(
         TextDedup.tokens(col("text")), 2)).as("sh"))
+      .persist()
+    // empty shingle arrays (sub-2-token docs — impossible past the
+    // MinTokens gate, guarded anyway) would band into a shared NULL
+    // bucket; the twin simply has no rows for them
+    val sigs = shingles.filter(size(col("sh")) > 0).select(col("doc_id") +:
+      (0 until 8).map(j =>
+        array_min(transform(col("sh"), g => md5(concat(lit(s"$j:"), g))))
+          .as(s"h$j")): _*)
+    val buckets = sigs.select(col("doc_id"), explode(array(
+        concat(lit("0:"), md5(concat(col("h0"), col("h1"), col("h2"), col("h3")))),
+        concat(lit("1:"), md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))))))
+      .as("bucket")).persist()
+    // packed-pair dedup via the spill-friendly sort shape (the d7 fix)
+    val cand = graft.search.Search.distinctLongs(
+        graft.search.Search.cappedBandPairs(buckets, "doc_id", "bucket")
+          .select(graft.search.Search.packPair(col("a_id"), col("b_id")).as("pair")),
+        "pair")
+      .select(graft.search.Search.unpackPair(col("pair")): _*)
     val verified = cand
       .join(shingles.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(shingles.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .filter(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
         size(array_union(col("a_sh"), col("b_sh"))) >= JaccardTau)
       .select(col("a_id"), col("b_id"))
+      .persist()
     val comps = graft.dedup.Components.connectedComponents(verified, "a_id", "b_id")
     // assign() projects to (id, comp_id, comp_size); join the surviving
     // representatives back onto the full survivor attributes
@@ -218,13 +248,16 @@ object Pipeline {
                  WHERE lm_rank > (n_g1 // $LmDropFrac)),
        dd AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM gate2),
        exact AS MATERIALIZED (SELECT * EXCLUDE (keep_id) FROM dd WHERE doc_id = keep_id),
-       tok AS (SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS tok FROM exact),
+       shg AS MATERIALIZED (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS sh
+               FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS tk FROM exact)),
+       shu AS (SELECT doc_id, unnest(sh) AS g FROM shg),
        msig AS (SELECT doc_id,
-               min(md5('0:' || tok)) AS h0, min(md5('1:' || tok)) AS h1,
-               min(md5('2:' || tok)) AS h2, min(md5('3:' || tok)) AS h3,
-               min(md5('4:' || tok)) AS h4, min(md5('5:' || tok)) AS h5,
-               min(md5('6:' || tok)) AS h6, min(md5('7:' || tok)) AS h7
-               FROM tok GROUP BY doc_id),
+               min(md5('0:' || g)) AS h0, min(md5('1:' || g)) AS h1,
+               min(md5('2:' || g)) AS h2, min(md5('3:' || g)) AS h3,
+               min(md5('4:' || g)) AS h4, min(md5('5:' || g)) AS h5,
+               min(md5('6:' || g)) AS h6, min(md5('7:' || g)) AS h7
+               FROM shu GROUP BY doc_id),
        buck AS (SELECT doc_id, '0:' || md5(h0 || h1 || h2 || h3) AS bucket FROM msig
                 UNION ALL SELECT doc_id, '1:' || md5(h4 || h5 || h6 || h7) FROM msig),
        bstat AS (SELECT bucket, count(*) AS bn, min(doc_id) AS rep FROM buck GROUP BY 1),
@@ -236,9 +269,6 @@ object Pipeline {
                   SELECT s.rep, a.doc_id FROM buck a
                   JOIN bstat s ON s.bucket = a.bucket
                   WHERE s.bn > ${graft.search.Search.LshBucketCap} AND a.doc_id <> s.rep)),
-       shg AS (SELECT doc_id,
-                 list_distinct(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS sh
-               FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS tk FROM exact)),
        ver AS (SELECT c.a_id, c.b_id FROM cand c
                JOIN shg a ON a.doc_id = c.a_id JOIN shg b ON b.doc_id = c.b_id
                WHERE len(list_intersect(a.sh, b.sh))::DOUBLE

@@ -309,8 +309,8 @@ object TextDedup {
   // profile tables.
   private val x3 = Q(
     "x3_language_id",
-    (s, d) => Tables.documents(s, d)
-      .select(col("doc_id"), LangId.langId(col("text")).as("lang_pred"))
+    (s, d) => LangId.annotate(Tables.documents(s, d), "text", "lang_pred")
+      .select(col("doc_id"), col("lang_pred"))
       .orderBy("doc_id"),
     Some(LangId.langIdSql))
 
@@ -323,10 +323,12 @@ object TextDedup {
     "x8_langid_accented",
     (s, _) => {
       import s.implicits._
-      LangId.fixture.zipWithIndex
-        .map { case ((_, text), i) => (i.toLong, text) }
-        .toDF("doc_id", "text")
-        .select(col("doc_id"), LangId.langId(col("text")).as("lang_pred"))
+      LangId.annotate(
+          LangId.fixture.zipWithIndex
+            .map { case ((_, text), i) => (i.toLong, text) }
+            .toDF("doc_id", "text"),
+          "text", "lang_pred")
+        .select(col("doc_id"), col("lang_pred"))
         .orderBy("doc_id")
     },
     Some(LangId.langIdSqlOver(LangId.fixtureRel)))
