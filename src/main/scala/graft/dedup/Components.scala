@@ -23,6 +23,69 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** [[connectedComponents]] with a SIZE-GATED driver-local fast path:
+    * one count over the edge relation decides — at or under
+    * `localEdgeCap` edges the graph collects to the driver and a
+    * union-find labels it in milliseconds; above the cap the distributed
+    * pointer-jumping loop runs unchanged.
+    *
+    * Why: the distributed loop costs ~7–10 s per convergence round at
+    * local[32] in pure scheduling (5 shuffle stages + an eager
+    * checkpoint + a convergence count per round) REGARDLESS of edge
+    * count — the right price for a billion-edge graph, absurd for the
+    * 51 verified near-dup pairs a clean corpus yields (x26's fuzzy
+    * stage paid 20+ s of fixed overhead on it). The gate is an explicit
+    * EDGE-COUNT bound, not an assumption: a 100-TB corpus whose dup
+    * rate produces billions of candidate edges takes the distributed
+    * path automatically, and the cap (default 1M edges = 16 MB of
+    * packed longs on the driver) is the same order as a broadcast-join
+    * threshold. Identical labeling semantics (comp = min reachable id;
+    * equality spec-asserted against the distributed path on mixed
+    * clique/chain/star graphs). */
+  def connectedComponentsAuto(edges: DataFrame, aCol: String, bCol: String,
+                              localEdgeCap: Long = 1000000L): DataFrame = {
+    val n = edges.count()
+    if (n > localEdgeCap) return connectedComponents(edges, aCol, bCol)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val pairs = edges.select(
+      col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .collect().map { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          s"null or non-numeric id in connectedComponentsAuto($aCol,$bCol)")
+        (r.getLong(0), r.getLong(1))
+      }
+    // union-find with path halving; roots resolved, then component label
+    // = min member id (the distributed fixpoint's exact semantics)
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.get(x)
+      while (p != x) {
+        val gp = parent.get(p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.get(x)
+      }
+      x
+    }
+    pairs.foreach { case (a, b) =>
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val byRoot = new java.util.HashMap[Long, Long]() // root -> min member
+    parent.keySet().forEach { v =>
+      val r = find(v)
+      val cur = byRoot.getOrDefault(r, Long.MaxValue)
+      if (v < cur) byRoot.put(r, v)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    parent.keySet().forEach { v => out += ((v, byRoot.get(find(v)))) }
+    out.toSeq.toDF("id", "comp")
+  }
+
   /** (id, comp) for every node appearing in `edges` (undirected); comp =
     * min node id in the connected component. Iterates to the fixpoint
     * (bounded by `maxIter`, loud failure if not converged — never a

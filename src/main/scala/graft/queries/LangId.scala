@@ -90,23 +90,21 @@ object LangId {
   }
 
   /** `df` plus a language-prediction column: binds the padded text (one
-    * regex evaluation per row) and the trigram array (one transform per
-    * row) as real attributes before scoring — CollapseProject keeps
-    * non-cheap aliases in their own projection, so the binding survives
-    * optimization. This is THE entry point for language-ID; the raw
-    * expression composition is quadratic (see [[langIdOfTris]]). */
+    * regex evaluation per row) as a real attribute — CollapseProject
+    * keeps non-cheap aliases in their own projection, so the binding
+    * survives optimization — then scores it with the native
+    * [[org.apache.spark.sql.graft.LangIdPick]] hash-set pass (one scan
+    * of the string, no trigram array, no 180-literal isin chains;
+    * semantics == [[langIdOfTris]], parity spec-asserted). This is THE
+    * entry point for language-ID; the raw expression composition is
+    * quadratic (see [[langIdOfTris]]). */
   def annotate(df: org.apache.spark.sql.DataFrame, textCol: String,
                outCol: String): org.apache.spark.sql.DataFrame = {
     val pad = "__langid_pad"
-    val tris = "__langid_tris"
     df.withColumn(pad, padded(col(textCol)))
-      .withColumn(tris,
-        when(length(col(pad)) >= 3,
-          transform(sequence(lit(1), length(col(pad)) - 2),
-            i => substring(col(pad), i, lit(3))))
-          .otherwise(array().cast("array<string>")))
-      .withColumn(outCol, langIdOfTris(col(tris)))
-      .drop(pad, tris)
+      .withColumn(outCol, org.apache.spark.sql.graft.LangIdPick.pick(
+        col(pad), profiles.map { case (l, p) => (l, p.toSet) }))
+      .drop(pad)
   }
 
   /** Single-Column form, kept for expression-level composition on SHORT

@@ -166,7 +166,12 @@ object Pipeline {
         size(array_union(col("a_sh"), col("b_sh"))) >= JaccardTau)
       .select(col("a_id"), col("b_id"))
       .persist()
-    val comps = graft.dedup.Components.connectedComponents(verified, "a_id", "b_id")
+    // size-gated CC: the verified near-dup graph of a clean corpus is
+    // tiny (51 edges at sf0.1, ~100k at sf1) and the distributed loop's
+    // per-round scheduling would dominate the whole query; past the 1M-
+    // edge gate the pointer-jumping path runs unchanged (d8 exercises it
+    // under the hash)
+    val comps = graft.dedup.Components.connectedComponentsAuto(verified, "a_id", "b_id")
     // assign() projects to (id, comp_id, comp_size); join the surviving
     // representatives back onto the full survivor attributes
     val reps = graft.dedup.Components.assign(exact, "doc_id", comps)

@@ -1320,32 +1320,38 @@ object TextDedup {
     * EXACT query path. */
   def charLmScores(documents: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graft.CharLmScore
     val norm = regexp_replace(lower(col("text")), "[^a-z ]", "")
     val docs = documents.select(col("doc_id"), norm.as("t"))
+    // FIT: one explode → bounded aggregation (≤ 27³ cells after the
+    // map-side combine — the corpus-size-independent model state).
     // sequence(1, 0) would DESCEND in Spark — guard short strings out
     val tri = docs.select(col("doc_id"),
         explode(when(length(col("t")) >= 3,
           transform(sequence(lit(1), length(col("t")) - 2),
             i => col("t").substr(i, lit(3))))
           .otherwise(lit(null).cast("array<string>"))).as("g"))
-    val c3 = tri.groupBy(col("g")).agg(count(lit(1)).as("n3"))
-    val c2 = c3.groupBy(substring(col("g"), 1, 2).as("g2"))
-      .agg(sum(col("n3")).as("n2"))
-    import org.apache.spark.sql.types.DecimalType
-    val scored = tri
-      .join(broadcast(c3), "g")
-      .join(broadcast(c2), substring(col("g"), 1, 2) === col("g2"))
-      .withColumn("p",
-        (col("n3") + 1).cast("double") / (col("n2") + 27).cast("double"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_trigrams"),
-        (round(sum(col("p").cast(DecimalType(28, 12))).cast("double") /
-          count(lit(1)), 6) + 0.0).as("lm_score"))
-    documents.select(col("doc_id"))
-      .join(scored, Seq("doc_id"), "left")
+    // bounded collect (≤ 19 683 rows — the Profiler capped-vocab
+    // precedent): the fitted model becomes two int-indexed arrays riding
+    // the SCORING expression, so scoring is a narrow row-local pass —
+    // no second explode, no broadcast joins, no per-doc decimal re-agg
+    // (that pipeline shuffled ~600 rows/doc back to doc grain and was
+    // 17 s of x26's sf1 chain; this shape is sub-second).
+    val n3 = new Array[Long](27 * 27 * 27)
+    val n2 = new Array[Long](27 * 27)
+    tri.groupBy(col("g")).agg(count(lit(1)).as("n3")).collect().foreach { r =>
+      val i = CharLmScore.cellIndex(r.getString(0))
+      n3(i) = r.getLong(1)
+      n2(i / 27) += r.getLong(1)
+    }
+    // per-position p, decimal-exact sum and the mean replicate the joined
+    // form's arithmetic bit-for-bit (see CharLmScore's scaladoc) — the
+    // x23 oracle hash is the cross-engine witness
+    docs
+      .select(col("doc_id"), CharLmScore.score(col("t"), n3, n2).as("s"))
       .select(col("doc_id"),
-        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
-        col("lm_score"))
+        col("s.n").as("n_trigrams"),
+        (round(col("s.mean"), 6) + 0.0).as("lm_score"))
       .orderBy("doc_id")
   }
 

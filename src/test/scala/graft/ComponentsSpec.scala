@@ -85,6 +85,25 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponentsAuto: local path == distributed; gate forces either path") {
+    val rnd = new scala.util.Random(7)
+    // cliques + chains + isolated edges, with ids that exercise ordering
+    val es = (Seq.fill(120)((rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+      .filter { case (a, b) => a != b } ++
+      Seq((1000L, 1001L), (1001L, 1002L), (1002L, 1003L), (5L, 1000L)))
+    val df = edgeDf(es, parts = 4)
+    def toMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Components.connectedComponents(df, "a", "b")
+    val local = Components.connectedComponentsAuto(df, "a", "b")
+    assert(toMap(local) == toMap(dist), "local union-find diverged from distributed")
+    // cap 0 must route the SAME entry point through the distributed loop
+    val forced = Components.connectedComponentsAuto(df, "a", "b", localEdgeCap = 0L)
+    assert(toMap(forced) == toMap(dist))
+    Components.release(dist)
+    Components.release(forced)
+  }
+
   test("sf0.1 real star-edge graph: Spark CC == driver union-find (uncapped witness)") {
     // the UNCAPPED d8 edge derivation at sf0.1 scale (VERDICT r6 ask #6):
     // real MinHash-LSH buckets over the full 5000-doc corpus, checked

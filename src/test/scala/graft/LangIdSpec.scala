@@ -33,6 +33,24 @@ class LangIdSpec extends SparkSpec {
     assert(preds.forall(_ == "und"), preds.mkString(","))
   }
 
+  test("native annotate == HOF expression on fixture, accented, degenerate and fuzz inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val alphabet = "abcdefghijklmnopqrstuvwxyzàéñß ÄÖ!1."
+    val fuzz = Seq.fill(200)(
+      (0 until rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val texts = fixture.map(_._2) ++ Seq("", "12345", "zz", "the the the") ++ fuzz
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val native = LangId.annotate(df, "text", "pred")
+      .orderBy("id").collect().map(_.getString(2))
+    val hof = df.select(col("id"), LangId.langId(col("text")).as("pred"))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(native.toSeq == hof.toSeq,
+      (native, hof, texts).zipped.collect {
+        case (n, h, t) if n != h => s"'$t': native=$n hof=$h"
+      }.mkString("\n"))
+  }
+
   test("profiles are well-formed: trigram-length entries, no duplicates") {
     LangId.profiles.foreach { case (l, prof) =>
       assert(prof.forall(_.length == 3), s"$l has a non-trigram entry")
