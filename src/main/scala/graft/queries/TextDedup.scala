@@ -1310,40 +1310,34 @@ object TextDedup {
   // log/exp of true perplexity is a monotone transform of this score —
   // filtering thresholds translate 1:1).
   //
-  // Scale shape: trigram explode is row-local; the LM is a BOUNDED
-  // aggregation (vocab ≤ 27³ = 19 683 cells — map-side partial combine,
-  // broadcast back); scoring is two broadcast joins + ONE doc_id reagg
-  // shuffle. The fit is corpus-size-independent state — exactly the shape
-  // that lets the same model run at 100 TB.
+  // Scale shape: the fit is ONE bounded-state aggregate pass (TriCounts —
+  // a flat 27³-cell long array per partition, vector-add merge, 154 KB of
+  // state regardless of corpus size; no generator row or hash probe per
+  // trigram occurrence); scoring is a narrow row-local expression over
+  // the broadcast model. The fit is corpus-size-independent state —
+  // exactly the shape that lets the same model run at 100 TB.
   /** The x23 pipeline on any (doc_id, text) relation — exposed so specs
     * can feed adversarial corpora (gibberish vs natural text) through the
     * EXACT query path. */
   def charLmScores(documents: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.graft.CharLmScore
+    import org.apache.spark.sql.graft.{CharLmScore, TriCounts}
     val norm = regexp_replace(lower(col("text")), "[^a-z ]", "")
     val docs = documents.select(col("doc_id"), norm.as("t"))
-    // FIT: one explode → bounded aggregation (≤ 27³ cells after the
-    // map-side combine — the corpus-size-independent model state).
-    // sequence(1, 0) would DESCEND in Spark — guard short strings out
-    val tri = docs.select(col("doc_id"),
-        explode(when(length(col("t")) >= 3,
-          transform(sequence(lit(1), length(col("t")) - 2),
-            i => col("t").substr(i, lit(3))))
-          .otherwise(lit(null).cast("array<string>"))).as("g"))
-    // bounded collect (≤ 19 683 rows — the Profiler capped-vocab
-    // precedent): the fitted model becomes two int-indexed arrays riding
-    // the SCORING expression, so scoring is a narrow row-local pass —
-    // no second explode, no broadcast joins, no per-doc decimal re-agg
-    // (that pipeline shuffled ~600 rows/doc back to doc grain and was
-    // 17 s of x26's sf1 chain; this shape is sub-second).
-    val n3 = new Array[Long](27 * 27 * 27)
+    // FIT: one TriCounts pass — the exploded groupBy's counts, exactly
+    // (spec-asserted), without the per-occurrence generator row / hash
+    // probe / shuffle (the fit was ~14 s of x23's sf10 profile; this is
+    // one map-reduce round over 32 × 154 KB partials). Bounded collect
+    // (19 683 longs — the Profiler capped-vocab precedent): the fitted
+    // model becomes two int-indexed arrays riding the SCORING expression,
+    // so scoring is a narrow row-local pass — no second explode, no
+    // broadcast joins, no per-doc decimal re-agg (that pipeline shuffled
+    // ~600 rows/doc back to doc grain and was 17 s of x26's sf1 chain).
+    val n3 = docs.select(TriCounts.triCounts(col("t")).as("c"))
+      .head().getSeq[Long](0).toArray
     val n2 = new Array[Long](27 * 27)
-    tri.groupBy(col("g")).agg(count(lit(1)).as("n3")).collect().foreach { r =>
-      val i = CharLmScore.cellIndex(r.getString(0))
-      n3(i) = r.getLong(1)
-      n2(i / 27) += r.getLong(1)
-    }
+    var ci = 0
+    while (ci < n3.length) { n2(ci / 27) += n3(ci); ci += 1 }
     // per-position p, decimal-exact sum and the mean replicate the joined
     // form's arithmetic bit-for-bit (see CharLmScore's scaladoc) — the
     // x23 oracle hash is the cross-engine witness

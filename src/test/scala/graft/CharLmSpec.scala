@@ -37,6 +37,51 @@ class CharLmSpec extends SparkSpec {
       s"LM score failed to separate: gib max ${gibScores.max} vs nat min ${natScores.min}")
   }
 
+  test("TriCounts fit == exploded groupBy fit, cell for cell") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.{CharLmScore, TriCounts}
+    val rnd = new scala.util.Random(47)
+    // mixed corpus: natural-ish, gibberish, empty, sub-trigram, nulls —
+    // every branch of the update loop
+    val rows = (0 until 60).map { i =>
+      val t = i % 6 match {
+        case 0 => "the quick brown fox jumps over the lazy dog"
+        case 1 => (0 until 50).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+        case 2 => ""
+        case 3 => "ab"
+        case 4 => null
+        case _ => (0 until 30).map(_ =>
+          if (rnd.nextBoolean()) ' ' else ('a' + rnd.nextInt(26)).toChar).mkString
+      }
+      (i.toLong, t)
+    }
+    val docs = rows.toDF("doc_id", "t")
+    val fast = docs.select(TriCounts.triCounts(col("t")).as("c"))
+      .head().getSeq[Long](0).toArray
+    assert(fast.length == TriCounts.Cells)
+    // reference fit: the exploded per-occurrence groupBy
+    val slow = new Array[Long](TriCounts.Cells)
+    docs.select(explode(when(length(col("t")) >= 3,
+        transform(sequence(lit(1), length(col("t")) - 2),
+          i => col("t").substr(i, lit(3)))))
+        .as("g"))
+      .groupBy("g").count().collect()
+      .foreach(r => slow(CharLmScore.cellIndex(r.getString(0))) = r.getLong(1))
+    assert(java.util.Arrays.equals(fast, slow),
+      "TriCounts diverged from the exploded fit")
+    assert(fast.sum > 0, "fixture produced an empty model")
+  }
+
+  test("TriCounts fails loudly on unnormalized input") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.TriCounts
+    val ex = intercept[Exception] {
+      Seq((1L, "Abc!")).toDF("doc_id", "t")
+        .select(TriCounts.triCounts(col("t"))).head()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("degenerate rows: short/empty/symbol-only texts get n_trigrams=0, null score") {
     import spark.implicits._
     val df = Seq(
