@@ -269,8 +269,15 @@ object TextDedup {
       // checkpoints itself; only the FINAL labels' block-set stays
       // pinned while this frame is consumed (a long-lived session done
       // with the result frees it via Components.release)
+      // size-gated CC (the x26 path): labeling is identical to the
+      // distributed loop (ComponentsSpec asserts equality on mixed
+      // clique/chain/star graphs), so the hash is indifferent to the
+      // gate — the fixed 3000-doc cohort's star-edge graph sits far
+      // under the 1M-edge cap and skips ~4 s of per-round scheduling;
+      // a 100-TB candidate graph trips the count gate and takes the
+      // pointer-jumping loop automatically
       val edges = starEdges(s, d, D8DocCap)
-      val comps = graft.dedup.Components.connectedComponents(edges, "a_id", "b_id")
+      val comps = graft.dedup.Components.connectedComponentsAuto(edges, "a_id", "b_id")
       graft.dedup.Components.assign(docs, "doc_id", comps).orderBy("doc_id")
     },
     Some(s"""WITH RECURSIVE
@@ -1320,7 +1327,16 @@ object TextDedup {
     * can feed adversarial corpora (gibberish vs natural text) through the
     * EXACT query path. */
   def charLmScores(documents: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame =
+    charLmScoresAndCount(documents)._1
+
+  /** [[charLmScores]] plus the SCORABLE-document count (docs whose
+    * normalized text has ≥ 3 chars, i.e. ≥ 1 trigram — exactly the rows
+    * whose `lm_score` is non-null), computed in the SAME fit job: x26's
+    * rank threshold needs this count, and riding it on the fit aggregate
+    * saves the pipeline a whole count() action over the scored cohort. */
+  def charLmScoresAndCount(documents: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Long) = {
     import org.apache.spark.sql.graft.{CharLmScore, TriCounts}
     val norm = regexp_replace(lower(col("text")), "[^a-z ]", "")
     val docs = documents.select(col("doc_id"), norm.as("t"))
@@ -1333,20 +1349,23 @@ object TextDedup {
     // so scoring is a narrow row-local pass — no second explode, no
     // broadcast joins, no per-doc decimal re-agg (that pipeline shuffled
     // ~600 rows/doc back to doc grain and was 17 s of x26's sf1 chain).
-    val n3 = docs.select(TriCounts.triCounts(col("t")).as("c"))
-      .head().getSeq[Long](0).toArray
+    val fit = docs.select(TriCounts.triCounts(col("t")).as("c"),
+      count(when(length(col("t")) >= 3, 1)).as("n")).head()
+    val n3 = fit.getSeq[Long](0).toArray
+    val nScorable = fit.getLong(1)
     val n2 = new Array[Long](27 * 27)
     var ci = 0
     while (ci < n3.length) { n2(ci / 27) += n3(ci); ci += 1 }
     // per-position p, decimal-exact sum and the mean replicate the joined
     // form's arithmetic bit-for-bit (see CharLmScore's scaladoc) — the
     // x23 oracle hash is the cross-engine witness
-    docs
+    val scoredFrame = docs
       .select(col("doc_id"), CharLmScore.score(col("t"), n3, n2).as("s"))
       .select(col("doc_id"),
         col("s.n").as("n_trigrams"),
         (round(col("s.mean"), 6) + 0.0).as("lm_score"))
       .orderBy("doc_id")
+    (scoredFrame, nScorable)
   }
 
   private val x23 = Q(

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
   * #7): the per-tier knobs exist — `calibrateNProbe{,Adc,Sq}`,
   * `calibrateShortlist{Bq,Mrl}` — but a user shipping an index wants one
   * question answered: "which tier, at which nProbe and shortlist, meets
-  * my recall target inside my memory budget?" [[choose]] answers it by
+  * my recall target inside my scan-bytes budget?" [[choose]] answers it by
   * MEASUREMENT, the CompressionCurve way: every candidate configuration
   * is run through the tier's own batched serving path on a held-out
   * query sample and graded against the uncompressed index's exhaustive
@@ -48,14 +48,35 @@ object ServingPlanner {
 
   /** A measured, deployable configuration. `curve` holds every
     * (config-label, recall) point measured on the way — the planner's
-    * audit trail, CompressionCurve-style. */
+    * audit trail, CompressionCurve-style.
+    *
+    * `bytesPerRow` is the tier's SCAN cost: bytes per candidate row the
+    * shortlist scan reads (the quantity the budget constrains).
+    * `refineBytesPerRow` is the ADDITIONAL full-precision bytes per row
+    * the tier must keep ON STORAGE for its refine step — non-zero for
+    * the shortlisted tiers (binary, mrl), whose refine gathers the flat
+    * `v` column for shortlist ids only (a k-bounded id-gather, not a
+    * scan, so it costs ~nothing per query — but a deployment that DROPS
+    * the flat column to save space cannot run these tiers at all). */
   final case class Plan(tier: String, nProbe: Int, shortlist: Option[Int],
-                        bytesPerRow: Int, measuredRecall: Double,
+                        bytesPerRow: Int, refineBytesPerRow: Int,
+                        measuredRecall: Double,
                         curve: Seq[(String, Double)])
 
+  /** `scanBudgetBytesPerRow` bounds the bytes/row the serving SCAN reads
+    * — the per-query IO story, which is what distinguishes the tiers at
+    * 100 TB (a probe reads ~nProbe/nCentroids of the index at this
+    * width). It is deliberately NOT a total-storage budget: shortlisted
+    * tiers (binary, mrl) additionally require the full-precision vector
+    * column on storage for their bounded refine gather —
+    * [[Plan.refineBytesPerRow]] reports that storage obligation, and
+    * callers sizing DISK rather than scan IO must add it. (Named
+    * `memoryBudgetBytesPerRow` through round 11; renamed because a
+    * budget that "fit" binary at 8 B/row never could have dropped the
+    * flat column and still refined.) */
   def choose(spark: SparkSession, tiers: Tiers, dim: Int,
              sample: Seq[Array[Double]], k: Int, recallTarget: Double,
-             memoryBudgetBytesPerRow: Int,
+             scanBudgetBytesPerRow: Int,
              maxShortlist: Int = 0): Plan = {
     require(sample.nonEmpty, "planner needs at least one sample query")
     require(recallTarget > 0.0 && recallTarget <= 1.0,
@@ -92,10 +113,10 @@ object ServingPlanner {
         (np, _) => IvfIndex.probedTopKBatch(spark, tiers.flat, sample, np, k)))
     ).sortBy(_.bytes)
 
-    val inBudget = cands.filter(_.bytes <= memoryBudgetBytesPerRow)
+    val inBudget = cands.filter(_.bytes <= scanBudgetBytesPerRow)
     if (inBudget.isEmpty)
       throw new IllegalStateException(
-        s"no serving tier fits $memoryBudgetBytesPerRow bytes/row — cheapest " +
+        s"no serving tier fits $scanBudgetBytesPerRow scan bytes/row — cheapest " +
           s"available is ${cands.map(c => s"${c.name}=${c.bytes}").mkString(", ")}")
 
     val curve = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
@@ -122,14 +143,14 @@ object ServingPlanner {
             }
           if (r >= recallTarget)
             return Plan(c.name, np, if (c.shortlisted) Some(sl) else None,
-              c.bytes, r, curve.toSeq)
+              c.bytes, if (c.shortlisted) dim * 8 else 0, r, curve.toSeq)
         }
       }
     }
     val (bn, br) = best.getOrElse(("none", 0.0))
     throw new IllegalStateException(
       f"recall target $recallTarget%.3f infeasible within " +
-        f"$memoryBudgetBytesPerRow bytes/row: best in-budget tier is $bn " +
+        f"$scanBudgetBytesPerRow scan bytes/row: best in-budget tier is $bn " +
         f"at $br%.3f — raise the budget (the flat tier at nProbe=nCentroids " +
         "is exact) or lower the target")
   }

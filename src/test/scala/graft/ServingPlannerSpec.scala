@@ -42,7 +42,7 @@ class ServingPlannerSpec extends SparkSpec {
 
   test("choose meets the target, verified by an independent re-measurement") {
     val plan = ServingPlanner.choose(spark, tiers, dim, sample, k,
-      recallTarget = 0.6, memoryBudgetBytesPerRow = dim * 8, maxShortlist = 64)
+      recallTarget = 0.6, scanBudgetBytesPerRow = dim * 8, maxShortlist = 64)
     info(s"plan: ${plan.tier} nProbe=${plan.nProbe} shortlist=${plan.shortlist} " +
       f"bytes=${plan.bytesPerRow} recall=${plan.measuredRecall}%.3f")
     assert(plan.measuredRecall >= 0.6)
@@ -75,7 +75,7 @@ class ServingPlannerSpec extends SparkSpec {
     // a lax target everything passes at full knobs: the winner must be the
     // CHEAPEST tier by bytes/row that measured over the bar
     val plan = ServingPlanner.choose(spark, tiers, dim, sample, k,
-      recallTarget = 0.2, memoryBudgetBytesPerRow = dim * 8, maxShortlist = 64)
+      recallTarget = 0.2, scanBudgetBytesPerRow = dim * 8, maxShortlist = 64)
     // binary is 8 bytes at dim=64 and its shortlist=64 ceiling clears 0.2
     // on this corpus (BqServeSpec's floor is 0.2 at shortlist 40)
     assert(plan.bytesPerRow <= 16,
@@ -84,22 +84,43 @@ class ServingPlannerSpec extends SparkSpec {
 
   test("a tight memory budget excludes heavy tiers from the plan") {
     val plan = ServingPlanner.choose(spark, tiers, dim, sample, k,
-      recallTarget = 0.2, memoryBudgetBytesPerRow = 16, maxShortlist = 64)
+      recallTarget = 0.2, scanBudgetBytesPerRow = 16, maxShortlist = 64)
     assert(plan.bytesPerRow <= 16, s"budget violated: ${plan.bytesPerRow}")
     assert(Set("binary", "pq").contains(plan.tier), s"tier ${plan.tier} over budget")
   }
 
   test("perfect recall within a full budget resolves to the exact flat tier") {
     val plan = ServingPlanner.choose(spark, tiers, dim, sample, k,
-      recallTarget = 1.0, memoryBudgetBytesPerRow = dim * 8, maxShortlist = 8)
+      recallTarget = 1.0, scanBudgetBytesPerRow = dim * 8, maxShortlist = 8)
     // flat at nProbe=nCentroids IS the truth ranking — always feasible
     assert(plan.measuredRecall == 1.0)
+  }
+
+  test("shortlisted tiers declare their refine storage obligation") {
+    // the budget is SCAN bytes/row, not total storage: a plan on a
+    // shortlisted tier (binary/mrl) must report the flat full-precision
+    // column it still needs on storage for the refine gather, and
+    // non-shortlisted tiers must report zero
+    val plan = ServingPlanner.choose(spark, tiers, dim, sample, k,
+      recallTarget = 0.2, scanBudgetBytesPerRow = 16, maxShortlist = 64)
+    if (plan.shortlist.isDefined)
+      assert(plan.refineBytesPerRow == dim * 8,
+        s"shortlisted tier ${plan.tier} must carry the flat refine column: " +
+          s"${plan.refineBytesPerRow}")
+    else
+      assert(plan.refineBytesPerRow == 0,
+        s"non-shortlisted tier ${plan.tier} gathers nothing: ${plan.refineBytesPerRow}")
+    val exact = ServingPlanner.choose(spark, tiers, dim, sample, k,
+      recallTarget = 1.0, scanBudgetBytesPerRow = dim * 8, maxShortlist = 8)
+    assert(exact.shortlist.isDefined == (exact.refineBytesPerRow == dim * 8),
+      s"refine obligation must track shortlisting: ${exact.tier} " +
+        s"shortlist=${exact.shortlist} refine=${exact.refineBytesPerRow}")
   }
 
   test("infeasibility throws with the best measured alternative, never under-delivers") {
     val e = intercept[IllegalStateException] {
       ServingPlanner.choose(spark, tiers, dim, sample, k,
-        recallTarget = 0.6, memoryBudgetBytesPerRow = 4, maxShortlist = 64)
+        recallTarget = 0.6, scanBudgetBytesPerRow = 4, maxShortlist = 64)
     }
     assert(e.getMessage.contains("bytes/row"))
   }
