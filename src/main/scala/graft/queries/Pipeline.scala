@@ -86,7 +86,12 @@ object Pipeline {
   private val ChunkStride = 8 // x25's stride; window count rides the manifest
 
   private def x26Frame(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val raw = Tables.documents(s, d)
+    // spread: the sf-scale documents file is a handful of row groups, but
+    // the signal/fit stages are CPU-bound per row (langid trigrams, token
+    // count, TriCounts) — without the repartition the whole fit ran as ONE
+    // task (round-12 profile: 0.31 s single-core fit + 0.46 s single-core
+    // threshold at sf0.1; a no-op on data already wider than the cores)
+    val raw = Tables.spread(Tables.documents(s, d))
 
     // ---- signals: row-local projections over the training cohort; the
     // langid annotation binds its padded text + trigram array as real
@@ -155,24 +160,37 @@ object Pipeline {
       .persist()
     // empty shingle arrays (sub-2-token docs — impossible past the
     // MinTokens gate, guarded anyway) would band into a shared NULL
-    // bucket; the twin simply has no rows for them
-    val sigs = shingles.filter(size(col("sh")) > 0).select(col("doc_id") +:
-      (0 until 8).map(j =>
-        array_min(transform(col("sh"), g => md5(concat(lit(s"$j:"), g))))
-          .as(s"h$j")): _*)
-    val buckets = sigs.select(col("doc_id"), explode(array(
-        concat(lit("0:"), md5(concat(col("h0"), col("h1"), col("h2"), col("h3")))),
-        concat(lit("1:"), md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))))))
-      .as("bucket")).persist()
+    // bucket; the twin simply has no rows for them. Banding is the
+    // native MinHashBands kernel — one digest pass over the shingle set
+    // (value parity with the 8×transform+array_min HOF form is
+    // MinHashBandsSpec-asserted, so the oracle hash is indifferent)
+    val buckets = shingles.filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.MinHashBands.bands(
+          col("sh"), 8, 4)).as("bucket"))
+      .persist()
     // packed-pair dedup via the spill-friendly sort shape (the d7 fix)
     val cand = graft.search.Search.distinctLongs(
         graft.search.Search.cappedBandPairs(buckets, "doc_id", "bucket")
           .select(graft.search.Search.packPair(col("a_id"), col("b_id")).as("pair")),
         "pair")
       .select(graft.search.Search.unpackPair(col("pair")): _*)
-    val verified = cand
-      .join(shingles.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
-      .join(shingles.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+    // verify with ONE shuffle of the shingle relation: the naive
+    // cand ⋈ shingles(a) ⋈ shingles(b) form sort-merge-shuffled the full
+    // array column TWICE (round-12 profile: the two heaviest stages of
+    // the whole chain); exploding each pair into its two member rows
+    // joins shingles once on doc_id, and the re-group moves only the
+    // matched pairs' arrays — |cand| is band-capped, the corpus-sized
+    // relation crosses the wire once
+    val sides = cand.select(col("a_id"), col("b_id"),
+      explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+    val verified = sides.join(shingles, "doc_id")
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(
+        first(when(col("doc_id") === col("a_id"), col("sh")),
+          ignoreNulls = true).as("a_sh"),
+        first(when(col("doc_id") === col("b_id"), col("sh")),
+          ignoreNulls = true).as("b_sh"))
       .filter(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
         size(array_union(col("a_sh"), col("b_sh"))) >= JaccardTau)
       .select(col("a_id"), col("b_id"))

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
-  private[queries] def tokens(text: Column): Column = split(trim(text), "\\s+")
+  private[graft] def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   // ---- dedup ----
 
@@ -63,34 +63,22 @@ object TextDedup {
   /** Shared MinHash-signature plan for banding (2 bands × 4 hashes);
     * signatures row-local, see above. Over an arbitrary (doc_id, text)
     * relation so pipeline compositions (x26) can band a FILTERED cohort. */
-  private def bandedSigsOf(docs: DataFrame): DataFrame = {
-    val sigs = withDistinctToks(docs)
-      .select(col("doc_id") +:
-        sigCols(8).map(j => minhash(col("__dtoks"), j).as(s"h$j")): _*)
-    sigs
-      .withColumn("band0", md5(concat(col("h0"), col("h1"), col("h2"), col("h3"))))
-      .withColumn("band1", md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))))
-  }
-
-  private def bandedSigs(s: SparkSession, d: String): DataFrame =
-    bandedSigsOf(Tables.spread(Tables.documents(s, d)))
-
   /** Single-scan band-salted bucket relation — the candidate-generation
     * input shared by d3 (pair scoring) and d8 (clustering); the salt
     * prevents cross-band md5 equality from pairing docs. One definition so
     * the two queries (and their oracle twins) can never diverge on the
-    * banding scheme. */
+    * banding scheme. Banding runs through the native MinHashBands kernel
+    * (one digest pass per token set; value parity with the HOF form is
+    * MinHashBandsSpec-asserted — the bucket strings, and therefore every
+    * dedup oracle hash, are unchanged). */
   private[queries] def bandBucketsOf(docs: DataFrame): DataFrame =
-    bandedSigsOf(docs)
-      .select(col("doc_id"), explode(array(
-        concat(lit("0:"), col("band0")),
-        concat(lit("1:"), col("band1")))).as("bucket"))
+    withDistinctToks(docs)
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.MinHashBands.bands(
+          col("__dtoks"), 8, 4)).as("bucket"))
 
   private def bandBuckets(s: SparkSession, d: String): DataFrame =
-    bandedSigs(s, d)
-      .select(col("doc_id"), explode(array(
-        concat(lit("0:"), col("band0")),
-        concat(lit("1:"), col("band1")))).as("bucket"))
+    bandBucketsOf(Tables.spread(Tables.documents(s, d)))
 
   /** Star edges of the MinHash-LSH candidate graph: one (bucket-min-doc →
     * member) edge per band-bucket membership — provably the same connected
@@ -121,7 +109,7 @@ object TextDedup {
     * twins' `range(1, len − n + 2)` is empty there too; an unguarded
     * `sequence` would run DESCENDING and hit index 0). Shared by d4
     * (bigrams), x6 (trigrams) and x11 (5-grams). */
-  private[queries] def wordNgrams(toks: Column, n: Int): Column =
+  private[graft] def wordNgrams(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
