@@ -221,7 +221,11 @@ object Search {
                     metric: String = "cosine"): DataFrame = {
     // L2 norms hoisted to the per-row sides (n + q rows) instead of per
     // pair (n·q) — same sqrt(dot) arithmetic as cosine(), identical doubles.
-    val v = vectors.withColumn("__vd", asDouble(col(vecCol)))
+    // spread: the scoring pass is CPU-bound per row and the sf-scale file
+    // is a handful of splits (see the knn* base comment); row-local, so
+    // hash-indifferent
+    val v = graft.Tables.spread(vectors)
+      .withColumn("__vd", asDouble(col(vecCol)))
       .withColumn("__vn", l2Norm(col("__vd")))
     val q = queries.withColumn("__qd", asDouble(col(qVecCol)))
       .withColumn("__qn", l2Norm(col("__qd")))
@@ -389,26 +393,34 @@ object Search {
     // null vectors contribute nothing to the fit (the former posexplode
     // formulation dropped them by construction; IvfAssign's null cid group
     // would otherwise surface as a null sum and NPE the driver loop)
+    // persisted across the Lloyd iterations: each round is one
+    // assign+aggregate job over the SAME rows, and without the persist
+    // every round re-ran the scan (and any upstream repartition) — the
+    // fit is eager, so the blocks are released in the finally before the
+    // caller's encode/score passes run
     val base = vectors.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
-    var cents: Array[Array[Double]] = base.orderBy("id").limit(nCentroids)
-      .collect().map(_.getSeq[Double](1).toArray)
-    for (_ <- 1 to iters) {
-      val rows = base.withColumn("cid", ivfAssign(col("v"), cents))
-        .groupBy("cid")
-        .agg(VectorSum.sums(col("v"), exactMeans).as("s"),
-          count(lit(1)).as("n"))
-        .collect()
-      val next = cents.map(_.clone())
-      rows.foreach { r =>
-        val s = r.getSeq[Double](r.fieldIndex("s"))
-        val n = r.getLong(r.fieldIndex("n")).toDouble
-        // same IEEE division as the former sum.cast(double) / count plan
-        next(r.getAs[Int]("cid")) = s.map(_ / n).toArray
+      .persist()
+    try {
+      var cents: Array[Array[Double]] = base.orderBy("id").limit(nCentroids)
+        .collect().map(_.getSeq[Double](1).toArray)
+      for (_ <- 1 to iters) {
+        val rows = base.withColumn("cid", ivfAssign(col("v"), cents))
+          .groupBy("cid")
+          .agg(VectorSum.sums(col("v"), exactMeans).as("s"),
+            count(lit(1)).as("n"))
+          .collect()
+        val next = cents.map(_.clone())
+        rows.foreach { r =>
+          val s = r.getSeq[Double](r.fieldIndex("s"))
+          val n = r.getLong(r.fieldIndex("n")).toDouble
+          // same IEEE division as the former sum.cast(double) / count plan
+          next(r.getAs[Int]("cid")) = s.map(_ / n).toArray
+        }
+        cents = next
       }
-      cents = next
-    }
-    cents
+      cents
+    } finally { base.unpersist(blocking = false); () }
   }
 
   /** Nearest-centroid id by squared L2 distance (|v|² − 2v·c + |c|²),
@@ -445,8 +457,15 @@ object Search {
              nProbe: Int, k: Int, exactMeans: Boolean = false): DataFrame = {
     val spark = vectors.sparkSession
     val cents = ivfCentroids(vectors, vecCol, idCol, nCentroids, iters, exactMeans)
-    val base = vectors.select(col(idCol).cast("long").as("id"),
-      asDouble(col(vecCol)).as("v"))
+    // spread: the sf-scale embeddings file is a handful of splits, and
+    // every stage from the fit to the encode/score pass is CPU-bound per
+    // row — without the repartition the whole ANN pass runs on ≤3 of 32
+    // cores (round-12 sf10 profile); a no-op on inputs already wider
+    // than the cores, and hash-safe (every query-path fit is exact /
+    // order-independent)
+    val base = graft.Tables.spread(vectors)
+      .select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("v"))
     val assigned = base.withColumn("cid", ivfAssign(col("v"), cents))
       .withColumn("vn", l2Norm(col("v")))
     val qRows = base.filter(col("id").isin(queryIds: _*)).collect()
@@ -491,11 +510,18 @@ object Search {
                   exactMeans: Boolean = false): Array[Array[Array[Double]]] = {
     require(m > 0 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
-    (0 until m).map { j =>
-      val sub = vectors.select(col(idCol),
-        slice(asDouble(col(vecCol)), j * dsub + 1, dsub).as("__sub"))
-      ivfCentroids(sub, "__sub", idCol, ksub, iters, exactMeans)
-    }.toArray
+    // persisted across the m per-subspace fits: each subspace fit's own
+    // persist materializes from THIS cache instead of re-running the scan
+    // (and any upstream repartition) m times; fits are eager, blocks
+    // released before the caller encodes
+    val src = vectors.persist()
+    try {
+      (0 until m).map { j =>
+        val sub = src.select(col(idCol),
+          slice(asDouble(col(vecCol)), j * dsub + 1, dsub).as("__sub"))
+        ivfCentroids(sub, "__sub", idCol, ksub, iters, exactMeans)
+      }.toArray
+    } finally { src.unpersist(blocking = false); () }
   }
 
   /** PQ encode: array of `m` subspace code ids (nearest sub-centroid per
@@ -527,8 +553,15 @@ object Search {
             queryIds: Seq[Long], dim: Int, m: Int, ksub: Int, iters: Int,
             k: Int, exactMeans: Boolean = false): DataFrame = {
     val spark = vectors.sparkSession
-    val base = vectors.select(col(idCol).cast("long").as("id"),
-      asDouble(col(vecCol)).as("v"))
+    // spread: the sf-scale embeddings file is a handful of splits, and
+    // every stage from the fit to the encode/score pass is CPU-bound per
+    // row — without the repartition the whole ANN pass runs on ≤3 of 32
+    // cores (round-12 sf10 profile); a no-op on inputs already wider
+    // than the cores, and hash-safe (every query-path fit is exact /
+    // order-independent)
+    val base = graft.Tables.spread(vectors)
+      .select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("v"))
     val books = pqCodebooks(base, "v", "id", dim, m, ksub, iters, exactMeans)
     val encoded = base.select(col("id"), pqCodes(col("v"), books, dim).as("codes"))
     val dsub = dim / m
@@ -571,8 +604,15 @@ object Search {
                nProbe: Int, m: Int, ksub: Int, pqIters: Int, k: Int,
                exactMeans: Boolean = false, residual: Boolean = false): DataFrame = {
     val spark = vectors.sparkSession
-    val base = vectors.select(col(idCol).cast("long").as("id"),
-      asDouble(col(vecCol)).as("v"))
+    // spread: the sf-scale embeddings file is a handful of splits, and
+    // every stage from the fit to the encode/score pass is CPU-bound per
+    // row — without the repartition the whole ANN pass runs on ≤3 of 32
+    // cores (round-12 sf10 profile); a no-op on inputs already wider
+    // than the cores, and hash-safe (every query-path fit is exact /
+    // order-independent)
+    val base = graft.Tables.spread(vectors)
+      .select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("v"))
     val cents = ivfCentroids(base, "v", "id", nCentroids, iters, exactMeans)
     val assigned = base.withColumn("cid", ivfAssign(col("v"), cents))
     // residual mode = the real FAISS IVFPQ: PQ encodes v − c_cid (the
@@ -683,8 +723,15 @@ object Search {
             queryIds: Seq[Long], dim: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.graft.PqCodes
     val spark = vectors.sparkSession
-    val base = vectors.select(col(idCol).cast("long").as("id"),
-      asDouble(col(vecCol)).as("v"))
+    // spread: the sf-scale embeddings file is a handful of splits, and
+    // every stage from the fit to the encode/score pass is CPU-bound per
+    // row — without the repartition the whole ANN pass runs on ≤3 of 32
+    // cores (round-12 sf10 profile); a no-op on inputs already wider
+    // than the cores, and hash-safe (every query-path fit is exact /
+    // order-independent)
+    val base = graft.Tables.spread(vectors)
+      .select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("v"))
     val (mins, maxs) = sqParams(base, "v", dim)
     val encoded = base.select(col("id"),
       PqCodes.pack(sqCodes(col("v"), mins, maxs)).as("sq"))
@@ -728,8 +775,15 @@ object Search {
   def semanticDedup(vectors: DataFrame, vecCol: String, idCol: String,
                     nCentroids: Int, iters: Int, tau: Double,
                     exactMeans: Boolean = false): DataFrame = {
-    val base = vectors.select(col(idCol).cast("long").as("id"),
-      asDouble(col(vecCol)).as("v"))
+    // spread: the sf-scale embeddings file is a handful of splits, and
+    // every stage from the fit to the encode/score pass is CPU-bound per
+    // row — without the repartition the whole ANN pass runs on ≤3 of 32
+    // cores (round-12 sf10 profile); a no-op on inputs already wider
+    // than the cores, and hash-safe (every query-path fit is exact /
+    // order-independent)
+    val base = graft.Tables.spread(vectors)
+      .select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("v"))
     val cents = ivfCentroids(base, "v", "id", nCentroids, iters, exactMeans)
     val assigned = base
       .withColumn("cid", ivfAssign(col("v"), cents).cast("long"))
@@ -825,8 +879,15 @@ object Search {
   def knnBinary(vectors: DataFrame, vecCol: String, idCol: String,
                 queryIds: Seq[Long], dim: Int, k: Int,
                 shortlist: Int): DataFrame = {
-    val base = vectors.select(col(idCol).cast("long").as("id"),
-      asDouble(col(vecCol)).as("v"))
+    // spread: the sf-scale embeddings file is a handful of splits, and
+    // every stage from the fit to the encode/score pass is CPU-bound per
+    // row — without the repartition the whole ANN pass runs on ≤3 of 32
+    // cores (round-12 sf10 profile); a no-op on inputs already wider
+    // than the cores, and hash-safe (every query-path fit is exact /
+    // order-independent)
+    val base = graft.Tables.spread(vectors)
+      .select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("v"))
     val th = bqThresholds(base, "v", dim)
     // narrow (id, sig) projection — at scale this is the serving scan
     val sigs = base.select(col("id"), bqSignatures(col("v"), th).as("sig"))
