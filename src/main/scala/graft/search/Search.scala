@@ -510,18 +510,56 @@ object Search {
                   exactMeans: Boolean = false): Array[Array[Array[Double]]] = {
     require(m > 0 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
-    // persisted across the m per-subspace fits: each subspace fit's own
-    // persist materializes from THIS cache instead of re-running the scan
-    // (and any upstream repartition) m times; fits are eager, blocks
-    // released before the caller encodes
-    val src = vectors.persist()
+    import org.apache.spark.sql.graft.PqFit
+    // FUSED fit: one PqFit aggregate pass per Lloyd round covers ALL m
+    // subspaces (the per-subspace form scheduled m·iters assign+aggregate
+    // jobs over the same rows — pure job-floor at local[32], m× the scans
+    // anywhere). Assignment/mean arithmetic is bit-identical to the
+    // per-subspace ivfCentroids path (PqFitSpec asserts codebook equality
+    // cell for cell; the sim4/sim5/sim8 oracle hashes are the
+    // cross-engine witness). Persisted across rounds; fits are eager,
+    // blocks released before the caller encodes.
+    val base = vectors.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .persist()
     try {
-      (0 until m).map { j =>
-        val sub = src.select(col(idCol),
-          slice(asDouble(col(vecCol)), j * dsub + 1, dsub).as("__sub"))
-        ivfCentroids(sub, "__sub", idCol, ksub, iters, exactMeans)
-      }.toArray
-    } finally { src.unpersist(blocking = false); () }
+      val head = base.orderBy("id").limit(ksub).collect()
+        .map(_.getSeq[Double](1).toArray)
+      // fewer rows than ksub initializes that many cells — the
+      // per-subspace path's limit(ksub) behavior, kept identical
+      val kEff = head.length
+      require(kEff > 0, "pqCodebooks: no non-null vectors to fit")
+      var books: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
+        head.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)))
+      for (_ <- 1 to iters) {
+        val st = base.agg(PqFit.fit(col("v"), books, exactMeans).as("f"))
+          .head().getStruct(0)
+        val s = st.getSeq[Double](0)
+        val n = st.getSeq[Long](1)
+        val next = books.map(_.map(_.clone()))
+        var j = 0
+        while (j < m) {
+          var c = 0
+          while (c < kEff) {
+            val cnt = n(j * kEff + c)
+            if (cnt > 0) {
+              // same IEEE division as the per-subspace driver loop
+              val nd = cnt.toDouble
+              val cell = new Array[Double](dsub)
+              var i = 0
+              while (i < dsub) {
+                cell(i) = s((j * kEff + c) * dsub + i) / nd; i += 1
+              }
+              next(j)(c) = cell
+            }
+            c += 1
+          }
+          j += 1
+        }
+        books = next
+      }
+      books
+    } finally { base.unpersist(blocking = false); () }
   }
 
   /** PQ encode: array of `m` subspace code ids (nearest sub-centroid per
