@@ -24,37 +24,64 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** [[connectedComponents]] with a SIZE-GATED driver-local fast path:
-    * one count over the edge relation decides — at or under
-    * `localEdgeCap` edges the graph collects to the driver and a
-    * union-find labels it in milliseconds; above the cap the distributed
-    * pointer-jumping loop runs unchanged.
+    * ONE job over the edge relation both decides and gathers — a
+    * treeAggregate that carries the exact edge count plus (up to the
+    * cap) the edges themselves, so at or under `localEdgeCap` edges the
+    * graph is already on the driver when the gate fires and a
+    * union-find labels it in milliseconds; above the cap the gathered
+    * prefix is discarded and the distributed pointer-jumping loop runs
+    * unchanged. Fusing gate and gather halves the driver actions of the
+    * fast path (round-12 shape: count job + collect job; round 13: one
+    * treeAggregate job, which also doubles as the materializer of a
+    * persisted edge input).
     *
-    * Why: the distributed loop costs ~7–10 s per convergence round at
-    * local[32] in pure scheduling (5 shuffle stages + an eager
-    * checkpoint + a convergence count per round) REGARDLESS of edge
-    * count — the right price for a billion-edge graph, absurd for the
-    * 51 verified near-dup pairs a clean corpus yields (x26's fuzzy
-    * stage paid 20+ s of fixed overhead on it). The gate is an explicit
-    * EDGE-COUNT bound, not an assumption: a 100-TB corpus whose dup
-    * rate produces billions of candidate edges takes the distributed
-    * path automatically, and the cap (default 1M edges = 16 MB of
-    * packed longs on the driver) is the same order as a broadcast-join
-    * threshold. Identical labeling semantics (comp = min reachable id;
-    * equality spec-asserted against the distributed path on mixed
+    * Why the gate at all: the distributed loop costs ~7–10 s per
+    * convergence round at local[32] in pure scheduling (5 shuffle
+    * stages + an eager checkpoint + a convergence count per round)
+    * REGARDLESS of edge count — the right price for a billion-edge
+    * graph, absurd for the 51 verified near-dup pairs a clean corpus
+    * yields (x26's fuzzy stage paid 20+ s of fixed overhead on it).
+    * The gate is an explicit EDGE-COUNT bound, not an assumption: a
+    * 100-TB corpus whose dup rate produces billions of candidate edges
+    * takes the distributed path automatically. Memory is bounded at
+    * every point of the aggregation — each partial and merged state
+    * holds at most `localEdgeCap + 1` edges (2 longs each; 16 MB at the
+    * default cap, the order of a broadcast-join threshold), combined on
+    * executors tree-wise before one state reaches the driver — so the
+    * over-cap case never concentrates the edge set anywhere. The
+    * over-cap scan pays row iteration instead of a codegen'd count;
+    * that delta is noise next to the distributed loop it precedes.
+    * Identical labeling semantics (comp = min reachable id; equality
+    * spec-asserted against the distributed path on mixed
     * clique/chain/star graphs). */
   def connectedComponentsAuto(edges: DataFrame, aCol: String, bCol: String,
                               localEdgeCap: Long = 1000000L): DataFrame = {
-    val n = edges.count()
-    if (n > localEdgeCap) return connectedComponents(edges, aCol, bCol)
     val spark = edges.sparkSession
     import spark.implicits._
-    val pairs = edges.select(
-      col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
-      .collect().map { r =>
-        require(!r.isNullAt(0) && !r.isNullAt(1),
-          s"null or non-numeric id in connectedComponentsAuto($aCol,$bCol)")
-        (r.getLong(0), r.getLong(1))
-      }
+    require(localEdgeCap >= 0 && localEdgeCap < Int.MaxValue / 2,
+      s"localEdgeCap out of range: $localEdgeCap")
+    val capLongs = 2 * (localEdgeCap.toInt + 1) // a,b per edge; cap+1 detects overflow
+    val err = s"null or non-numeric id in connectedComponentsAuto($aCol,$bCol)"
+    val (n, gathered) = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .rdd
+      .treeAggregate((0L, new scala.collection.mutable.ArrayBuffer[Long]))(
+        seqOp = { case ((c, buf), r) =>
+          require(!r.isNullAt(0) && !r.isNullAt(1), err)
+          if (buf.length < capLongs) { buf += r.getLong(0); buf += r.getLong(1) }
+          (c + 1L, buf)
+        },
+        combOp = { case ((c1, b1), (c2, b2)) =>
+          val (big, small) = if (b1.length >= b2.length) (b1, b2) else (b2, b1)
+          var i = 0
+          while (big.length < capLongs && i + 1 < small.length) {
+            big += small(i); big += small(i + 1); i += 2
+          }
+          (c1 + c2, big)
+        })
+    if (n > localEdgeCap) return connectedComponents(edges, aCol, bCol)
+    val pairs = Array.tabulate(gathered.length / 2)(i =>
+      (gathered(2 * i), gathered(2 * i + 1)))
     // union-find with path halving; roots resolved, then component label
     // = min member id (the distributed fixpoint's exact semantics)
     val parent = new java.util.HashMap[Long, Long]()

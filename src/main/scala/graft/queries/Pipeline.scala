@@ -169,6 +169,21 @@ object Pipeline {
         explode(org.apache.spark.sql.graft.MinHashBands.bands(
           col("sh"), 8, 4)).as("bucket"))
       .persist()
+    // MATERIALIZE the banding chain with one linear job BEFORE any plan
+    // fans out over it. The candidate/verify plan below references the
+    // buckets cache twice (cappedBandPairs' stats aggregate + its pair
+    // join) and the shingles cache twice more (banding + the verify
+    // join); Spark submits those leaf stages CONCURRENTLY, and a cold
+    // InMemoryRelation gives no cross-stage dedup — round-12 profile
+    // showed THREE simultaneous ~1.7 s jobs each recomputing the same
+    // exact-dedup→shingle→banding chain at sf0.1 (the single largest
+    // slice of x26's 3.8× gap). One count() walks exact→shingles→buckets
+    // in topological order, populating all three caches exactly once;
+    // every downstream scan then hits warm blocks. The extra action
+    // costs one job submission (~0.1 s) and buys back two chain
+    // recomputes (~3.4 s at sf0.1; the ratio grows with scale since the
+    // chain is corpus-CPU-bound).
+    buckets.count()
     // packed-pair dedup via the spill-friendly sort shape (the d7 fix)
     val cand = graft.search.Search.distinctLongs(
         graft.search.Search.cappedBandPairs(buckets, "doc_id", "bucket")
@@ -199,14 +214,18 @@ object Pipeline {
     // tiny (51 edges at sf0.1, ~100k at sf1) and the distributed loop's
     // per-round scheduling would dominate the whole query; past the 1M-
     // edge gate the pointer-jumping path runs unchanged (d8 exercises it
-    // under the hash)
+    // under the hash). Round 13: the gate's count and the fast path's
+    // edge gather are ONE treeAggregate job, which doubles as the
+    // verified persist's materializer.
     val comps = graft.dedup.Components.connectedComponentsAuto(verified, "a_id", "b_id")
-    // assign() projects to (id, comp_id, comp_size); join the surviving
-    // representatives back onto the full survivor attributes
-    val reps = graft.dedup.Components.assign(exact, "doc_id", comps)
-      .filter(col("comp_id") === col("doc_id"))
-      .select(col("doc_id"))
-    val fuzzy = exact.join(reps, "doc_id").persist()
+    // keep each component's min-id representative: a doc is dropped iff
+    // it appears in the labeling with a label other than itself — one
+    // anti-join against the (tiny: edge-touched nodes only) non-rep set,
+    // instead of assign()'s full docs⟕comps⋈sizes fan-out plus a join
+    // back (three joins over the exact relation → one)
+    val nonReps = comps.filter(col("comp") =!= col("id"))
+      .select(col("id").as("doc_id"))
+    val fuzzy = exact.join(nonReps, Seq("doc_id"), "left_anti").persist()
 
     // ---- contamination screen vs the benchmark probe (x11 shape) ----
     val probe = raw.filter(col("doc_id") < ProbeCap)
@@ -226,21 +245,23 @@ object Pipeline {
         when(col("n_grams") > 0,
           col("n_cont").cast("double") / col("n_grams"))
           .otherwise(0.0).as("contamination"))
-    // persisted: `clean` feeds BOTH the domain-cap ranking and the final
-    // manifest join — without the persist the contamination explode →
-    // broadcast probe join → doc-grain groupBy ran twice per action
-    // (round-11 judge finding: the suite's most expensive sf0.1 row paid
-    // that subtree twice)
     val clean = fuzzy.join(cont, "doc_id")
       .filter(col("contamination") <= ContaminationTau)
-      .persist()
 
     // ---- per-domain cap (x24's skew-proof two-phase top-N) ----
-    val ranks = TextDedup.domainCap(
-      clean.select(col("doc_id"), col("source"), col("alpha_ratio").as("quality")),
-      DomainCap, DomainSalts)
-      .select(col("doc_id"), col("dom_rank"))
-    val capped = clean.join(ranks, "doc_id").persist()
+    // domainCapAll keeps every survivor column through the two salted
+    // windows, so `clean` flows LINEARLY into `capped` — round 12 ranked
+    // a projection and joined it back on doc_id, which made the
+    // contamination subtree the shared parent of two concurrent stages
+    // (rank build + join probe) and forced a persist to stop it running
+    // twice; the window form needs neither the self-join nor the clean
+    // persist. capped stays persisted: the prefix-sum collect and the
+    // final manifest join both scan it.
+    val capped = TextDedup.domainCapAll(
+        clean.withColumn("quality", col("alpha_ratio")),
+        DomainCap, DomainSalts)
+      .drop("quality", "text") // manifest columns only — no doc bodies in the cache
+      .persist()
 
     // ---- sequence packing over the final set (x12 prefix sum) ----
     val packed = graft.pack.Packing.packByBudget(

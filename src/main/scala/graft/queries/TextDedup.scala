@@ -1224,6 +1224,19 @@ object TextDedup {
     * relation — exposed so specs can prove salted-phase-1 == direct
     * one-window on adversarially skewed corpora. */
   def domainCap(docs: org.apache.spark.sql.DataFrame, cap: Int, salts: Int)
+      : org.apache.spark.sql.DataFrame =
+    domainCapAll(docs, cap, salts)
+      .select(col("source"), col("doc_id"), col("quality"), col("dom_rank"))
+      .orderBy("source", "dom_rank")
+
+  /** [[domainCap]]'s core, preserving EVERY input column alongside the
+    * appended `dom_rank` — a pipeline that caps domains mid-chain (x26)
+    * rides the windows directly instead of ranking a projection and
+    * joining it back on doc_id: the windows keep all columns for free,
+    * so the plan stays a single linear pass (shuffle by (source,salt),
+    * shuffle by source) with no self-join fan-out over the upstream
+    * relation. Requires `doc_id`, `source`, `quality` columns. */
+  def domainCapAll(docs: org.apache.spark.sql.DataFrame, cap: Int, salts: Int)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w1 = Window.partitionBy(col("source"), col("salt"))
@@ -1235,8 +1248,7 @@ object TextDedup {
       .filter(col("r1") <= cap)
       .withColumn("dom_rank", row_number().over(w2).cast("long"))
       .filter(col("dom_rank") <= cap)
-      .select(col("source"), col("doc_id"), col("quality"), col("dom_rank"))
-      .orderBy("source", "dom_rank")
+      .drop("salt", "r1")
   }
 
   private val x24 = Q(
