@@ -110,18 +110,20 @@ object Pipeline {
       .persist()
 
     // ---- LM quality: fit on the cohort, drop the bottom 5% by rank ----
-    // the scorable-doc count (= |scored|: doc_id is unique and every
-    // gate1 doc with ≥1 trigram joins exactly one non-null lm_score row)
-    // rides the SAME aggregate as the trigram fit, so the rank threshold
-    // costs no count() action of its own — the TakeOrdered head below is
-    // the threshold's only job, and it doubles as the persist
-    // materializer for `scored`
-    val (lmAll, nScorable) =
-      TextDedup.charLmScoresAndCount(gate1.select("doc_id", "text"))
-    val lmScores = lmAll
+    // the scorable-doc count (= |scored|: exactly the gate1 docs whose
+    // lm_score is non-null) rides the SAME aggregate as the trigram fit,
+    // so the rank threshold costs no count() action of its own — the
+    // TakeOrdered head below is the threshold's only job, and it doubles
+    // as the persist materializer for `scored`. The score itself is a
+    // ROW-LOCAL column over the broadcast fit arrays (charLmScoreCol) —
+    // round 12 computed a scores frame and joined it back on doc_id,
+    // paying a second cohort scan plus a join build for a value every
+    // row can compute in place.
+    val (lmN3, lmN2, nScorable) = TextDedup.charLmFit(gate1)
+    val scored = gate1
+      .withColumn("lm_score", TextDedup.charLmScoreCol(col("text"), lmN3, lmN2))
       .filter(col("lm_score").isNotNull)
-      .select(col("doc_id"), col("lm_score"))
-    val scored = gate1.join(lmScores, "doc_id").persist()
+      .persist()
     val k = (nScorable / LmDropFrac).toInt
     val gate2 =
       if (k == 0) scored
@@ -228,7 +230,12 @@ object Pipeline {
     val fuzzy = exact.join(nonReps, Seq("doc_id"), "left_anti").persist()
 
     // ---- contamination screen vs the benchmark probe (x11 shape) ----
-    val probe = raw.filter(col("doc_id") < ProbeCap)
+    // probe reads the UNSPREAD table: doc_id < ProbeCap pushes to the
+    // parquet scan (row-group pruning), where the `raw` form sat above
+    // the spread repartition and paid a full-corpus shuffle to extract
+    // 20 documents — harmless-looking at sf0.1, a whole-table shuffle
+    // for a constant-size probe at 100 TB
+    val probe = Tables.documents(s, d).filter(col("doc_id") < ProbeCap)
       .withColumn("__toks", TextDedup.tokens(col("text")))
       .select(explode(TextDedup.gramHashes(col("__toks"))).as("g"))
       .distinct()

@@ -1337,35 +1337,61 @@ object TextDedup {
     * saves the pipeline a whole count() action over the scored cohort. */
   def charLmScoresAndCount(documents: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, Long) = {
-    import org.apache.spark.sql.graft.{CharLmScore, TriCounts}
+    import org.apache.spark.sql.graft.CharLmScore
+    val (n3, n2, nScorable) = charLmFit(documents)
     val norm = regexp_replace(lower(col("text")), "[^a-z ]", "")
-    val docs = documents.select(col("doc_id"), norm.as("t"))
-    // FIT: one TriCounts pass — the exploded groupBy's counts, exactly
-    // (spec-asserted), without the per-occurrence generator row / hash
-    // probe / shuffle (the fit was ~14 s of x23's sf10 profile; this is
-    // one map-reduce round over 32 × 154 KB partials). Bounded collect
-    // (19 683 longs — the Profiler capped-vocab precedent): the fitted
-    // model becomes two int-indexed arrays riding the SCORING expression,
-    // so scoring is a narrow row-local pass — no second explode, no
-    // broadcast joins, no per-doc decimal re-agg (that pipeline shuffled
-    // ~600 rows/doc back to doc grain and was 17 s of x26's sf1 chain).
-    val fit = docs.select(TriCounts.triCounts(col("t")).as("c"),
-      count(when(length(col("t")) >= 3, 1)).as("n")).head()
-    val n3 = fit.getSeq[Long](0).toArray
-    val nScorable = fit.getLong(1)
-    val n2 = new Array[Long](27 * 27)
-    var ci = 0
-    while (ci < n3.length) { n2(ci / 27) += n3(ci); ci += 1 }
-    // per-position p, decimal-exact sum and the mean replicate the joined
-    // form's arithmetic bit-for-bit (see CharLmScore's scaladoc) — the
-    // x23 oracle hash is the cross-engine witness
-    val scoredFrame = docs
+    val scoredFrame = documents.select(col("doc_id"), norm.as("t"))
       .select(col("doc_id"), CharLmScore.score(col("t"), n3, n2).as("s"))
       .select(col("doc_id"),
         col("s.n").as("n_trigrams"),
         (round(col("s.mean"), 6) + 0.0).as("lm_score"))
       .orderBy("doc_id")
     (scoredFrame, nScorable)
+  }
+
+  /** The fitted char-trigram LM as driver-side arrays, plus the
+    * SCORABLE-document count riding the same aggregate:
+    * `(n3 trigram counts, n2 bigram-prefix sums, nScorable)`.
+    *
+    * FIT: one TriCounts pass — the exploded groupBy's counts, exactly
+    * (spec-asserted), without the per-occurrence generator row / hash
+    * probe / shuffle (the fit was ~14 s of x23's sf10 profile; this is
+    * one map-reduce round over 32 × 154 KB partials). Bounded collect
+    * (19 683 longs — the Profiler capped-vocab precedent): the fitted
+    * model becomes two int-indexed arrays riding the SCORING expression,
+    * so scoring is a narrow row-local pass — no second explode, no
+    * broadcast joins, no per-doc decimal re-agg (that pipeline shuffled
+    * ~600 rows/doc back to doc grain and was 17 s of x26's sf1 chain).
+    * Exposed separately from [[charLmScoresAndCount]] so a pipeline that
+    * already holds the cohort (x26) can attach [[charLmScoreCol]] as a
+    * row-local column instead of computing a scores frame and joining it
+    * back on doc_id — the join form re-scanned the cohort and paid a
+    * build+probe pass for a value every row can compute in place. */
+  def charLmFit(documents: org.apache.spark.sql.DataFrame,
+                textCol: String = "text"): (Array[Long], Array[Long], Long) = {
+    import org.apache.spark.sql.graft.TriCounts
+    val norm = regexp_replace(lower(col(textCol)), "[^a-z ]", "")
+    val fit = documents.select(norm.as("t"))
+      .select(TriCounts.triCounts(col("t")).as("c"),
+        count(when(length(col("t")) >= 3, 1)).as("n")).head()
+    val n3 = fit.getSeq[Long](0).toArray
+    val nScorable = fit.getLong(1)
+    val n2 = new Array[Long](27 * 27)
+    var ci = 0
+    while (ci < n3.length) { n2(ci / 27) += n3(ci); ci += 1 }
+    (n3, n2, nScorable)
+  }
+
+  /** Row-local `lm_score` column over a [[charLmFit]] model — NULL for a
+    * doc with no trigram in its normalized text, else the per-position
+    * decimal-exact mean, bit-identical to [[charLmScores]]' column (the
+    * x23 oracle hash is the cross-engine witness). */
+  def charLmScoreCol(textCol: org.apache.spark.sql.Column,
+                     n3: Array[Long], n2: Array[Long])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.CharLmScore
+    val t = regexp_replace(lower(textCol), "[^a-z ]", "")
+    round(CharLmScore.score(t, n3, n2).getField("mean"), 6) + 0.0
   }
 
   private val x23 = Q(

@@ -456,16 +456,20 @@ object Search {
              queryIds: Seq[Long], nCentroids: Int, iters: Int,
              nProbe: Int, k: Int, exactMeans: Boolean = false): DataFrame = {
     val spark = vectors.sparkSession
-    val cents = ivfCentroids(vectors, vecCol, idCol, nCentroids, iters, exactMeans)
     // spread: the sf-scale embeddings file is a handful of splits, and
     // every stage from the fit to the encode/score pass is CPU-bound per
     // row — without the repartition the whole ANN pass runs on ≤3 of 32
     // cores (round-12 sf10 profile); a no-op on inputs already wider
     // than the cores, and hash-safe (every query-path fit is exact /
-    // order-independent)
+    // order-independent). The FIT reads the spread base too (round-13
+    // advisor fix: fitting from the unspread input pinned every Lloyd
+    // round of the CPU-bound k-means to the raw split count — the exact
+    // stage the spread exists for; value-identical, exact-mode fits are
+    // partitioning-independent).
     val base = graft.Tables.spread(vectors)
       .select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("v"))
+    val cents = ivfCentroids(base, "v", "id", nCentroids, iters, exactMeans)
     val assigned = base.withColumn("cid", ivfAssign(col("v"), cents))
       .withColumn("vn", l2Norm(col("v")))
     val qRows = base.filter(col("id").isin(queryIds: _*)).collect()
@@ -857,7 +861,15 @@ object Search {
     // a Decimal per (row, dimension) — 3.0 s of sim7's 4.1 s sf10 solo;
     // VectorSum's exact mode sums scaled longs BIT-IDENTICALLY to
     // DECIMAL(28,6) (same quantization, same decimal→double eval), so
-    // the thresholds — and the sim7 oracle hash — are unchanged
+    // the thresholds — and the sim7 oracle hash — are unchanged.
+    // Degenerate-input note (r12 advisor): this is parity under the
+    // loader invariant "vectors carry no null ELEMENTS and a uniform
+    // dim" — a null element now contributes 0 where the per-dim decimal
+    // sums skipped it (an all-null dimension yielded SQL NULL), and the
+    // dim require below rejects ragged vectors the element_at form
+    // silently padded with nulls. Neither shape exists in any embedding
+    // source this library loads; the require turns the latter from a
+    // silent wrong answer into a loud error.
     val r = vectors.filter(col(vecCol).isNotNull)
       .agg(VectorSum.sums(asDouble(col(vecCol)), exact = true).as("s"),
         count(lit(1)).cast("long").as("n")).head()

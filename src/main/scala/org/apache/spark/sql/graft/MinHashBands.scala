@@ -34,6 +34,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * null band entries exactly like md5(concat(null…)) does. The DuckDB
   * oracle twins hash the same band-bucket values either way.
   *
+  * ONE documented divergence: a NULL input ARRAY (the array itself, not
+  * its elements) yields SQL NULL here (UnaryExpression null-in→null-out),
+  * where the HOF form yields `array(null, …)` — so `explode()` drops the
+  * row instead of emitting nBands null-bucket rows. Unobservable in every
+  * caller (null buckets never survive the bucket equi-joins, and the
+  * dedup pipelines project the array from non-null text), and the
+  * standard-SQL null chain is the saner contract; spec-pinned in
+  * MinHashBandsSpec's null-array case rather than papered over.
+  *
   * Scale shape: row-local, zero shuffles, bounded state (nSeeds 16-byte
   * digests); the corpus-size-independent banding pass a 100-TB dedup
   * needs.
