@@ -14,21 +14,28 @@ class ServingPlannerSpec extends SparkSpec {
   private val dim = 64
   private val k = 5
 
-  private lazy val tiers: ServingPlanner.Tiers = {
-    val emb = Tables.embeddings(spark, sf("sf0.001"))
+  // paths kept alongside the write-returned handles so the cold-open
+  // test can re-open the SAME written index from disk
+  private lazy val tierPaths: Map[String, String] = {
     def tmp(tag: String) =
       java.nio.file.Files.createTempDirectory(s"graft-plan-$tag").toString
+    Map("flat" -> tmp("flat"), "sq" -> tmp("sq"), "pq" -> tmp("pq"),
+      "bq" -> tmp("bq"), "mrl" -> tmp("mrl"))
+  }
+
+  private lazy val tiers: ServingPlanner.Tiers = {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
     ServingPlanner.Tiers(
-      flat = IvfIndex.write(emb, "embedding", "vec_id", tmp("flat"),
+      flat = IvfIndex.write(emb, "embedding", "vec_id", tierPaths("flat"),
         nCentroids = nCents, iters = 3),
-      sq = Some(IvfIndex.writeSq(emb, "embedding", "vec_id", tmp("sq"),
+      sq = Some(IvfIndex.writeSq(emb, "embedding", "vec_id", tierPaths("sq"),
         nCentroids = nCents, iters = 3, dim = dim)),
-      pq = Some(IvfIndex.writePq(emb, "embedding", "vec_id", tmp("pq"),
+      pq = Some(IvfIndex.writePq(emb, "embedding", "vec_id", tierPaths("pq"),
         nCentroids = nCents, iters = 3, dim = dim, m = 8, ksub = 16,
         pqIters = 3)),
-      bq = Some(IvfIndex.writeBq(emb, "embedding", "vec_id", tmp("bq"),
+      bq = Some(IvfIndex.writeBq(emb, "embedding", "vec_id", tierPaths("bq"),
         nCentroids = nCents, iters = 3, dim = dim)),
-      mrl = Some(IvfIndex.writeMrl(emb, "embedding", "vec_id", tmp("mrl"),
+      mrl = Some(IvfIndex.writeMrl(emb, "embedding", "vec_id", tierPaths("mrl"),
         nCentroids = nCents, iters = 3, prefixDim = 16)))
   }
 
@@ -123,5 +130,63 @@ class ServingPlannerSpec extends SparkSpec {
         recallTarget = 0.6, scanBudgetBytesPerRow = 4, maxShortlist = 64)
     }
     assert(e.getMessage.contains("bytes/row"))
+  }
+
+  test("the plan survives the write/read boundary: cold open post-recover (r12 ask #5)") {
+    // a serving process restarting against the persisted index: sweep
+    // each directory with recover() (the crash-safe lifecycle's entry
+    // point — a clean directory must report nothing to repair), re-open
+    // every tier COLD from its sidecars, and prove the planner reaches
+    // the SAME plan with the SAME measured recall as the in-session
+    // write handles — the reference's cache-first index lifecycle
+    // (src/eval/experiment.py:60-76 loads the persisted index before
+    // re-encoding anything).
+    val warmPlan = ServingPlanner.choose(spark, tiers, dim, sample, k,
+      recallTarget = 0.6, scanBudgetBytesPerRow = dim * 8, maxShortlist = 64)
+    tierPaths.values.foreach { p =>
+      assert(IvfIndex.recover(spark, p).isEmpty,
+        s"clean index dir $p claimed recovery work")
+    }
+    val cold = ServingPlanner.Tiers(
+      flat = IvfIndex.open(spark, tierPaths("flat")),
+      sq = Some(IvfIndex.openSq(spark, tierPaths("sq"))),
+      pq = Some(IvfIndex.openPq(spark, tierPaths("pq"))),
+      bq = Some(IvfIndex.openBq(spark, tierPaths("bq"))),
+      mrl = Some(IvfIndex.openMrl(spark, tierPaths("mrl"))))
+    // the sidecar round-trip must preserve centroid geometry bit-for-bit
+    // (any drift would silently re-route probes)
+    assert(cold.flat.centroids.map(_.toSeq).toSeq ==
+      tiers.flat.centroids.map(_.toSeq).toSeq,
+      "flat centroids changed across the write/read boundary")
+    val coldPlan = ServingPlanner.choose(spark, cold, dim, sample, k,
+      recallTarget = 0.6, scanBudgetBytesPerRow = dim * 8, maxShortlist = 64)
+    assert((coldPlan.tier, coldPlan.nProbe, coldPlan.shortlist) ==
+      (warmPlan.tier, warmPlan.nProbe, warmPlan.shortlist),
+      s"cold plan $coldPlan != warm plan $warmPlan")
+    assert(coldPlan.measuredRecall == warmPlan.measuredRecall,
+      "measured recall drifted across the write/read boundary")
+    // and the chosen configuration actually SERVES from the cold handles:
+    // run the plan's batched path and re-grade it against the cold exact
+    // index — the planner's number must reproduce on the reopened index
+    val truth = IvfIndex.probedTopKBatch(spark, cold.flat, sample, nCents, k)
+      .map(_.map(_._1).toSet)
+    val served: IndexedSeq[Seq[(Long, Double)]] = coldPlan.tier match {
+      case "binary" => IvfIndex.probedTopKBqBatch(spark, cold.bq.get, sample,
+        coldPlan.nProbe, k, coldPlan.shortlist.get)
+      case "pq" => IvfIndex.probedTopKBatchAdc(spark, cold.pq.get, sample,
+        coldPlan.nProbe, k)
+      case "mrl" => IvfIndex.probedTopKMrlBatch(spark, cold.mrl.get, sample,
+        coldPlan.nProbe, k, coldPlan.shortlist.get)
+      case "sq8" => IvfIndex.probedTopKBatchSq(spark, cold.sq.get, sample,
+        coldPlan.nProbe, k)
+      case "flat" => IvfIndex.probedTopKBatch(spark, cold.flat, sample,
+        coldPlan.nProbe, k)
+      case t => fail(s"unknown tier $t")
+    }
+    val re = (served, truth).zipped.map { (g, e) =>
+      g.count(t => e(t._1)).toDouble / e.size
+    }.sum / sample.size
+    assert(math.abs(re - coldPlan.measuredRecall) < 1e-12,
+      s"cold-served recall $re does not reproduce the plan's ${coldPlan.measuredRecall}")
   }
 }
