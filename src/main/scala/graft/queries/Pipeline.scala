@@ -57,15 +57,23 @@ import org.apache.spark.sql.functions._
   *   candidate→verify→cluster shape. Components over verified edges
   *   stay near-singleton (≈10-replica clusters on the scaled data),
   *   which also keeps the twin's recursive label closure linear.
-  * - PERSIST BOUNDARIES sit at the four fan-out joints — the gate
-  *   cohort (scanned by the LM fit and the threshold top-k; the
+  * - PERSIST BOUNDARIES sit at the fan-out joints — the gate cohort
+  *   (scanned by the LM fit and the row-local scoring pass; the
   *   threshold's cohort COUNT rides the fit aggregate itself, so the
   *   rank cut costs one TakeOrdered job, not count + head), the
-  *   exact-dedup survivors (banding scan + shingle scan + component
-  *   assign), the fuzzy survivors (contamination explode + final joins),
-  *   and the contamination-clean set (domain-cap ranking + manifest
-  *   join) — so no stage re-runs the chain above it; lifecycle is the
-  *   harness clearCache, the d3/d7 convention.
+  *   exact-dedup survivors (banding scan + shingle scan + fuzzy
+  *   anti-join), the shingle and bucket relations (banding + verify,
+  *   stats + pair join), and the capped manifest (prefix-sum collect +
+  *   final join) — so no stage re-runs the chain above it; lifecycle is
+  *   the harness clearCache, the d3/d7 convention. Round 13 added two
+  *   disciplines on top: (1) the banding chain is MATERIALIZED by one
+  *   linear count() before any plan fans out over it — concurrent leaf
+  *   stages racing on a cold cache each recompute the whole upstream
+  *   chain (the round-12 profile's three simultaneous ~1.7 s jobs);
+  *   (2) the persisted joints are rebound as PlanLeaf leaves, so the
+  *   ~8 downstream actions stop re-running Catalyst analysis + codegen
+  *   over the full accumulated tree (~1.3 s of driver time at sf0.1).
+  *   Both are value-invisible; the oracle hash is the witness.
   *
   * Reference anchor: the lifecycle-composition convention of SURVEY
   * §3.2 (the reference pipeline chains encode→search→rerank the same
