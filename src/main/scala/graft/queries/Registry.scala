@@ -7,7 +7,8 @@ object Registry {
   def all: Seq[Q] =
     Relational.qs ++ Vectors.qs ++ TextDedup.qs ++ GeoQueries.qs ++
       FuseRank.qs ++ RerankQueries.qs ++ Extended.qs ++ Restaurants.qs ++
-      Flipkart.qs ++ EvalQueries.qs ++ Media.qs ++ Pipeline.qs
+      Flipkart.qs ++ EvalQueries.qs ++ Media.qs ++ Pipeline.qs ++
+      SqlSurface.qs
 
   def duplicateNames: Seq[String] =
     all.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }.toSeq
