@@ -21,11 +21,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * What is deliberately NOT here: kernels whose constructors carry
   * fitted model state (CharLmScore's count tables, LangIdPick's
   * profiles, IvfAssign/BqSignature/LshSignatures' centroid/threshold/
-  * plane arrays, ImageLumaGrid's decode config) and the typed aggregates
-  * (VectorSum, TriCounts, PqFit, KMinValues). Those are produced BY a
-  * fit step with driver-side state; a SQL literal surface for them would
+  * plane arrays, ImageLumaGrid's decode config) and PqFit (a multi-
+  * parameter fit whose output feeds those). Those are produced BY a fit
+  * step with driver-side state; a SQL literal surface for them would
   * force users to paste megabyte array literals into queries — the
-  * library API (`graft.search`/`graft.encode`) is their contract.
+  * library API (`graft.search`/`graft.encode`) is their contract. The
+  * state-FREE typed aggregates (graft_kmv_distinct, graft_vector_sum,
+  * graft_tri_counts) ARE registered: the analyzer wraps a bare
+  * AggregateFunction from a registry builder in an AggregateExpression,
+  * so `SELECT graft_kmv_distinct(h, 1024) FROM t GROUP BY g` works like
+  * any builtin aggregate.
   *
   * Registration is idempotent: re-registering replaces the same name
   * with the same builder.
@@ -56,6 +61,17 @@ object GraftFunctions {
         s"$fn: argument $pos must be a literal integer, got NULL")
       case other     => throw new IllegalArgumentException(
         s"$fn: argument $pos must be a literal integer, got $other")
+    }
+  }
+
+  /** Evaluate a foldable boolean argument at plan-build time. */
+  private def boolArg(fn: String, pos: Int, e: Expression): Boolean = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: argument $pos must be a literal boolean, got non-foldable ${e.sql}")
+    e.eval() match {
+      case b: Boolean => b
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument $pos must be a literal boolean, got $other")
     }
   }
 
@@ -90,7 +106,14 @@ object GraftFunctions {
     mk("graft_pack_pq", classOf[PackPqCodes], 1)(a => PackPqCodes(a(0))),
     mk("graft_unpack_pq", classOf[UnpackPqCodes], 1)(a => UnpackPqCodes(a(0))),
     mk("graft_adc_packed", classOf[AdcPacked], 3)(a =>
-      AdcPacked(a(0), a(1), intArg("graft_adc_packed", 3, a(2)))))
+      AdcPacked(a(0), a(1), intArg("graft_adc_packed", 3, a(2)))),
+    // state-free typed aggregates — the analyzer wraps them in an
+    // AggregateExpression exactly as it does builtin UDAF registrations
+    mk("graft_kmv_distinct", classOf[KMinValues], 2)(a =>
+      KMinValues(a(0), intArg("graft_kmv_distinct", 2, a(1)))),
+    mk("graft_vector_sum", classOf[VectorSum], 2)(a =>
+      VectorSum(a(0), boolArg("graft_vector_sum", 2, a(1)))),
+    mk("graft_tri_counts", classOf[TriCounts], 1)(a => TriCounts(a(0))))
 
   /** All surfaced function names (spec + docs). */
   def names: Seq[String] = all.map(_._1.funcName)

@@ -108,6 +108,38 @@ class GraftSqlSpec extends SparkSpec {
     assert(row.getDouble(1) == lut(0) + lut(5))
   }
 
+  test("aggregates graft_kmv_distinct / graft_vector_sum / graft_tri_counts work from SQL") {
+    vecsView()
+    spark.range(0, 5000)
+      .select((col("id") % 3).as("g"), KMinValues.hash52(col("id").cast("string")).as("h"))
+      .createOrReplaceTempView("gsql_ids")
+    // KMV: SQL estimate == Column-API estimate, per group
+    val sqlKmv = spark.sql(
+      """SELECT g, graft_kmv_distinct(h, 256) AS est
+         FROM gsql_ids GROUP BY g ORDER BY g""").collect()
+    val apiKmv = spark.table("gsql_ids")
+      .groupBy("g")
+      .agg(KMinValues.kmvDistinct(col("h"), 256).as("est"))
+      .orderBy("g").collect()
+    assert(sqlKmv.map(_.toSeq).toSeq == apiKmv.map(_.toSeq).toSeq)
+    // VectorSum exact mode: per-dimension exact sums
+    val sqlVs = spark.sql(
+      "SELECT graft_vector_sum(v, true) AS s FROM gsql_vecs").head().getSeq[Double](0)
+    val apiVs = spark.table("gsql_vecs")
+      .agg(VectorSum.sums(col("v"), exact = true).as("s")).head().getSeq[Double](0)
+    assert(sqlVs == apiVs && sqlVs == Seq(0.5, 2.25, 7.0))
+    // TriCounts over normalized text
+    docsView()
+    val sqlTc = spark.sql(
+      "SELECT graft_tri_counts(regexp_replace(lower(text), '[^a-z ]', ' ')) AS c " +
+        "FROM gsql_docs WHERE id = 1").head().getSeq[Long](0)
+    val apiTc = spark.table("gsql_docs").filter(col("id") === 1)
+      .agg(TriCounts.triCounts(
+        regexp_replace(lower(col("text")), "[^a-z ]", " ")).as("c"))
+      .head().getSeq[Long](0)
+    assert(sqlTc == apiTc && sqlTc.sum > 0)
+  }
+
   test("wrong arity and non-literal config args fail loudly, not silently") {
     docsView()
     val e1 = intercept[Exception](spark.sql("SELECT graft_dot(array(1.0))").head())
