@@ -8,8 +8,8 @@ object Verify {
     // optional 3rd arg: comma-separated query names (iteration aid; the
     // driver always runs the full suite with two args)
     val (sfDir, outDir, only) = args match {
-      case Array(s, o)    => (s, o, Set.empty[String])
-      case Array(s, o, f) => (s, o, f.split(",").toSet)
+      case Array(s, o)          => (s, o, Set.empty[String])
+      case Array(s, o, f @ _*)  => (s, o, f.flatMap(_.split(",")).toSet)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     // Split size derived from the data, exactly like Bench: at sf1 the
