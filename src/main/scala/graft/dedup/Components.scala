@@ -23,6 +23,25 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Bounded PRIMITIVE edge buffer for the gate+gather aggregate: the
+    * documented 2-longs-per-edge memory shape for real. A generic
+    * ArrayBuffer[Long] boxes every element into an Array[AnyRef]
+    * (~3× the heap per state and boxed Java-serialized task results on
+    * the wire, multiplied by concurrent tasks in the over-cap case);
+    * this holds a growable Array[Long] capped at `cap` entries, so each
+    * partial/merged state is ≤ 8·cap bytes exactly. */
+  private final class LongBuf(cap: Int) extends Serializable {
+    var arr: Array[Long] = new Array[Long](math.min(cap, 1 << 14))
+    var used: Int = 0
+    def add2(a: Long, b: Long): Unit =
+      if (used + 2 <= cap) {
+        if (used + 2 > arr.length)
+          arr = java.util.Arrays.copyOf(
+            arr, math.min(cap, math.max(arr.length * 2, used + 2)))
+        arr(used) = a; arr(used + 1) = b; used += 2
+      }
+  }
+
   /** [[connectedComponents]] with a SIZE-GATED driver-local fast path:
     * ONE job over the edge relation both decides and gathers — a
     * treeAggregate that carries the exact edge count plus (up to the
@@ -65,23 +84,23 @@ object Components {
     val (n, gathered) = edges
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .rdd
-      .treeAggregate((0L, new scala.collection.mutable.ArrayBuffer[Long]))(
+      .treeAggregate((0L, new LongBuf(capLongs)))(
         seqOp = { case ((c, buf), r) =>
           require(!r.isNullAt(0) && !r.isNullAt(1), err)
-          if (buf.length < capLongs) { buf += r.getLong(0); buf += r.getLong(1) }
+          buf.add2(r.getLong(0), r.getLong(1))
           (c + 1L, buf)
         },
         combOp = { case ((c1, b1), (c2, b2)) =>
-          val (big, small) = if (b1.length >= b2.length) (b1, b2) else (b2, b1)
+          val (big, small) = if (b1.used >= b2.used) (b1, b2) else (b2, b1)
           var i = 0
-          while (big.length < capLongs && i + 1 < small.length) {
-            big += small(i); big += small(i + 1); i += 2
+          while (big.used < capLongs && i + 1 < small.used) {
+            big.add2(small.arr(i), small.arr(i + 1)); i += 2
           }
           (c1 + c2, big)
         })
     if (n > localEdgeCap) return connectedComponents(edges, aCol, bCol)
-    val pairs = Array.tabulate(gathered.length / 2)(i =>
-      (gathered(2 * i), gathered(2 * i + 1)))
+    val pairs = Array.tabulate(gathered.used / 2)(i =>
+      (gathered.arr(2 * i), gathered.arr(2 * i + 1)))
     // union-find with path halving; roots resolved, then component label
     // = min member id (the distributed fixpoint's exact semantics)
     val parent = new java.util.HashMap[Long, Long]()

@@ -138,7 +138,10 @@ object RecallCurve {
     println(f"[recall] ${rs.size} sweep points in $secs%.1f s")
 
     def mean(xs: Seq[Double]) = xs.sum / xs.size
-    val byKm = for (kh <- harmonics; m <- 1 to 4) yield (kh, m,
+    // modality-count bound derived from the sweep's own results so this
+    // printout can never silently diverge from sweep()'s candidate list
+    val maxM = if (rs.isEmpty) 0 else rs.map(_.num_modalities).max
+    val byKm = for (kh <- harmonics; m <- 1 to maxM) yield (kh, m,
       mean(rs.filter(r => r.num_harmonics == kh && r.interval_epsilon == DefaultEps &&
         r.num_modalities == m).map(_.recall)))
     println(s"[recall] harmonics curve (eps=$DefaultEps): " +

@@ -65,15 +65,22 @@ import org.apache.spark.sql.functions._
   *   anti-join), the shingle and bucket relations (banding + verify,
   *   stats + pair join), and the capped manifest (prefix-sum collect +
   *   final join) — so no stage re-runs the chain above it; lifecycle is
-  *   the harness clearCache, the d3/d7 convention. Round 13 added two
-  *   disciplines on top: (1) the banding chain is MATERIALIZED by one
-  *   linear count() before any plan fans out over it — concurrent leaf
-  *   stages racing on a cold cache each recompute the whole upstream
-  *   chain (the round-12 profile's three simultaneous ~1.7 s jobs);
-  *   (2) the persisted joints are rebound as PlanLeaf leaves, so the
-  *   ~8 downstream actions stop re-running Catalyst analysis + codegen
-  *   over the full accumulated tree (~1.3 s of driver time at sf0.1).
-  *   Both are value-invisible; the oracle hash is the witness.
+  *   the harness clearCache, the d3/d7 convention. Round 13 added one
+  *   discipline on top: every persist that a downstream plan fans out
+  *   over from CONCURRENT leaf stages is MATERIALIZED by one linear
+  *   count() first — the banding chain (the round-12 profile's three
+  *   simultaneous ~1.7 s jobs each recomputing exact→shingles→buckets)
+  *   and the fuzzy survivors (the capped materialization scans fuzzy
+  *   from the contamination aggregate AND the clean join probe; cold,
+  *   that duplicated the exact⟕nonReps anti-join — a duplicated
+  *   full-corpus pass at scale). Value-invisible; the oracle hash is
+  *   the witness. PlanLeaf rebinding of these joints was ALSO measured
+  *   (same-day interleaved A/B at sf0.1): the statless leaves forced
+  *   the pair-verify and stats joins through runtime-AQE conversion
+  *   instead of static broadcasts and cost ~2 s — more than the ~1 s
+  *   of saved per-action re-analysis — so the joints keep bare
+  *   persists; PlanLeaf stays a spec-pinned utility for pipelines
+  *   whose downstream joins carry no broadcastable side.
   *
   * Reference anchor: the lifecycle-composition convention of SURVEY
   * §3.2 (the reference pipeline chains encode→search→rerank the same
@@ -147,6 +154,16 @@ object Pipeline {
       }
 
     // ---- exact dedup: d1's min-id keeper per content hash ----
+    // exact/shingles/buckets/capped are rebound as PlanLeaf leaves after
+    // their persist: the leaf's RDD IS the cached plan's RDD (same rows,
+    // same cache scan), but downstream actions analyze a one-node leaf
+    // instead of re-walking the whole ingest/langid/LM subtree — ~8
+    // actions × a deep accumulated plan cost ~1.3 s of pure driver time
+    // at sf0.1. Leaves carry no Catalyst stats, so no downstream join
+    // can auto-broadcast a LEAF side — all four are corpus-sized
+    // relations that must never broadcast (small sides — nonReps, cand,
+    // probe — sit opposite them, and AQE still converts the stats-side
+    // joins from runtime shuffle sizes).
     val exact = gate2
       .withColumn("__h", md5(col("text")))
       .withColumn("__keep", min(col("doc_id")).over(Window.partitionBy(col("__h"))))
@@ -235,7 +252,17 @@ object Pipeline {
     // back (three joins over the exact relation → one)
     val nonReps = comps.filter(col("comp") =!= col("id"))
       .select(col("id").as("doc_id"))
-    val fuzzy = exact.join(nonReps, Seq("doc_id"), "left_anti").persist()
+    val fuzzyP = exact.join(nonReps, Seq("doc_id"), "left_anti").persist()
+    // same cold-cache discipline as buckets: the capped materialization
+    // below scans fuzzy from TWO concurrent leaf stages (the
+    // contamination aggregate and the clean join probe), and a cold
+    // persist gives no cross-stage dedup — at sf0.1 the duplicated
+    // anti-join over the warm exact cache is cheap, but at corpus scale
+    // it is a duplicated full pass. One count() populates the cache
+    // first; the leaf rebind then keeps the ~4 downstream analyses off
+    // the accumulated plan.
+    fuzzyP.count()
+    val fuzzy = fuzzyP
 
     // ---- contamination screen vs the benchmark probe (x11 shape) ----
     // probe reads the UNSPREAD table: doc_id < ProbeCap pushes to the

@@ -464,8 +464,15 @@ object Search {
     // order-independent). The FIT reads the spread base too (round-13
     // advisor fix: fitting from the unspread input pinned every Lloyd
     // round of the CPU-bound k-means to the raw split count — the exact
-    // stage the spread exists for; value-identical, exact-mode fits are
-    // partitioning-independent).
+    // stage the spread exists for). Value-identical where it is CLAIMED:
+    // the oracle-hashed path (sim3) fits with exactMeans=true, whose
+    // DECIMAL sums are partitioning-independent; the default
+    // exactMeans=false mode sums native doubles, so the repartition can
+    // move centroids by summation-order fp-noise — explicitly the
+    // documented contract of that mode (see ivfCentroids: "centroid
+    // drift from summation order is fp-noise that does not move ANN
+    // quality"), and CompressionCurve grades recall on exact cosine of
+    // whatever cells result, so its tiers stay internally consistent.
     val base = graft.Tables.spread(vectors)
       .select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("v"))
