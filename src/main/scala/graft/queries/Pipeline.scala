@@ -65,22 +65,21 @@ import org.apache.spark.sql.functions._
   *   anti-join), the shingle and bucket relations (banding + verify,
   *   stats + pair join), and the capped manifest (prefix-sum collect +
   *   final join) — so no stage re-runs the chain above it; lifecycle is
-  *   the harness clearCache, the d3/d7 convention. Round 13 added one
-  *   discipline on top: every persist that a downstream plan fans out
-  *   over from CONCURRENT leaf stages is MATERIALIZED by one linear
-  *   count() first — the banding chain (the round-12 profile's three
-  *   simultaneous ~1.7 s jobs each recomputing exact→shingles→buckets)
-  *   and the fuzzy survivors (the capped materialization scans fuzzy
-  *   from the contamination aggregate AND the clean join probe; cold,
-  *   that duplicated the exact⟕nonReps anti-join — a duplicated
-  *   full-corpus pass at scale). Value-invisible; the oracle hash is
-  *   the witness. PlanLeaf rebinding of these joints was ALSO measured
-  *   (same-day interleaved A/B at sf0.1): the statless leaves forced
-  *   the pair-verify and stats joins through runtime-AQE conversion
-  *   instead of static broadcasts and cost ~2 s — more than the ~1 s
-  *   of saved per-action re-analysis — so the joints keep bare
-  *   persists; PlanLeaf stays a spec-pinned utility for pipelines
-  *   whose downstream joins carry no broadcastable side.
+  *   the harness clearCache, the d3/d7 convention. Round 13's
+  *   discipline on top: a persist whose COLD recompute is expensive and
+  *   that a downstream plan fans out over from concurrent leaf stages
+  *   is materialized by one linear count() first — the banding chain
+  *   qualifies (the round-12 profile's three simultaneous ~1.7 s jobs
+  *   each recomputing exact→shingles→buckets); the fuzzy survivors'
+  *   persist does NOT (its cold recompute is one warm-cache scan + an
+  *   anti-join against the tiny nonReps side — the interleaved A/B in
+  *   the inline comment measured the extra action slower). PlanLeaf
+  *   rebinding of the joints was also measured and rejected (statless
+  *   leaves push the pair-verify/stats joins onto runtime-AQE
+  *   conversion, costing more than the saved per-action re-analysis);
+  *   it ships as a spec-pinned utility for pipelines whose downstream
+  *   joins carry no broadcastable side. Every experiment here is
+  *   value-invisible; the oracle hash is the witness.
   *
   * Reference anchor: the lifecycle-composition convention of SURVEY
   * §3.2 (the reference pipeline chains encode→search→rerank the same
@@ -252,17 +251,19 @@ object Pipeline {
     // back (three joins over the exact relation → one)
     val nonReps = comps.filter(col("comp") =!= col("id"))
       .select(col("id").as("doc_id"))
-    val fuzzyP = exact.join(nonReps, Seq("doc_id"), "left_anti").persist()
-    // same cold-cache discipline as buckets: the capped materialization
-    // below scans fuzzy from TWO concurrent leaf stages (the
-    // contamination aggregate and the clean join probe), and a cold
-    // persist gives no cross-stage dedup — at sf0.1 the duplicated
-    // anti-join over the warm exact cache is cheap, but at corpus scale
-    // it is a duplicated full pass. One count() populates the cache
-    // first; the leaf rebind then keeps the ~4 downstream analyses off
-    // the accumulated plan.
-    fuzzyP.count()
-    val fuzzy = fuzzyP
+    // fuzzy is fanned out over cold by two concurrent stages (the
+    // contamination aggregate + the clean join probe), so its anti-join
+    // can run twice per cold run — the same race class as the banding
+    // chain. Deliberately NOT count()-materialized: `exact` is already
+    // warm (buckets.count() walked it), so the duplicated work is one
+    // cache scan plus an anti-join probe against the tiny nonReps side,
+    // while a materializing count() is a full extra action and pass —
+    // an interleaved A/B (3 solo pairs at sf0.1) measured the count()
+    // variant SLOWER (median 5.33 s vs 5.03 s). The banding chain's
+    // count() pays for three duplicated COLD-CHAIN recomputes; this one
+    // would not. The race is a cost model, not a dogma (the d3/d7/d8
+    // lesson, re-measured here).
+    val fuzzy = exact.join(nonReps, Seq("doc_id"), "left_anti").persist()
 
     // ---- contamination screen vs the benchmark probe (x11 shape) ----
     // probe reads the UNSPREAD table: doc_id < ProbeCap pushes to the
