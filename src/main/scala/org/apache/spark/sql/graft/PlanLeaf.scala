@@ -33,4 +33,32 @@ object PlanLeaf {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
+
+  /** The stats-carrying rebind: same one-node-leaf contract as [[leaf]],
+    * but built via `LogicalRDD.fromDataset` (the `Dataset.checkpoint`
+    * path), which copies the wrapped plan's Catalyst STATISTICS and
+    * CONSTRAINTS onto the leaf and keeps the executed plan's
+    * outputPartitioning/outputOrdering. This removes both trade-offs the
+    * bare leaf documents: (1) a small frame DERIVED from the leaf (bucket
+    * stats, non-representative ids) gets a plausible size estimate again,
+    * so downstream joins keep their STATIC broadcast instead of falling
+    * back to runtime-AQE conversion; (2) a downstream shuffle over the
+    * leaf's existing partitioning is recognized and elided. Call AFTER
+    * the persist is materialized so the copied InMemoryRelation stats are
+    * the ACCURATE cached size, not the pre-execution estimate.
+    *
+    * Measured at x26's joints and NOT wired (the same discipline as the
+    * bare-leaf A/B): five interleaved solo pairs at sf0.1 drew median
+    * 6.08 s with the rebind vs 5.63 s bare persists — broadcasts and
+    * partitioning survive (spec-pinned below), but the saved per-action
+    * re-analysis never materializes as wall clock at local[32], and the
+    * eager per-joint `toRdd` planning adds its own driver time. The
+    * utility remains for deep pipelines with MANY more actions per joint
+    * than x26's ~6, where the analysis re-walk actually dominates. */
+  def leafWithStats(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    val rebound = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      ds.queryExecution.toRdd, ds, isStreaming = false)
+    org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession, rebound)
+  }
 }

@@ -73,6 +73,82 @@ class PlanLeafSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("leafWithStats: rows, schema, single-leaf analysis, and post-unpersist recompute") {
+    val df = deepFrame().persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    val leaf = PlanLeaf.leafWithStats(df)
+    assert(leaf.schema == df.schema)
+    val analyzed = leaf.queryExecution.analyzed
+    assert(analyzed.isInstanceOf[LogicalRDD] && analyzed.children.isEmpty)
+    val a = df.collect().map(_.toSeq).sortBy(_.toString)
+    val b = leaf.collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq == b.toSeq)
+    df.unpersist(blocking = true)
+    assert(leaf.count() == a.length) // lineage recompute, values unchanged
+  }
+
+  test("leafWithStats carries the wrapped plan's statistics; bare leaf does not") {
+    val df = deepFrame().persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      df.count() // materialize so the copied InMemoryRelation stats are the accurate cached size
+      val wrapped = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val withStats = PlanLeaf.leafWithStats(df).queryExecution.optimizedPlan.stats.sizeInBytes
+      val bare = PlanLeaf.leaf(df).queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(withStats == wrapped, s"stats leaf must report the wrapped size ($withStats vs $wrapped)")
+      assert(bare > withStats * 1000L,
+        s"bare leaf should fall back to the huge default ($bare vs $withStats)")
+    } finally df.unpersist()
+  }
+
+  test("a small frame derived from leafWithStats keeps its STATIC broadcast; from the bare leaf it loses it") {
+    val df = deepFrame().persist(StorageLevel.MEMORY_AND_DISK)
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      df.count()
+      spark.conf.set("spark.sql.adaptive.enabled", "false") // isolate STATIC planning from AQE runtime conversion
+      // big must sit ABOVE the 10 MB broadcast threshold itself (range stats
+      // are exact: rows × row width), or the planner broadcasts the BIG side
+      // in both cases and the assertion tests nothing. Planning-only — this
+      // frame is never executed.
+      val big = spark.range(0, 3000000).select(col("id"), (col("id") % 7).as("k"))
+      def joined(d: org.apache.spark.sql.DataFrame) = {
+        val small = d.select("k", "n") // leaf-derived small side
+        big.join(small, "k")
+      }
+      def usesBroadcast(d: org.apache.spark.sql.DataFrame) =
+        d.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin")
+      assert(usesBroadcast(joined(PlanLeaf.leafWithStats(df))),
+        "stats-carrying leaf must keep the static broadcast of its derived small side")
+      assert(!usesBroadcast(joined(PlanLeaf.leaf(df))),
+        "bare leaf is expected to lose the static broadcast (the documented trade-off)")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      df.unpersist()
+    }
+  }
+
+  test("leafWithStats preserves the executed plan's output partitioning (no re-shuffle on the same key)") {
+    val base = spark.range(0, 10000).select((col("id") % 64).as("k"), col("id").as("v"))
+      .repartition(col("k"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      base.count()
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def nShuffles(d: org.apache.spark.sql.DataFrame): Int = {
+        val p = d.groupBy("k").agg(sum("v")).queryExecution.executedPlan
+        p.collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }.size
+      }
+      assert(nShuffles(PlanLeaf.leafWithStats(base)) == 0,
+        "groupBy over the leaf's existing hash partitioning must not re-shuffle")
+      assert(nShuffles(PlanLeaf.leaf(base)) == 1,
+        "bare leaf drops the partitioning, so the groupBy re-shuffles (the documented trade-off)")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      base.unpersist()
+    }
+  }
+
   test("leaf still answers (recomputes) after the persist is dropped") {
     val df = deepFrame().persist(StorageLevel.MEMORY_AND_DISK)
     df.count()
