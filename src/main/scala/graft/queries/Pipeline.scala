@@ -99,7 +99,26 @@ object Pipeline {
   private val PackBudget = 2048L
   private val ChunkStride = 8 // x25's stride; window count rides the manifest
 
-  private def x26Frame(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  /** The pipeline's persisted joints plus the final manifest — one
+    * construction, shared by the x26 query (which needs only
+    * [[X26Stages.manifest]]) and by [[funnel]] (which counts the joints).
+    * `clean` is the one non-persisted stage frame: it re-derives from the
+    * fuzzy cache + the contamination aggregate when counted. */
+  private[graft] final case class X26Stages(
+      gate1: DataFrame,       // quality-gate survivors (alpha ratio + min tokens)
+      scored: DataFrame,      // LM-scorable cohort (lm_score attached)
+      nScorable: Long,        // |scored|, ridden on the LM fit aggregate
+      lmCutK: Int,            // rows dropped by the bottom-5% rank cut
+      exact: DataFrame,       // exact-dedup survivors
+      fuzzy: DataFrame,       // fuzzy-dedup survivors
+      clean: DataFrame,       // decontamination survivors (not persisted)
+      capped: DataFrame,      // per-domain-cap survivors (manifest columns)
+      manifest: DataFrame)    // the final packed training manifest
+
+  private def x26Frame(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    x26Stages(s, d).manifest
+
+  private def x26Stages(s: org.apache.spark.sql.SparkSession, d: String): X26Stages = {
     // spread: the sf-scale documents file is a handful of row groups, but
     // the signal/fit stages are CPU-bound per row (langid trigrams, token
     // count, TriCounts) — without the repartition the whole fit ran as ONE
@@ -311,7 +330,7 @@ object Pipeline {
       capped.select("doc_id", "n_tokens"), "doc_id", "n_tokens", PackBudget)
       .select(col("doc_id"), col("bin_id"), col("bin_offset"))
 
-    capped.join(packed, "doc_id")
+    val manifest = capped.join(packed, "doc_id")
       .select(col("doc_id"), col("source"), col("lang_pred"), col("n_tokens"),
         (round(col("alpha_ratio"), 6) + 0.0).as("alpha_ratio"),
         col("lm_score"),
@@ -320,6 +339,45 @@ object Pipeline {
         col("bin_id"), col("bin_offset"),
         (((col("n_tokens") - 1) / ChunkStride).cast("long") + 1).as("n_chunks"))
       .orderBy("doc_id")
+
+    X26Stages(gate1, scored, nScorable, k, exact, fuzzy, clean, capped, manifest)
+  }
+
+  /** Curation-funnel observability: how many documents survive each stage
+    * of the x26 pipeline, as a (stage_order, stage, docs) frame — the
+    * per-stage accounting a 100-TB curation run reports after every batch
+    * (a stage that silently drops 40% of a crawl is an incident, and the
+    * funnel is how it gets caught).
+    *
+    * Cost model, stated: every persisted joint's count is ONE scan of
+    * blocks the pipeline already cached — no chain re-runs. The two
+    * exceptions are documented: `ingested` scans the source relation once
+    * more (a column-pruned, predicate-pushed scan of two metadata
+    * columns), and `decontaminated` re-derives from the fuzzy CACHE plus
+    * the contamination aggregate (the stage is deliberately not persisted
+    * in the pipeline — x26's inline comment records the A/B). The
+    * rank-cut stage costs NOTHING: the k-th-statistic cut keeps exactly
+    * |scorable| − k rows by construction (distinct (score, doc_id)
+    * tuples), so its count is arithmetic, not an action. Lifecycle: the
+    * joints stay persisted for the caller's clearCache, the x26/d3/d7
+    * convention. */
+  def funnel(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val st = x26Stages(s, d)
+    val ingested = Tables.documents(s, d)
+      .filter(col("doc_id") >= ProbeCap && col("lang") === "en").count()
+    val rows = Seq(
+      ("ingested_en", ingested),
+      ("quality_gated", st.gate1.count()),
+      ("lm_scored", st.nScorable),
+      ("lm_rank_cut", st.nScorable - st.lmCutK),
+      ("exact_deduped", st.exact.count()),
+      ("fuzzy_deduped", st.fuzzy.count()),
+      ("decontaminated", st.clean.count()),
+      ("domain_capped", st.capped.count()))
+    import s.implicits._
+    rows.zipWithIndex
+      .map { case ((stage, n), i) => (i + 1, stage, n) }
+      .toDF("stage_order", "stage", "docs")
   }
 
   /** The whole-chain DuckDB twin. Multi-referenced CTE stages are

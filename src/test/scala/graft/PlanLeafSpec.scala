@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.PlanLeaf
 import org.apache.spark.storage.StorageLevel
 
-/** PlanLeaf contract (used at x26's persisted fan-out joints): the leaf
+/** PlanLeaf contract (evaluated at x26's persisted fan-out joints and
+  * shipped UNWIRED — both the bare and the stats-carrying rebind lost
+  * interleaved A/Bs there; BASELINE.md records the trail): the leaf
   * must carry the exact rows and schema of the wrapped frame, must
   * analyze to a single leaf node (that is the whole point — O(1)
   * downstream analysis instead of re-walking the full pipeline), must
