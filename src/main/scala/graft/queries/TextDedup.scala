@@ -1419,7 +1419,41 @@ object TextDedup {
             FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
             ORDER BY d.doc_id"""))
 
+  // ST5 streaming curation gate (batch twin of Streaming.curationGate —
+  // the x26 front-end as dedup-on-ingest): row-local quality signals →
+  // gate → exact dedup first-seen-wins, the d1 keeper decision made
+  // incrementally per arriving document. flatMapGroupsWithState runs the
+  // identical code on this static table (batch semantics, ascending-id
+  // group order), so the keeper is min(doc_id) per content hash — which
+  // is what the twin's window computes. Cross-batch statefulness (a later
+  // micro-batch's copy mapping to an earlier batch's keeper) is
+  // StreamingSpec's job; the hash here pins the decision arithmetic.
+  private val st5 = Q(
+    "st5_stream_curation_gate",
+    (s, d) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      graft.streaming.Streaming.curationGate(
+          Tables.documents(s, d), "text", "doc_id")
+        .select(col("id"), col("novel"), col("dup_of"), col("n_tokens"),
+          (round(col("alpha_ratio"), 6) + 0.0).as("alpha_ratio"))
+        .orderBy("id")
+    },
+    Some("""WITH sig AS (
+              SELECT doc_id::BIGINT AS id, md5(text) AS h,
+                len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'))::BIGINT AS n_tokens,
+                length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text) AS alpha_ratio
+              FROM documents),
+            gated AS (SELECT * FROM sig
+              WHERE alpha_ratio >= 0.8 AND n_tokens >= 12),
+            dec AS (SELECT id, n_tokens, alpha_ratio,
+                      min(id) OVER (PARTITION BY h) AS keeper
+                    FROM gated)
+            SELECT id, id = keeper AS novel,
+              (CASE WHEN id = keeper THEN -1 ELSE keeper END)::BIGINT AS dup_of,
+              n_tokens, round(alpha_ratio, 6) + 0.0 AS alpha_ratio
+            FROM dec ORDER BY id"""))
+
   val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, d8, x1, x2, x3, x4, x5, x6, x7,
     x8, x9, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x23, x24,
-    x25, st1, st2)
+    x25, st1, st2, st5)
 }

@@ -220,6 +220,71 @@ object Streaming {
       }.toDF()
   }
 
+  /** One streaming curation decision: the quality signals, and whether
+    * this doc is the first-seen copy of its content (keep) or a duplicate
+    * of an earlier keeper. Gate-failing docs never reach the operator's
+    * output (they are filtered before the stateful step — no state spent
+    * on rejects). */
+  final case class CurationDecision(
+      id: Long, novel: Boolean, dup_of: Long, n_tokens: Long, alpha_ratio: Double)
+
+  /** Streaming CURATION GATE — the x26 pipeline's front-end (row-local
+    * quality signals → quality gate → exact dedup, d1's first-seen-wins
+    * keeper) as dedup-on-ingest for a continuously arriving corpus. The
+    * signals (token count via the native TokenCount kernel, alphabetic
+    * ratio) are STATELESS projections; the gate filter drops rejects
+    * before any state is touched; the exact-dedup decision is one
+    * flatMapGroupsWithState keyed by the content hash (md5(text)), whose
+    * per-key state is the keeper's id — the doc shuffles once, on its
+    * content hash.
+    *
+    * Rows inside a micro-batch are processed in ascending-id order (the
+    * nearDupFilter convention), so per-batch output is deterministic and
+    * a STATIC run (batch semantics: every group once, empty state) equals
+    * the min-id-per-hash window — which is exactly the st5 oracle twin.
+    * Across batches, arrival order decides who is first: a later batch's
+    * copy maps to the earlier batch's keeper (spec-pinned).
+    *
+    * Scale shape: state is ONE (hash → id) entry per distinct retained
+    * document — ~48 bytes/key in the state store, hash-partitioned across
+    * executors like any keyed state; a 1-billion-distinct-doc corpus
+    * (100 TB at ~100 KB/doc) carries ~48 GB of state cluster-wide, linear
+    * in DISTINCT docs, not stream length. Exact dedup cannot do better
+    * than remembering each distinct key once; a deployment that can
+    * tolerate misses past a horizon should add a state TTL
+    * (GroupStateTimeout) or front an approximate filter — both drop the
+    * exactness this operator's oracle checks. */
+  def curationGate(docs: DataFrame, textCol: String, idCol: String,
+                   minTokens: Int = 12, alphaMin: Double = 0.8)
+                  (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val gated = docs.select(
+        col(idCol).cast("long").as("id"),
+        md5(col(textCol)).as("h"),
+        org.apache.spark.sql.graft.TokenCount.tokenCount(col(textCol))
+          .cast("long").as("n_tokens"),
+        (length(regexp_replace(col(textCol), "[^a-z]", "")).cast("double") /
+          length(col(textCol))).as("alpha_ratio"))
+      .filter(col("alpha_ratio") >= alphaMin && col("n_tokens") >= minTokens)
+      .as[(Long, String, Long, Double)]
+    gated.groupByKey(_._2)
+      .flatMapGroupsWithState[Long, CurationDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(Long, String, Long, Double)],
+         state: GroupState[Long]) =>
+          var keeper = state.getOption.getOrElse(-1L)
+          val out = rows.toSeq.sortBy(_._1).map { case (id, _, nt, ar) =>
+            if (keeper < 0) {
+              keeper = id
+              CurationDecision(id, novel = true, dup_of = -1L, nt, ar)
+            } else CurationDecision(id, novel = false, dup_of = keeper, nt, ar)
+          }
+          state.update(keeper)
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** Plain-Scala cosine with the same left-to-right accumulation as
     * Search.cosine (dot/(√dot·√dot)) — the in-state comparison must agree
     * with the batch path's arithmetic. NaN (zero vector) never matches. */

@@ -375,4 +375,78 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.contains((i, false, i - 1)), s"doc $i not flagged as dup of ${i - 1}")
     }
   }
+
+  // -- streaming curation gate (st5's operator) --------------------------
+
+  /** Fixture texts: `good*` pass the gate (all-lowercase-alpha, ≥ 12
+    * tokens); `junk` fails the alpha-ratio gate (digits), `short` fails
+    * the token floor. good2 is a verbatim copy of good1. */
+  private val good1 = "the quick brown fox jumps over the lazy dog again and again"
+  private val good2 = good1
+  private val good3 = "pack my box with five dozen fine brown quality liquor jugs today"
+  private val junk = "1234 5678 9012 3456 7890 1234 5678 9012 3456 7890 1234 5678"
+  private val short = "too short to pass"
+
+  test("curation gate: quality rejects never reach the output or the state") {
+    implicit val s = spark
+    import spark.implicits._
+    val out = Streaming.curationGate(
+        Seq((1L, good1), (2L, junk), (3L, short)).toDF("doc_id", "text"),
+        "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSet
+    assert(out == Set((1L, true, -1L)),
+      s"gate must pass only the quality doc, got $out")
+  }
+
+  test("curation gate: cross-batch exact dedup — a later batch's copy maps to the first batch's keeper") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.curationGate(mem.toDF().toDF("doc_id", "text"), "text", "doc_id")
+      .writeStream.format("memory").queryName("curation_out").outputMode("append")
+      .start()
+    mem.addData((1L, good1), (2L, good2)) // 2 = in-batch copy of 1
+    q.processAllAvailable()
+    mem.addData((3L, good1), (4L, good3), (5L, junk)) // 3 = cross-batch copy
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("curation_out").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((true, -1L)), s"out=$out")
+    assert(out(2L) == ((false, 1L)), "in-batch duplicate must map to the batch keeper")
+    assert(out(3L) == ((false, 1L)), "cross-batch duplicate must hit batch-1 state")
+    assert(out(4L) == ((true, -1L)), "distinct content is novel")
+    assert(!out.contains(5L), "gate reject must not be emitted")
+  }
+
+  test("curation gate: streamed decisions == static batch run on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // tokens ≥ 5 chars keep alpha_ratio (letters / letters+spaces) above
+    // the 0.8 gate — the point here is dedup parity, not gate rejection
+    def sentence(): String =
+      Seq.fill(15)("abcdefghijklmnop".charAt(rnd.nextInt(16)).toString * (5 + rnd.nextInt(5))).mkString(" ")
+    // 24 docs, every fourth a verbatim copy of its predecessor
+    val docs = (1L to 24L).scanLeft((0L, "")) { case ((_, prev), i) =>
+      if (i % 4 == 0) (i, prev) else (i, sentence())
+    }.tail
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.curationGate(mem.toDF().toDF("doc_id", "text"), "text", "doc_id")
+      .writeStream.format("memory").queryName("curation_parity").outputMode("append")
+      .start()
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("curation_parity").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSet
+    val batch = Streaming.curationGate(docs.toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    docs.filter(_._1 % 4 == 0).foreach { case (i, _) =>
+      assert(streamed.contains((i, false, i - 1)), s"doc $i not flagged as dup of ${i - 1}")
+    }
+  }
 }
