@@ -136,8 +136,12 @@ object Pipeline {
       .select(col("doc_id"), col("source"), col("text"), col("lang_pred"),
         org.apache.spark.sql.graft.TokenCount.tokenCount(col("text"))
           .cast("long").as("n_tokens"),
-        (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
-          length(col("text"))).as("alpha_ratio"))
+        // empty text: ANSI division would THROW on length 0; the guard
+        // yields null → gate reject (DuckDB's x/0 = NULL does the same in
+        // the twin). No testdata row is empty, so the hash is indifferent
+        when(length(col("text")) > 0,
+          length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+            length(col("text"))).as("alpha_ratio"))
     val gate1 = sig
       .filter(col("alpha_ratio") >= AlphaMin && col("n_tokens") >= MinTokens)
       .persist()

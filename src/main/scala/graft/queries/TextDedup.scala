@@ -1453,7 +1453,75 @@ object TextDedup {
               n_tokens, round(alpha_ratio, 6) + 0.0 AS alpha_ratio
             FROM dec ORDER BY id"""))
 
-  val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, d8, x1, x2, x3, x4, x5, x6, x7,
-    x8, x9, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x23, x24,
+  // D10 INCREMENTAL near-dup screening (graft.dedup.IncrementalDedup):
+  // dedup a DELTA batch against a settled BASE corpus — the production
+  // ingest shape (only the new crawl is screened; base↔base is never
+  // re-paired). The fixture split is deterministic and scale-stable:
+  // delta = doc_id ≡ 0 (mod 5) (~20% of any sf), base = the rest. The
+  // measures are the family's hash-checked ones: word-bigram shingle
+  // MinHash banding (x26's scheme) for candidates, base-side d3 rep-star
+  // skew cap, shingle Jaccard ≥ 0.8 verification, min-id base keeper.
+  // Every delta doc gets a decision row (novel or dup_of keeper).
+  private val D10Tau = 0.8
+  private val d10 = Q(
+    "d10_incremental_neardup",
+    (s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d))
+      graft.dedup.IncrementalDedup.screen(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", tau = D10Tau)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH bsh AS (
+               SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 2
+                 THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+                 ELSE [] END) AS sh
+               FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS tk
+                     FROM documents WHERE doc_id % 5 <> 0)),
+             dsh AS (
+               SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 2
+                 THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+                 ELSE [] END) AS sh
+               FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS tk
+                     FROM documents WHERE doc_id % 5 = 0)),
+             bsig AS (SELECT doc_id,
+               min(md5('0:' || g)) AS h0, min(md5('1:' || g)) AS h1,
+               min(md5('2:' || g)) AS h2, min(md5('3:' || g)) AS h3,
+               min(md5('4:' || g)) AS h4, min(md5('5:' || g)) AS h5,
+               min(md5('6:' || g)) AS h6, min(md5('7:' || g)) AS h7
+               FROM (SELECT doc_id, unnest(sh) AS g FROM bsh) GROUP BY doc_id),
+             dsig AS (SELECT doc_id,
+               min(md5('0:' || g)) AS h0, min(md5('1:' || g)) AS h1,
+               min(md5('2:' || g)) AS h2, min(md5('3:' || g)) AS h3,
+               min(md5('4:' || g)) AS h4, min(md5('5:' || g)) AS h5,
+               min(md5('6:' || g)) AS h6, min(md5('7:' || g)) AS h7
+               FROM (SELECT doc_id, unnest(sh) AS g FROM dsh) GROUP BY doc_id),
+             bbuck AS (SELECT doc_id, '0:' || md5(h0 || h1 || h2 || h3) AS bucket FROM bsig
+                       UNION ALL SELECT doc_id, '1:' || md5(h4 || h5 || h6 || h7) FROM bsig),
+             dbuck AS (SELECT doc_id, '0:' || md5(h0 || h1 || h2 || h3) AS bucket FROM dsig
+                       UNION ALL SELECT doc_id, '1:' || md5(h4 || h5 || h6 || h7) FROM dsig),
+             bstat AS (SELECT bucket, count(*) AS bn, min(doc_id) AS rep
+                       FROM bbuck GROUP BY 1),
+             part AS (SELECT b.bucket,
+                        CASE WHEN s.bn <= ${graft.search.Search.LshBucketCap}
+                             THEN b.doc_id ELSE s.rep END AS base_id
+                      FROM bbuck b JOIN bstat s USING (bucket)),
+             cand AS (SELECT DISTINCT d.doc_id AS delta_id, p.base_id
+                      FROM dbuck d JOIN part p USING (bucket)),
+             ver AS (SELECT c.delta_id, c.base_id FROM cand c
+                     JOIN dsh a ON a.doc_id = c.delta_id
+                     JOIN bsh b ON b.doc_id = c.base_id
+                     WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                           / len(list_distinct(list_concat(a.sh, b.sh))) >= $D10Tau),
+             m AS (SELECT delta_id, min(base_id) AS dup_of FROM ver GROUP BY 1)
+             SELECT d.doc_id, m.dup_of IS NULL AS novel,
+                    coalesce(m.dup_of, -1)::BIGINT AS dup_of
+             FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+             LEFT JOIN m ON m.delta_id = d.doc_id
+             ORDER BY d.doc_id"""))
+
+  val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, d8, d10, x1, x2, x3, x4, x5, x6,
+    x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x23, x24,
     x25, st1, st2, st5)
 }

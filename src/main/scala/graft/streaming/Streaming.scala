@@ -263,8 +263,11 @@ object Streaming {
         md5(col(textCol)).as("h"),
         org.apache.spark.sql.graft.TokenCount.tokenCount(col(textCol))
           .cast("long").as("n_tokens"),
-        (length(regexp_replace(col(textCol), "[^a-z]", "")).cast("double") /
-          length(col(textCol))).as("alpha_ratio"))
+        // empty text: ANSI division would THROW on length 0; the guard
+        // yields null → gate reject, which is DuckDB's x/0 = NULL too
+        when(length(col(textCol)) > 0,
+          length(regexp_replace(col(textCol), "[^a-z]", "")).cast("double") /
+            length(col(textCol))).as("alpha_ratio"))
       .filter(col("alpha_ratio") >= alphaMin && col("n_tokens") >= minTokens)
       .as[(Long, String, Long, Double)]
     gated.groupByKey(_._2)

@@ -398,6 +398,17 @@ class StreamingSpec extends SparkSpec {
       s"gate must pass only the quality doc, got $out")
   }
 
+  test("curation gate: null and empty texts are gate rejects, never crashes") {
+    implicit val s = spark
+    import spark.implicits._
+    val out = Streaming.curationGate(
+        Seq((1L, good1), (2L, null.asInstanceOf[String]), (3L, ""), (4L, "  "))
+          .toDF("doc_id", "text"),
+        "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L), s"degenerate texts must be rejected by the gate, got $out")
+  }
+
   test("curation gate: cross-batch exact dedup — a later batch's copy maps to the first batch's keeper") {
     implicit val sqlCtx = spark.sqlContext
     implicit val s = spark
