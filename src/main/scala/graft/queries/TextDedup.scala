@@ -179,8 +179,11 @@ object TextDedup {
       val b = sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"))
       a.crossJoin(b).filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
-          round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-            size(array_union(col("a_sh"), col("b_sh"))), 6).as("jaccard"))
+          // two sub-2-token docs both have EMPTY shingle sets → union
+          // size 0 → ANSI divide-by-zero; null matches the twin's x/0
+          round(when(size(array_union(col("a_sh"), col("b_sh"))) > 0,
+            size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+              size(array_union(col("a_sh"), col("b_sh")))), 6).as("jaccard"))
         .orderBy("a_id", "b_id")
     },
     Some("""WITH sh AS (
@@ -369,7 +372,11 @@ object TextDedup {
       Tables.documents(s, d)
         .select(col("doc_id"),
           round(nStop.cast("double") / nTok, 6).as("stop_ratio"),
-          round(alpha.cast("double") / length(col("text")), 6).as("alpha_ratio"),
+          // empty text: ANSI division would THROW on length 0; null
+          // matches the twin's x/0 = NULL (nTok is safe: split of '' is
+          // [''], never empty)
+          round(when(length(col("text")) > 0,
+            alpha.cast("double") / length(col("text"))), 6).as("alpha_ratio"),
           round((length(col("text")) - nTok + 1).cast("double") / nTok, 6)
             .as("mean_tok_len"))
         .orderBy("doc_id")
@@ -414,8 +421,11 @@ object TextDedup {
         .withColumn("n_tokens",
           org.apache.spark.sql.graft.TokenCount.tokenCount(col("text")).cast("long"))
         .withColumn("alpha_ratio",
-          length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
-            length(col("text")))
+          // empty-text guard: see x2 — null (gate reject) instead of an
+          // ANSI divide-by-zero throw
+          when(length(col("text")) > 0,
+            length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+              length(col("text"))))
         .filter(col("alpha_ratio") >= 0.6 && col("n_tokens") >= 5)
       val deduped = quality
         .withColumn("h", md5(col("text")))
@@ -1254,8 +1264,10 @@ object TextDedup {
   private val x24 = Q(
     "x24_domain_cap",
     (s, d) => {
-      val q = round(length(regexp_replace(col("text"), "[^a-z]", ""))
-        .cast("double") / length(col("text")), 6)
+      // empty-text guard: see x2 — null quality instead of an ANSI throw
+      val q = round(when(length(col("text")) > 0,
+        length(regexp_replace(col("text"), "[^a-z]", ""))
+          .cast("double") / length(col("text"))), 6)
       domainCap(
         Tables.documents(s, d)
           .select(col("doc_id"), col("source"), q.as("quality")),
