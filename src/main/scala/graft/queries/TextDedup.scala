@@ -1406,6 +1406,70 @@ object TextDedup {
     round(CharLmScore.score(t, n3, n2).getField("mean"), 6) + 0.0
   }
 
+  /** The x23 scoring pass over an EXPLICIT fitted model — the frozen-fit
+    * half of the train/apply split: a production pipeline fits the
+    * quality model once on the settled corpus and scores every new batch
+    * against those frozen counts (refitting per batch would let the new
+    * data move its own quality bar). Unseen trigrams hit the smoothing
+    * floor by construction — (0+1)/(n2+27), and 1/27 for an unseen
+    * prefix — the same CharLmScore arithmetic, no special casing. */
+  def charLmScoresWithModel(documents: org.apache.spark.sql.DataFrame,
+                            n3: Array[Long], n2: Array[Long])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graft.CharLmScore
+    val norm = regexp_replace(lower(col("text")), "[^a-z ]", "")
+    documents.select(col("doc_id"), norm.as("t"))
+      .select(col("doc_id"), CharLmScore.score(col("t"), n3, n2).as("s"))
+      .select(col("doc_id"),
+        col("s.n").as("n_trigrams"),
+        (round(col("s.mean"), 6) + 0.0).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  // X30 FROZEN-model LM scoring (the x23 "perplexity filter" with the
+  // train/apply split a production pipeline actually has): fit the
+  // char-trigram model on the settled BASE corpus (doc_id ≢ 0 mod 5 —
+  // the d10 split), score the arriving DELTA batch against those FROZEN
+  // counts. x23 cannot represent this — it fits on the cohort it scores,
+  // so a new batch would move its own quality bar. Unseen delta trigrams
+  // exercise the smoothing floor for real (the twin's LEFT joins +
+  // coalesce(…, 0) mirror the kernel's zero-count cells). Fit state stays
+  // corpus-size-independent (27³ longs), so the frozen model is exactly
+  // what a 100-TB deployment serializes between batches.
+  private val x30 = Q(
+    "x30_frozen_lm_score",
+    (s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d))
+      val (n3, n2, _) = charLmFit(docs.filter(col("doc_id") % 5 =!= 0))
+      charLmScoresWithModel(docs.filter(col("doc_id") % 5 === 0), n3, n2)
+    },
+    Some("""WITH bn AS (SELECT regexp_replace(lower(text), '[^a-z ]', '', 'g') AS t
+              FROM documents WHERE doc_id % 5 <> 0),
+            btri AS (SELECT unnest(list_transform(range(1, greatest(length(t) - 2, 0) + 1),
+              i -> t[i:i+2])) AS g FROM bn),
+            c3 AS (SELECT g, count(*)::BIGINT AS n3 FROM btri GROUP BY g),
+            c2 AS (SELECT g[1:2] AS g2, sum(n3)::BIGINT AS n2
+                   FROM c3 GROUP BY g[1:2]),
+            dn AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '', 'g') AS t
+              FROM documents WHERE doc_id % 5 = 0),
+            dtri AS (SELECT doc_id,
+              unnest(list_transform(range(1, greatest(length(t) - 2, 0) + 1),
+                i -> t[i:i+2])) AS g
+            FROM dn),
+            agg AS (SELECT t.doc_id, count(*)::BIGINT AS n_trigrams,
+              round(sum(((coalesce(c3.n3, 0) + 1)::DOUBLE
+                / (coalesce(c2.n2, 0) + 27)::DOUBLE)::DECIMAL(28,12))::DOUBLE
+                / count(*), 6) + 0.0 AS lm_score
+            FROM dtri t
+            LEFT JOIN c3 ON c3.g = t.g
+            LEFT JOIN c2 ON c2.g2 = t.g[1:2]
+            GROUP BY t.doc_id)
+            SELECT d.doc_id, coalesce(a.n_trigrams, 0)::BIGINT AS n_trigrams,
+              a.lm_score
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+            LEFT JOIN agg a ON a.doc_id = d.doc_id
+            ORDER BY d.doc_id"""))
+
   private val x23 = Q(
     "x23_char_lm_quality",
     (s, d) => charLmScores(Tables.documents(s, d)),
@@ -1535,5 +1599,5 @@ object TextDedup {
 
   val qs: Seq[Q] = Seq(d1, d2, d3, d4, d6, d8, d10, x1, x2, x3, x4, x5, x6,
     x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x23, x24,
-    x25, st1, st2, st5)
+    x25, x30, st1, st2, st5)
 }

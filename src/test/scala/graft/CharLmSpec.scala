@@ -99,4 +99,23 @@ class CharLmSpec extends SparkSpec {
     assert(byId(4L)._2 == 1L)
     assert(math.abs(byId(4L)._3.get.asInstanceOf[Double] - 2.0 / 28.0) < 1e-6)
   }
+
+  test("frozen-fit scoring (x30): unseen trigrams hit the smoothing floor exactly") {
+    import spark.implicits._
+    // fit corpus knows only "abc"-trigrams; the scored doc is fully unseen
+    val fit = Seq((1L, "abcabcabc")).toDF("doc_id", "text")
+    val (n3, n2, _) = TextDedup.charLmFit(fit)
+    val byId = TextDedup.charLmScoresWithModel(
+        Seq((100L, "xyz"), (101L, "abc")).toDF("doc_id", "text"), n3, n2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // "xyz": one trigram, cell count 0, prefix "xy" count 0 → (0+1)/(0+27)
+    assert(byId(100L)._1 == 1L)
+    assert(math.abs(byId(100L)._2 - 1.0 / 27.0) < 1e-6,
+      s"unseen trigram must score the smoothing floor, got ${byId(100L)._2}")
+    // "abc": fit saw 'abc' 3× ('abcabcabc' trigrams: abc,bca,cab,abc,bca,cab,abc);
+    // prefix 'ab' total 3 → (3+1)/(3+27) = 4/30
+    assert(byId(101L)._1 == 1L)
+    assert(math.abs(byId(101L)._2 - 4.0 / 30.0) < 1e-6,
+      s"seen trigram must score from the FROZEN counts, got ${byId(101L)._2}")
+  }
 }
