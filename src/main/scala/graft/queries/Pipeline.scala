@@ -483,5 +483,274 @@ object Pipeline {
 
   private val x26 = Q("x26_training_manifest", (s, d) => x26Frame(s, d), Some(x26Sql))
 
-  val qs: Seq[Q] = Seq(x26)
+  // ---------------------------------------------------------------------
+  // X31 — the INCREMENTAL counterpart of x26: curate a DELTA batch against
+  // FROZEN base state, the way a production pipeline ingests a new crawl
+  // into a settled corpus. x26 is the from-scratch batch build; x31 pins
+  // the ingest-time semantics the round-13 incremental operators supply:
+  //
+  //   frozen QUALITY MODEL — the char-LM fits on the BASE gate cohort and
+  //     scores delta rows against those counts (x30's train/apply split;
+  //     unseen delta trigrams hit the smoothing floor);
+  //   frozen THRESHOLD — the rank cut's (score, doc_id) tuple is the
+  //     base cohort's k-th statistic, applied to delta as an ABSOLUTE bar
+  //     (refitting the bar per batch would let each batch move its own);
+  //   exact dedup — within-delta min-id keeper PLUS an anti-join against
+  //     the base survivors' content-hash set (the state a deployment
+  //     persists between batches);
+  //   fuzzy dedup — IncrementalDedup.screen (d10) of the delta survivors
+  //     against the base exact keepers; only novel docs continue. The
+  //     reference set is the base's exact (not fuzzy) survivors: screening
+  //     against a base that still contains its own near-dup members gives
+  //     the same novel/duplicate verdicts — any member of a base near-dup
+  //     cluster matches what its keeper would have;
+  //   contamination screen — same probe, same τ (the probe is fixed, so
+  //     this stage is already incremental by nature);
+  //   domain cap + packing — PER-BATCH (each delta batch gets its own cap
+  //     and batch-local bin ids; joint base+delta capping would need the
+  //     base manifest's per-domain usage — a deliberate semantics choice,
+  //     stated rather than hidden).
+  //
+  // Split: delta = doc_id ≡ 0 (mod 5), base = the rest (the d10/x30
+  // fixture convention — deterministic and scale-stable). Both sides
+  // take the x26 ingest gate (doc_id ≥ ProbeCap, lang = 'en').
+  // ---------------------------------------------------------------------
+
+  private def x31Frame(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, d))
+      .filter(col("doc_id") >= ProbeCap && col("lang") === "en")
+    def sig(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("source"), col("text"),
+        org.apache.spark.sql.graft.TokenCount.tokenCount(col("text"))
+          .cast("long").as("n_tokens"),
+        when(length(col("text")) > 0,
+          length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+            length(col("text"))).as("alpha_ratio"))
+      .filter(col("alpha_ratio") >= AlphaMin && col("n_tokens") >= MinTokens)
+
+    // ---- frozen base state: LM fit, absolute threshold, hash set,
+    // exact keepers (what a deployment persists between batches) ----
+    val baseGate = sig(docs.filter(col("doc_id") % 5 =!= 0)).persist()
+    val (lmN3, lmN2, nScorableBase) = TextDedup.charLmFit(baseGate)
+    val baseScored = baseGate
+      .withColumn("lm_score", TextDedup.charLmScoreCol(col("text"), lmN3, lmN2))
+      .filter(col("lm_score").isNotNull)
+    val k = (nScorableBase / LmDropFrac).toInt
+    val thrOpt =
+      if (k == 0) None
+      else {
+        val thr = baseScored.select(col("lm_score"), col("doc_id"))
+          .orderBy(col("lm_score"), col("doc_id")).limit(k)
+          .orderBy(col("lm_score").desc, col("doc_id").desc).head()
+        Some((thr.getDouble(0), thr.getLong(1)))
+      }
+    def cutByFrozenBar(df: DataFrame): DataFrame = thrOpt.fold(df) {
+      case (ts, ti) => df.filter(col("lm_score") > ts ||
+        (col("lm_score") === ts && col("doc_id") > ti))
+    }
+    val baseKept = cutByFrozenBar(baseScored).withColumn("__h", md5(col("text")))
+    val baseHashes = baseKept.select(col("__h").as("bh")).distinct()
+    val baseExact = baseKept
+      .withColumn("__keep", min(col("doc_id")).over(Window.partitionBy(col("__h"))))
+      .filter(col("doc_id") === col("__keep"))
+      .select(col("doc_id"), col("text"))
+      .persist()
+
+    // ---- delta pipeline under the frozen state ----
+    val deltaCut = cutByFrozenBar(
+      sig(docs.filter(col("doc_id") % 5 === 0))
+        .withColumn("lm_score", TextDedup.charLmScoreCol(col("text"), lmN3, lmN2))
+        .filter(col("lm_score").isNotNull))
+    val dExact = deltaCut
+      .withColumn("__h", md5(col("text")))
+      .withColumn("__keep", min(col("doc_id")).over(Window.partitionBy(col("__h"))))
+      .filter(col("doc_id") === col("__keep"))
+      .join(baseHashes, col("__h") === col("bh"), "left_anti")
+      .drop("__h", "__keep")
+      .persist()
+    // d10 screen vs the base keepers; only novel delta docs continue.
+    // MATERIALIZE the decision frame with one linear job before the plan
+    // fans out (the x26 banding-chain lesson): the downstream
+    // contamination aggregate + clean join + cap/pack chain otherwise hit
+    // the screen's internal persists (shingles, buckets) and the dExact
+    // chain COLD from concurrent leaf stages, each recomputing the whole
+    // base+delta pipeline (measured: 6.2 s → see BASELINE.md's x31 pair).
+    val dec = graft.dedup.IncrementalDedup
+      .screen(baseExact, dExact, "doc_id", "text", JaccardTau)
+      .persist()
+    dec.count()
+    val fuzzyNovel = dExact.join(
+      dec.filter(col("novel")).select(col("doc_id")), "doc_id")
+
+    // ---- contamination screen (x26's probe and τ, batch-independent) ----
+    val probe = Tables.documents(s, d).filter(col("doc_id") < ProbeCap)
+      .withColumn("__toks", TextDedup.tokens(col("text")))
+      .select(explode(TextDedup.gramHashes(col("__toks"))).as("g"))
+      .distinct()
+    val fgrams = fuzzyNovel
+      .withColumn("__toks", TextDedup.tokens(col("text")))
+      .withColumn("__grams", TextDedup.gramHashes(col("__toks")))
+      .select(col("doc_id"), size(col("__grams")).cast("long").as("n_grams"),
+        explode_outer(col("__grams")).as("g"))
+    val cont = fgrams
+      .join(broadcast(probe.withColumn("hit", lit(1L))), Seq("g"), "left")
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(coalesce(sum(col("hit")), lit(0L)).as("n_cont"))
+      .select(col("doc_id"),
+        when(col("n_grams") > 0,
+          col("n_cont").cast("double") / col("n_grams"))
+          .otherwise(0.0).as("contamination"))
+    val clean = fuzzyNovel.join(cont, "doc_id")
+      .filter(col("contamination") <= ContaminationTau)
+
+    // ---- per-batch domain cap + packing (x26's tail, delta-local) ----
+    val capped = TextDedup.domainCapAll(
+        clean.withColumn("quality", col("alpha_ratio")),
+        DomainCap, DomainSalts)
+      .drop("quality", "text")
+      .persist()
+    val packed = graft.pack.Packing.packByBudget(
+      capped.select("doc_id", "n_tokens"), "doc_id", "n_tokens", PackBudget)
+      .select(col("doc_id"), col("bin_id"), col("bin_offset"))
+
+    capped.join(packed, "doc_id")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (round(col("alpha_ratio"), 6) + 0.0).as("alpha_ratio"),
+        col("lm_score"),
+        (round(col("contamination"), 6) + 0.0).as("contamination"),
+        col("dom_rank"), col("bin_id"), col("bin_offset"))
+      .orderBy("doc_id")
+  }
+
+  /** The whole-chain DuckDB twin of the incremental build: frozen fit via
+    * LEFT joins + coalesce (x30's convention), frozen threshold via a
+    * rank over the BASE cohort applied to delta with `LEFT JOIN ... ON
+    * TRUE` (empty when k = 0 — no cut), the d10 banding/cap/verify shape
+    * over the base-exact × delta-exact split. */
+  private def x31Sql: String =
+    s"""WITH corpus AS (SELECT * FROM documents
+                        WHERE doc_id >= $ProbeCap AND lang = 'en'),
+       bgate AS MATERIALIZED (SELECT * FROM (
+           SELECT doc_id, source, text,
+             len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+'))::BIGINT AS n_tokens,
+             length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text) AS alpha_ratio
+           FROM corpus WHERE doc_id % 5 <> 0)
+         WHERE alpha_ratio >= $AlphaMin AND n_tokens >= $MinTokens),
+       blmd AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '', 'g') AS t FROM bgate),
+       blmtri AS (SELECT doc_id, unnest(list_transform(range(1, greatest(length(t)-2,0)+1), i -> t[i:i+2])) AS g FROM blmd),
+       c3 AS MATERIALIZED (SELECT g, count(*)::BIGINT AS n3 FROM blmtri GROUP BY g),
+       c2 AS MATERIALIZED (SELECT g[1:2] AS g2, sum(n3)::BIGINT AS n2 FROM c3 GROUP BY 1),
+       blm AS (SELECT t.doc_id,
+                round(sum(((c3.n3+1)::DOUBLE/(c2.n2+27)::DOUBLE)::DECIMAL(28,12))::DOUBLE / count(*), 6) + 0.0 AS lm_score
+              FROM blmtri t JOIN c3 ON c3.g = t.g JOIN c2 ON c2.g2 = t.g[1:2] GROUP BY t.doc_id),
+       bthr AS (SELECT lm_score AS ts, doc_id AS ti FROM
+                 (SELECT g.doc_id, lm.lm_score,
+                    row_number() OVER (ORDER BY lm.lm_score, g.doc_id) AS rn,
+                    count(*) OVER () AS n
+                  FROM bgate g JOIN blm lm USING (doc_id))
+                 WHERE rn = n // $LmDropFrac),
+       bkept AS MATERIALIZED (
+         SELECT g.*, lm.lm_score, md5(g.text) AS h
+         FROM bgate g JOIN blm lm USING (doc_id) LEFT JOIN bthr t ON TRUE
+         WHERE t.ts IS NULL OR lm.lm_score > t.ts
+               OR (lm.lm_score = t.ts AND g.doc_id > t.ti)),
+       bexact AS MATERIALIZED (SELECT doc_id, text FROM
+           (SELECT doc_id, text, h, min(doc_id) OVER (PARTITION BY h) AS keep_id FROM bkept)
+         WHERE doc_id = keep_id),
+       dgate AS MATERIALIZED (SELECT * FROM (
+           SELECT doc_id, source, text,
+             len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+'))::BIGINT AS n_tokens,
+             length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text) AS alpha_ratio
+           FROM corpus WHERE doc_id % 5 = 0)
+         WHERE alpha_ratio >= $AlphaMin AND n_tokens >= $MinTokens),
+       dlmd AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '', 'g') AS t FROM dgate),
+       dlmtri AS (SELECT doc_id, unnest(list_transform(range(1, greatest(length(t)-2,0)+1), i -> t[i:i+2])) AS g FROM dlmd),
+       dlm AS (SELECT t.doc_id,
+                round(sum(((coalesce(c3.n3, 0)+1)::DOUBLE/(coalesce(c2.n2, 0)+27)::DOUBLE)::DECIMAL(28,12))::DOUBLE / count(*), 6) + 0.0 AS lm_score
+              FROM dlmtri t LEFT JOIN c3 ON c3.g = t.g LEFT JOIN c2 ON c2.g2 = t.g[1:2] GROUP BY t.doc_id),
+       dcut AS (SELECT g.*, lm.lm_score
+                FROM dgate g JOIN dlm lm USING (doc_id) LEFT JOIN bthr t ON TRUE
+                WHERE t.ts IS NULL OR lm.lm_score > t.ts
+                      OR (lm.lm_score = t.ts AND g.doc_id > t.ti)),
+       dexact AS MATERIALIZED (
+         SELECT doc_id, source, text, n_tokens, alpha_ratio, lm_score FROM
+           (SELECT *, md5(text) AS h,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM dcut) x
+         WHERE doc_id = keep_id
+           AND NOT EXISTS (SELECT 1 FROM bkept b WHERE b.h = x.h)),
+       bsh AS MATERIALIZED (SELECT doc_id,
+               list_distinct(CASE WHEN len(tk) >= 2
+                 THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+                 ELSE [] END) AS sh
+             FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS tk FROM bexact)),
+       dsh AS MATERIALIZED (SELECT doc_id,
+               list_distinct(CASE WHEN len(tk) >= 2
+                 THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+                 ELSE [] END) AS sh
+             FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS tk FROM dexact)),
+       bsig AS (SELECT doc_id,
+               min(md5('0:' || g)) AS h0, min(md5('1:' || g)) AS h1,
+               min(md5('2:' || g)) AS h2, min(md5('3:' || g)) AS h3,
+               min(md5('4:' || g)) AS h4, min(md5('5:' || g)) AS h5,
+               min(md5('6:' || g)) AS h6, min(md5('7:' || g)) AS h7
+               FROM (SELECT doc_id, unnest(sh) AS g FROM bsh) GROUP BY doc_id),
+       dsig AS (SELECT doc_id,
+               min(md5('0:' || g)) AS h0, min(md5('1:' || g)) AS h1,
+               min(md5('2:' || g)) AS h2, min(md5('3:' || g)) AS h3,
+               min(md5('4:' || g)) AS h4, min(md5('5:' || g)) AS h5,
+               min(md5('6:' || g)) AS h6, min(md5('7:' || g)) AS h7
+               FROM (SELECT doc_id, unnest(sh) AS g FROM dsh) GROUP BY doc_id),
+       bbuck AS (SELECT doc_id, '0:' || md5(h0 || h1 || h2 || h3) AS bucket FROM bsig
+                 UNION ALL SELECT doc_id, '1:' || md5(h4 || h5 || h6 || h7) FROM bsig),
+       dbuck AS (SELECT doc_id, '0:' || md5(h0 || h1 || h2 || h3) AS bucket FROM dsig
+                 UNION ALL SELECT doc_id, '1:' || md5(h4 || h5 || h6 || h7) FROM dsig),
+       bstat AS (SELECT bucket, count(*) AS bn, min(doc_id) AS rep FROM bbuck GROUP BY 1),
+       part AS (SELECT b.bucket,
+                  CASE WHEN s.bn <= ${graft.search.Search.LshBucketCap}
+                       THEN b.doc_id ELSE s.rep END AS base_id
+                FROM bbuck b JOIN bstat s USING (bucket)),
+       candx AS (SELECT DISTINCT dd.doc_id AS delta_id, p.base_id
+                 FROM dbuck dd JOIN part p USING (bucket)),
+       verx AS (SELECT DISTINCT c.delta_id FROM candx c
+                JOIN dsh a ON a.doc_id = c.delta_id
+                JOIN bsh b ON b.doc_id = c.base_id
+                WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                      / len(list_distinct(list_concat(a.sh, b.sh))) >= $JaccardTau),
+       dnovel AS MATERIALIZED (SELECT e.* FROM dexact e
+                 WHERE NOT EXISTS (SELECT 1 FROM verx v WHERE v.delta_id = e.doc_id)),
+       pg AS (SELECT doc_id,
+         CASE WHEN len(toks) >= 5 THEN list_distinct(list_transform(range(1, len(toks)-3),
+           i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])))
+         ELSE [] END AS grams
+         FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS toks
+               FROM documents WHERE doc_id < $ProbeCap)),
+       probe AS (SELECT DISTINCT unnest(grams) AS pgm FROM pg),
+       fgr AS (SELECT doc_id,
+         CASE WHEN len(toks) >= 5 THEN list_distinct(list_transform(range(1, len(toks)-3),
+           i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])))
+         ELSE [] END AS grams
+         FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS toks FROM dnovel)),
+       fge AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS cg FROM fgr),
+       cont AS (SELECT f.doc_id, f.n_grams, count(p.pgm)::BIGINT AS n_cont
+                FROM fge f LEFT JOIN probe p ON f.cg = p.pgm GROUP BY 1, 2),
+       conts AS (SELECT doc_id,
+                   CASE WHEN n_grams > 0 THEN n_cont::DOUBLE / n_grams ELSE 0.0 END AS contamination
+                 FROM (SELECT doc_id, n_grams, n_cont FROM cont
+                       UNION ALL SELECT doc_id, 0, 0 FROM fgr WHERE len(grams) = 0)),
+       clean AS (SELECT z.*, c.contamination FROM dnovel z JOIN conts c USING (doc_id)
+                 WHERE c.contamination <= $ContaminationTau),
+       capd AS (SELECT *, row_number() OVER (PARTITION BY source
+                  ORDER BY alpha_ratio DESC, doc_id)::BIGINT AS dom_rank
+                FROM clean QUALIFY dom_rank <= $DomainCap),
+       packed AS (SELECT *, (sum(n_tokens) OVER (ORDER BY doc_id))::BIGINT AS cum FROM capd)
+       SELECT doc_id, source, n_tokens,
+              round(alpha_ratio, 6) + 0.0 AS alpha_ratio, lm_score,
+              round(contamination, 6) + 0.0 AS contamination, dom_rank,
+              ((cum - n_tokens) // $PackBudget)::BIGINT AS bin_id,
+              ((cum - n_tokens) % $PackBudget)::BIGINT AS bin_offset
+       FROM packed ORDER BY doc_id"""
+
+  private val x31 = Q("x31_delta_manifest", (s, d) => x31Frame(s, d), Some(x31Sql))
+
+  val qs: Seq[Q] = Seq(x26, x31)
 }
