@@ -247,6 +247,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x31_delta_manifest: final assembly reads from the persist joints; no cartesian anywhere") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // same contract as x26's pin, for the incremental composition: the
+    // staging actions (frozen fit, frozen threshold, screen decisions,
+    // packing) persist the fan-out joints, and the final capped ⋈ packed
+    // assembly must read exclusively from cache
+    val q = Registry.all.find(_.name == "x31_delta_manifest")
+      .getOrElse(fail("x31 not registered"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = q.fn(spark, dir).queryExecution.executedPlan
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      assert(scans.isEmpty,
+        s"x31's final assembly re-reads ${scans.size} parquet scan(s):\n$plan")
+      assert(plan.collect { case c: InMemoryTableScanExec => c }.nonEmpty,
+        s"x31 lost its persist joints:\n$plan")
+      val ps = plan.toString
+      assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoop"),
+        s"x31 must stay equi-join only:\n$ps")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("flip1 spine: broadcast gather, TakeOrderedAndProject top-k, one ingest window") {
     // the lazy lifecycle (the query fn materializes before closing the
     // engine, leaving only a LocalTableScan — lazySearch exposes the plan)
