@@ -200,7 +200,9 @@ object Bench {
           ordered.foreach { case (name, fn) => runOne(name, fn) }
         } else {
           // longest-processing-time-first submission order shrinks the makespan
-          val heavy = Seq("d3_minhash_lsh_pairs", "a11_sweep_agg",
+          val heavy = Seq("x26_training_manifest", "x31_delta_manifest",
+            "rest2_restaurants_fit_transform_topk",
+            "d3_minhash_lsh_pairs", "a11_sweep_agg",
             "rest1_restaurants_fused_topk", "d7_lsh_neardup_pairs",
             "t7_best_transform_yj", "fr8_dense_interval_k200", "d5_embedding_neardup",
             "sim1_knn_cosine", "sim2_knn_lsh", "a7_recall", "fr5_dense_interval_score",
