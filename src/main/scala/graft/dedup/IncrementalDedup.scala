@@ -18,25 +18,32 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape, stated:
   * - the base side's banding is a relation a deployment PERSISTS between
-  *   batches (the bucket table on disk); only the delta's banding is
-  *   computed per ingest, and the candidate join is an equi-join on
-  *   bucket — never a cross product;
-  * - base-side skew is capped like d3: a bucket with more than
-  *   `bucketCap` base members contributes only its min-id REPRESENTATIVE
-  *   as a candidate partner (a near-constant corpus cannot explode the
-  *   join; the rep still gives every delta doc in that bucket a verified
-  *   decision against the cluster's keeper);
+  *   batches (the bucket table on disk — [[graft.incremental.IncrementalState]]
+  *   is the save/load path); only the delta's banding is computed per
+  *   ingest, and the candidate join is an equi-join on bucket — never a
+  *   cross product;
+  * - base-side skew is capped like d3, and the partner relation is
+  *   DEDUPED BEFORE the candidate join: a bucket within `bucketCap`
+  *   contributes its members (≤ cap rows), an over-cap bucket contributes
+  *   EXACTLY ONE (bucket, rep) row — its min-id REPRESENTATIVE — so the
+  *   join input is bounded by cap·|buckets| + |capped buckets| rows and a
+  *   near-constant corpus cannot multiply |base∩bucket| × |delta∩bucket|
+  *   (the d3 star fallback's O(m) property, `Search.cappedBandPairs`,
+  *   restored in the cross-relation form; the rep still gives every delta
+  *   doc in that bucket a verified decision against the cluster's keeper);
   * - the delta side needs no cap: each delta doc probes exactly its own
   *   ≤ 2 band buckets;
   * - verification moves the corpus-sized shingle relation across the wire
   *   ONCE (the x26 shape: candidate pairs explode into member rows, join
   *   the unioned shingle relation on doc_id, regroup) — never a shingle
-  *   shuffle per pair side.
+  *   shuffle per pair side. Member rows carry their SIDE into the join
+  *   key, so a base doc and a delta doc sharing an id compare the right
+  *   shingle sets — ids need NOT be disjoint across base and delta.
   *
   * Output: one row per DELTA doc — (doc_id, novel, dup_of), where dup_of
   * is the smallest base doc_id whose shingle Jaccard ≥ τ, or −1 when
-  * novel. Doc ids must be disjoint across base and delta. Intermediates
-  * persist until the caller's clearCache (the d3/d7 lifecycle).
+  * novel. Intermediates persist until the caller's clearCache (the d3/d7
+  * lifecycle).
   */
 object IncrementalDedup {
 
@@ -66,30 +73,30 @@ object IncrementalDedup {
         explode(org.apache.spark.sql.graft.MinHashBands.bands(
           col("sh"), 8, 4)).as("bucket"))
     val bb = buckets(bsh).persist() // scanned twice: stats + partner join
-    // base-side skew cap (the d3 rep-star fallback, cross-relation form)
-    val stats = bb.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("rep"))
-    val partners = bb.join(stats, "bucket")
-      .select(col("bucket"),
-        when(col("bn") <= bucketCap, col("doc_id"))
-          .otherwise(col("rep")).as("base_id"))
+    val partners = partnerRelation(bb, bucketCap)
     val cand = buckets(dsh).select(col("bucket"), col("doc_id").as("delta_id"))
       .join(partners, "bucket")
       .select(col("delta_id"), col("base_id"))
       .distinct()
     // one-shuffle verification: pair rows explode into their two member
-    // ids, the UNIONED shingle relation joins once on doc_id, the regroup
-    // moves only matched pairs' arrays (ids are disjoint across sides)
-    val allSh = bsh.unionByName(dsh)
+    // (id, side) keys, the side-tagged UNIONED shingle relation joins once
+    // on (doc_id, side), the regroup moves only matched pairs' arrays —
+    // the side in the join key keeps overlapping base/delta ids apart
+    val allSh = bsh.withColumn("__side", lit(0))
+      .unionByName(dsh.withColumn("__side", lit(1)))
     val verified = cand
       .select(col("delta_id"), col("base_id"),
-        explode(array(col("delta_id"), col("base_id"))).as("doc_id"))
-      .join(allSh, "doc_id")
+        explode(array(
+          struct(col("delta_id").as("doc_id"), lit(1).as("__side")),
+          struct(col("base_id").as("doc_id"), lit(0).as("__side")))).as("m"))
+      .select(col("delta_id"), col("base_id"),
+        col("m.doc_id").as("doc_id"), col("m.__side").as("__side"))
+      .join(allSh, Seq("doc_id", "__side"))
       .groupBy(col("delta_id"), col("base_id"))
       .agg(
-        first(when(col("doc_id") === col("delta_id"), col("sh")),
+        first(when(col("__side") === 1, col("sh")),
           ignoreNulls = true).as("d_sh"),
-        first(when(col("doc_id") === col("base_id"), col("sh")),
+        first(when(col("__side") === 0, col("sh")),
           ignoreNulls = true).as("b_sh"))
       .filter(size(array_intersect(col("d_sh"), col("b_sh"))).cast("double") /
         size(array_union(col("d_sh"), col("b_sh"))) >= tau)
@@ -99,5 +106,21 @@ object IncrementalDedup {
       .join(matched, col("doc_id") === col("delta_id"), "left")
       .select(col("doc_id"), col("__dup").isNull.as("novel"),
         coalesce(col("__dup"), lit(-1L)).as("dup_of"))
+  }
+
+  /** Base-side skew cap as a DEDUPED partner relation over a
+    * `(bucket, doc_id)` bucket table: buckets within `bucketCap` keep
+    * their member rows; an over-cap bucket collapses to ONE
+    * `(bucket, rep)` row — before, not after, the candidate join. The
+    * output is therefore ≤ cap rows per uncapped bucket + exactly 1 per
+    * capped bucket (spec-pinned row bound), independent of how hot the
+    * bucket is. */
+  private[graft] def partnerRelation(bb: DataFrame, bucketCap: Int): DataFrame = {
+    val stats = bb.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("rep"))
+    bb.join(stats.filter(col("bn") <= bucketCap).select(col("bucket")), "bucket")
+      .select(col("bucket"), col("doc_id").as("base_id"))
+      .unionByName(stats.filter(col("bn") > bucketCap)
+        .select(col("bucket"), col("rep").as("base_id")))
   }
 }

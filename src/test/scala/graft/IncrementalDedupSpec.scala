@@ -74,6 +74,42 @@ class IncrementalDedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("degenerate over-cap bucket: partner relation is deduped BEFORE the join (row bound holds)") {
+    // hand-built bucket table: bucket "hot" has 1000 base members (cap 10
+    // → collapses to ONE rep row), bucket "cold" has 3 (≤ cap → member
+    // rows). The old shape emitted one identical (hot, rep) row per
+    // member — 1000 rows — making the candidate join input
+    // O(|base∩bucket| · |delta∩bucket|) on a near-constant corpus.
+    val bb = ((1L to 1000L).map(i => ("hot", i)) ++
+      Seq(("cold", 50L), ("cold", 51L), ("cold", 52L))).toDF("bucket", "doc_id")
+    val partners = IncrementalDedup.partnerRelation(bb, bucketCap = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val hot = partners.filter(_._1 == "hot")
+    assert(hot.toSeq == Seq(("hot", 1L)),
+      s"over-cap bucket must contribute exactly its min-id rep once, got ${hot.length} rows")
+    assert(partners.filter(_._1 == "cold").map(_._2).sorted.toSeq == Seq(50L, 51L, 52L))
+    // end-to-end: 50 identical base docs (one hot bucket pair), cap 3 —
+    // the decision is the rep's, and the candidate join input stays at
+    // the star bound (≤ |delta buckets| + capped-bucket reps)
+    val base = (20L to 69L).map(i => (i, baseA))
+    val out = screen(base, Seq((300L, baseA)), cap = 3)
+    assert(out(300L) == ((false, 20L)), s"out=$out")
+    spark.catalog.clearCache()
+  }
+
+  test("overlapping base/delta ids: the side-tagged verify join keeps the shingle sets apart") {
+    // base doc 10 = baseA; delta ALSO has a doc 10 but with DIFFERENT
+    // text, plus doc 11 = a copy of baseA. Without the side tag the
+    // unioned shingle relation would resolve id 10 to an arbitrary side.
+    val base = Seq((10L, baseA), (12L, baseB))
+    val delta = Seq((10L, "completely different words nowhere near the base corpus at all"),
+      (11L, baseA))
+    val out = screen(base, delta)
+    assert(out(10L) == ((true, -1L)), s"delta doc 10 must be judged on ITS text, got $out")
+    assert(out(11L) == ((false, 10L)), s"delta copy must map to base keeper 10, got $out")
+    spark.catalog.clearCache()
+  }
+
   test("null and empty texts never throw: they carry no shingles and stay novel") {
     val base = Seq((10L, baseA)).toDF("doc_id", "text")
     val delta = Seq((100L, null.asInstanceOf[String]), (101L, ""), (102L, "   "))
