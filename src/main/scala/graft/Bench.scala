@@ -201,6 +201,7 @@ object Bench {
         } else {
           // longest-processing-time-first submission order shrinks the makespan
           val heavy = Seq("x26_training_manifest", "x31_delta_manifest",
+            "x32_delta_manifest_warm",
             "rest2_restaurants_fit_transform_topk",
             "d3_minhash_lsh_pairs", "a11_sweep_agg",
             "rest1_restaurants_fused_topk", "d7_lsh_neardup_pairs",

@@ -57,24 +57,46 @@ object IncrementalDedup {
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
 
+  /** The `(doc_id, sh)` word-bigram shingle relation of a corpus side —
+    * the verification-time artifact a deployment persists for the base
+    * ([[graft.incremental.IncrementalState]]). */
+  private[graft] def shingled(df: DataFrame, idCol: String, textCol: String): DataFrame = df
+    .withColumn("__toks", tokensOf(col(textCol)))
+    .select(col(idCol).cast("long").as("doc_id"),
+      array_distinct(bigrams(col("__toks"))).as("sh"))
+
+  /** The `(doc_id, bucket)` MinHash band-bucket relation over a shingle
+    * relation (2 bands × 4 hashes — the x26/d3 scheme). */
+  private[graft] def bucketsOf(sh: DataFrame): DataFrame = sh.filter(size(col("sh")) > 0)
+    .select(col("doc_id"),
+      explode(org.apache.spark.sql.graft.MinHashBands.bands(
+        col("sh"), 8, 4)).as("bucket"))
+
   def screen(base: DataFrame, delta: DataFrame,
              idCol: String, textCol: String,
              tau: Double,
              bucketCap: Int = graft.search.Search.LshBucketCap): DataFrame = {
-    def shingled(df: DataFrame): DataFrame = df
-      .withColumn("__toks", tokensOf(col(textCol)))
-      .select(col(idCol).cast("long").as("doc_id"),
-        array_distinct(bigrams(col("__toks"))).as("sh"))
-    // both shingle relations are scanned twice (banding + verification)
-    val bsh = shingled(base).persist()
-    val dsh = shingled(delta).persist()
-    def buckets(sh: DataFrame): DataFrame = sh.filter(size(col("sh")) > 0)
-      .select(col("doc_id"),
-        explode(org.apache.spark.sql.graft.MinHashBands.bands(
-          col("sh"), 8, 4)).as("bucket"))
-    val bb = buckets(bsh).persist() // scanned twice: stats + partner join
-    val partners = partnerRelation(bb, bucketCap)
-    val cand = buckets(dsh).select(col("bucket"), col("doc_id").as("delta_id"))
+    // base shingles are scanned twice (banding + verification)
+    val bsh = shingled(base, idCol, textCol).persist()
+    val bb = bucketsOf(bsh).persist() // scanned twice: stats + partner join
+    screenPrepared(bsh, bb, delta, idCol, textCol, tau, bucketCap)
+  }
+
+  /** [[screen]] against PRE-BUILT base artifacts — the warm ingest path:
+    * `baseSh` and `baseBuckets` come from a persisted
+    * [[graft.incremental.IncrementalState]] (parquet scans), so a batch's
+    * screening re-derives NOTHING base-sided. Decision semantics are
+    * bit-identical to [[screen]] (spec-pinned): only the provenance of
+    * the base relations differs. */
+  def screenPrepared(baseSh: DataFrame, baseBuckets: DataFrame,
+                     delta: DataFrame,
+                     idCol: String, textCol: String,
+                     tau: Double,
+                     bucketCap: Int = graft.search.Search.LshBucketCap): DataFrame = {
+    val bsh = baseSh
+    val dsh = shingled(delta, idCol, textCol).persist()
+    val partners = partnerRelation(baseBuckets, bucketCap)
+    val cand = bucketsOf(dsh).select(col("bucket"), col("doc_id").as("delta_id"))
       .join(partners, "bucket")
       .select(col("delta_id"), col("base_id"))
       .distinct()

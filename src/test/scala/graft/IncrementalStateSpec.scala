@@ -1,0 +1,112 @@
+package graft
+
+import graft.dedup.IncrementalDedup
+import graft.incremental.IncrementalState
+import graft.queries.{Pipeline, Registry}
+
+/** Persistable frozen-state contract (IncrementalState + Pipeline's warm
+  * path): save→load is a faithful roundtrip (model bits, threshold bits,
+  * relations), screening against LOADED artifacts decides bit-identically
+  * to the in-session path, the whole warm x31 equals the cold x31 row for
+  * row on a real fixture, and the swap discipline keeps a live state
+  * readable across re-saves and crash leftovers. */
+class IncrementalStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val baseA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private val baseB = "one two three four five six seven eight nine ten eleven"
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).resolve("state").toString
+
+  private def saveTiny(dir: String, n3: Array[Long], nScorable: Long,
+                       threshold: Option[(Double, Long)]): Unit = {
+    val hashes = Seq("aa", "bb").toDF("bh")
+    val exact = Seq((1L, baseA), (2L, baseB)).toDF("doc_id", "text")
+    val sh = IncrementalDedup.shingled(exact, "doc_id", "text")
+    IncrementalState.save(spark, dir, n3, nScorable, threshold,
+      hashes, exact, sh, IncrementalDedup.bucketsOf(sh))
+  }
+
+  test("save→load roundtrips the model, the threshold bits, and the relations") {
+    val dir = freshDir("incr-roundtrip")
+    val n3 = Array.tabulate(27 * 27 * 27)(i => (i * 7 % 13).toLong)
+    // a threshold whose double must survive BIT-exactly (not via decimal text)
+    val ts = 0.1 + 0.2 // 0.30000000000000004
+    saveTiny(dir, n3, nScorable = 123L, threshold = Some((ts, 42L)))
+    val st = IncrementalState.load(spark, dir)
+    assert(st.n3.sameElements(n3))
+    assert(st.nScorable == 123L)
+    val (lts, lti) = st.threshold.getOrElse(fail("threshold lost"))
+    assert(java.lang.Double.doubleToLongBits(lts) ==
+      java.lang.Double.doubleToLongBits(ts), "threshold double must roundtrip bit-exactly")
+    assert(lti == 42L)
+    // n2 is re-derived: each prefix cell = sum of its 27 trigram cells
+    (0 until 27 * 27).foreach { p =>
+      assert(st.n2(p) == (0 until 27).map(c => n3(p * 27 + c)).sum)
+    }
+    assert(st.baseHashes.as[String].collect().sorted.toSeq == Seq("aa", "bb"))
+    assert(st.baseExact.count() == 2 && st.baseSh.count() == 2)
+    assert(st.baseBuckets.count() == 4, "2 docs × 2 band buckets")
+  }
+
+  test("a state with no threshold (k = 0 cohort) loads as None") {
+    val dir = freshDir("incr-nothr")
+    saveTiny(dir, new Array[Long](27 * 27 * 27), nScorable = 0L, threshold = None)
+    assert(IncrementalState.load(spark, dir).threshold.isEmpty)
+  }
+
+  test("screenPrepared over LOADED artifacts decides bit-identically to the in-session screen") {
+    val dir = freshDir("incr-screen")
+    val base = (Seq((10L, baseA), (11L, baseA), (12L, baseB)) ++
+      (20L to 69L).map(i => (i, baseA + " lambda mu"))).toDF("doc_id", "text")
+    val delta = Seq((100L, baseA), (101L, baseA + " lambda mu"),
+      (105L, "completely different words nowhere near the base corpus at all"))
+      .toDF("doc_id", "text")
+    val bsh = IncrementalDedup.shingled(base, "doc_id", "text")
+    IncrementalState.save(spark, dir, new Array[Long](27 * 27 * 27), 0L, None,
+      Seq.empty[String].toDF("bh"), base, bsh, IncrementalDedup.bucketsOf(bsh))
+    val st = IncrementalState.load(spark, dir)
+    def decisions(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).sortBy(_._1).toSeq
+    val cold = decisions(IncrementalDedup.screen(base, delta, "doc_id", "text", 0.8, bucketCap = 10))
+    val warm = decisions(IncrementalDedup.screenPrepared(
+      st.baseSh, st.baseBuckets, delta, "doc_id", "text", 0.8, bucketCap = 10))
+    assert(cold == warm, s"cold=$cold warm=$warm")
+    assert(cold.map(_._1) == Seq(100L, 101L, 105L))
+    spark.catalog.clearCache()
+  }
+
+  test("warm x31 from persisted state equals the cold x31 manifest row for row (sf0.001)") {
+    val d = sf("sf0.001")
+    val dir = freshDir("incr-x31")
+    val cold = Registry.all.find(_.name == "x31_delta_manifest")
+      .getOrElse(fail("x31 not registered")).fn(spark, d).collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    Pipeline.buildState(spark, d, dir)
+    spark.catalog.clearCache()
+    val warm = Pipeline.x31Warm(spark, d, dir).collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    assert(cold.nonEmpty, "empty manifest — fixture must survive the funnel")
+    assert(cold == warm, "save→load→derive must be bit-identical to the in-session build")
+  }
+
+  test("re-save swaps atomically and a crashed save's leftovers never shadow the live state") {
+    val dir = freshDir("incr-swap")
+    val n3a = new Array[Long](27 * 27 * 27)
+    saveTiny(dir, n3a, nScorable = 1L, threshold = None)
+    saveTiny(dir, n3a, nScorable = 2L, threshold = Some((0.5, 7L))) // overwrite
+    assert(IncrementalState.load(spark, dir).nScorable == 2L)
+    // crash mid-save leaves a .tmp- sibling → swept, live state still answers
+    val live = new java.io.File(dir)
+    val tmp = new java.io.File(live.getParentFile, s".tmp-${live.getName}")
+    assert(tmp.mkdir())
+    assert(IncrementalState.load(spark, dir).nScorable == 2L)
+    assert(!tmp.exists(), "load must sweep the unpublished stage")
+    // crash AFTER moving live aside (.old- present, live gone) → restored
+    val old = new java.io.File(live.getParentFile, s".old-${live.getName}")
+    assert(live.renameTo(old))
+    assert(IncrementalState.load(spark, dir).nScorable == 2L)
+    assert(live.exists() && !old.exists(), "load must restore the moved-aside live state")
+  }
+}
