@@ -394,7 +394,7 @@ object Pipeline {
        sig AS (
          SELECT d.doc_id, d.source, d.text, l.lang_pred,
                 len(string_split_regex(trim(d.text), '[ \\t\\n\\x0b\\f\\r]+'))::BIGINT AS n_tokens,
-                length(regexp_replace(d.text, '[^a-z]', '', 'g'))::DOUBLE / length(d.text) AS alpha_ratio
+                CASE WHEN length(d.text) > 0 THEN length(regexp_replace(d.text, '[^a-z]', '', 'g'))::DOUBLE / length(d.text) END AS alpha_ratio
          FROM documents d JOIN lid l USING (doc_id)
          WHERE d.doc_id >= $ProbeCap AND d.lang = 'en'),
        gate1 AS MATERIALIZED (SELECT * FROM sig
@@ -594,20 +594,30 @@ object Pipeline {
       bsh, graft.dedup.IncrementalDedup.bucketsOf(bsh))
   }
 
+  /** The delta half's intermediate frames, one per funnel stage —
+    * [[deltaManifest]] assembles the manifest from them, [[deltaFunnel]]
+    * counts them. Persisted joints (dExact, dec, capped) follow the x26
+    * lifecycle: live until the caller's clearCache. */
+  private[graft] final case class DeltaStages(
+      deltaGate: DataFrame, deltaScored: DataFrame, deltaCut: DataFrame,
+      dExact: DataFrame, dec: DataFrame, fuzzyNovel: DataFrame,
+      clean: DataFrame, capped: DataFrame)
+
   /** The delta half of the incremental build, parameterized over the
     * frozen state's provenance (cold = just derived, warm = loaded) and
     * over the screen's base artifacts (`screenFn`). */
-  private def deltaManifest(s: org.apache.spark.sql.SparkSession, d: String,
-                            n3: Array[Long], n2: Array[Long],
-                            threshold: Option[(Double, Long)],
-                            baseHashes: DataFrame,
-                            screenFn: DataFrame => DataFrame): DataFrame = {
+  private def deltaStages(s: org.apache.spark.sql.SparkSession, d: String,
+                          n3: Array[Long], n2: Array[Long],
+                          threshold: Option[(Double, Long)],
+                          baseHashes: DataFrame,
+                          screenFn: DataFrame => DataFrame): DeltaStages = {
     val docs = Tables.spread(Tables.documents(s, d))
       .filter(col("doc_id") >= ProbeCap && col("lang") === "en")
-    val deltaCut = cutByFrozenBar(
-      x31Sig(docs.filter(col("doc_id") % 5 === 0))
-        .withColumn("lm_score", TextDedup.charLmScoreCol(col("text"), n3, n2))
-        .filter(col("lm_score").isNotNull), threshold)
+    val deltaGate = x31Sig(docs.filter(col("doc_id") % 5 === 0))
+    val deltaScored = deltaGate
+      .withColumn("lm_score", TextDedup.charLmScoreCol(col("text"), n3, n2))
+      .filter(col("lm_score").isNotNull)
+    val deltaCut = cutByFrozenBar(deltaScored, threshold)
     val dExact = deltaCut
       .withColumn("__h", md5(col("text")))
       .withColumn("__keep", min(col("doc_id")).over(Window.partitionBy(col("__h"))))
@@ -654,17 +664,62 @@ object Pipeline {
         DomainCap, DomainSalts)
       .drop("quality", "text")
       .persist()
+    DeltaStages(deltaGate, deltaScored, deltaCut, dExact, dec, fuzzyNovel,
+      clean, capped)
+  }
+
+  private def deltaManifest(s: org.apache.spark.sql.SparkSession, d: String,
+                            n3: Array[Long], n2: Array[Long],
+                            threshold: Option[(Double, Long)],
+                            baseHashes: DataFrame,
+                            screenFn: DataFrame => DataFrame): DataFrame = {
+    val st = deltaStages(s, d, n3, n2, threshold, baseHashes, screenFn)
     val packed = graft.pack.Packing.packByBudget(
-      capped.select("doc_id", "n_tokens"), "doc_id", "n_tokens", PackBudget)
+      st.capped.select("doc_id", "n_tokens"), "doc_id", "n_tokens", PackBudget)
       .select(col("doc_id"), col("bin_id"), col("bin_offset"))
 
-    capped.join(packed, "doc_id")
+    st.capped.join(packed, "doc_id")
       .select(col("doc_id"), col("source"), col("n_tokens"),
         (round(col("alpha_ratio"), 6) + 0.0).as("alpha_ratio"),
         col("lm_score"),
         (round(col("contamination"), 6) + 0.0).as("contamination"),
         col("dom_rank"), col("bin_id"), col("bin_offset"))
       .orderBy("doc_id")
+  }
+
+  /** Per-stage survivor accounting for the DELTA (x31) funnel — the
+    * ingest-time counterpart of [[funnel]], so an operator watching a
+    * batch land can see where its documents went: ingest gate →
+    * quality gate → LM-scorable → frozen rank cut → exact dedup (within-
+    * delta keeper + base-hash anti-join, one stage: they are one plan) →
+    * d10 novel screen → decontamination → per-batch domain cap. Packing
+    * is count-preserving (capped ⋈ packed is 1:1 by construction), so the
+    * final stage IS the manifest row count — FunnelSpec pins the
+    * agreement. Counts reuse the chain's persisted joints (dExact, dec,
+    * capped); the narrow head stages re-scan the fixture per count, the
+    * x26 funnel's documented trade (observability runs off the hot
+    * path). */
+  def deltaFunnel(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val fb = frozenBase(s, d)
+    val st = deltaStages(s, d, fb.n3, fb.n2, fb.threshold, fb.baseHashes,
+      dEx => graft.dedup.IncrementalDedup.screen(
+        fb.baseExact, dEx, "doc_id", "text", JaccardTau))
+    val ingested = Tables.documents(s, d)
+      .filter(col("doc_id") >= ProbeCap && col("lang") === "en" &&
+        col("doc_id") % 5 === 0).count()
+    val rows = Seq(
+      ("ingested_delta_en", ingested),
+      ("quality_gated", st.deltaGate.count()),
+      ("lm_scored", st.deltaScored.count()),
+      ("frozen_rank_cut", st.deltaCut.count()),
+      ("exact_deduped", st.dExact.count()),
+      ("fuzzy_novel", st.fuzzyNovel.count()),
+      ("decontaminated", st.clean.count()),
+      ("domain_capped", st.capped.count()))
+    import s.implicits._
+    rows.zipWithIndex
+      .map { case ((stage, n), i) => (i + 1, stage, n) }
+      .toDF("stage_order", "stage", "docs")
   }
 
   /** COLD x31: derive the frozen base state in-session, then run the
@@ -702,7 +757,7 @@ object Pipeline {
        bgate AS MATERIALIZED (SELECT * FROM (
            SELECT doc_id, source, text,
              len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+'))::BIGINT AS n_tokens,
-             length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text) AS alpha_ratio
+             CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text) END AS alpha_ratio
            FROM corpus WHERE doc_id % 5 <> 0)
          WHERE alpha_ratio >= $AlphaMin AND n_tokens >= $MinTokens),
        blmd AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '', 'g') AS t FROM bgate),
@@ -729,7 +784,7 @@ object Pipeline {
        dgate AS MATERIALIZED (SELECT * FROM (
            SELECT doc_id, source, text,
              len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+'))::BIGINT AS n_tokens,
-             length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text) AS alpha_ratio
+             CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text) END AS alpha_ratio
            FROM corpus WHERE doc_id % 5 = 0)
          WHERE alpha_ratio >= $AlphaMin AND n_tokens >= $MinTokens),
        dlmd AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '', 'g') AS t FROM dgate),

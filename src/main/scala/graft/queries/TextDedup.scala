@@ -383,7 +383,7 @@ object TextDedup {
     },
     Some("""SELECT doc_id,
             round(len(list_filter(toks, t -> t IN ('the', 'a')))::DOUBLE / len(toks), 6) AS stop_ratio,
-            round(length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text), 6) AS alpha_ratio,
+            round(CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text) END, 6) AS alpha_ratio,
             round((length(text) - len(toks) + 1)::DOUBLE / len(toks), 6) AS mean_tok_len
             FROM (SELECT doc_id, text, string_split_regex(trim(text), '[ \t\n\x0b\f\r]+') AS toks
                   FROM documents)
@@ -445,8 +445,8 @@ object TextDedup {
     Some("""WITH q AS (
               SELECT doc_id, source, text,
                      len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) AS n_tokens,
-                     length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
-                       / length(text) AS alpha_ratio
+                     CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+                       / length(text) END AS alpha_ratio
               FROM documents),
             qf AS (SELECT * FROM q WHERE alpha_ratio >= 0.6 AND n_tokens >= 5),
             dd AS (SELECT *,
@@ -1274,8 +1274,8 @@ object TextDedup {
         X24Cap, X24Salts)
     },
     Some(s"""WITH q AS (SELECT source, doc_id,
-               round(length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
-                 / length(text), 6) AS quality
+               round(CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+                 / length(text) END, 6) AS quality
              FROM documents)
              SELECT source, doc_id, quality,
                row_number() OVER (PARTITION BY source
@@ -1517,7 +1517,7 @@ object TextDedup {
     Some("""WITH sig AS (
               SELECT doc_id::BIGINT AS id, md5(text) AS h,
                 len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'))::BIGINT AS n_tokens,
-                length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text) AS alpha_ratio
+                CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / length(text) END AS alpha_ratio
               FROM documents),
             gated AS (SELECT * FROM sig
               WHERE alpha_ratio >= 0.8 AND n_tokens >= 12),

@@ -243,7 +243,14 @@ object Streaming {
     * a STATIC run (batch semantics: every group once, empty state) equals
     * the min-id-per-hash window — which is exactly the st5 oracle twin.
     * Across batches, arrival order decides who is first: a later batch's
-    * copy maps to the earlier batch's keeper (spec-pinned).
+    * copy maps to the earlier batch's keeper (spec-pinned). That
+    * determinism has a stated per-BATCH memory bound (the nearDupFilter
+    * trade): the group's rows buffer on one executor to sort by id, so
+    * memory is O(this micro-batch's copies of ONE text) — bounded by the
+    * trigger size, not the corpus. A deployment whose batches can carry
+    * millions of identical texts should shrink the trigger; dropping the
+    * sort would process rows incrementally but make per-batch keeper
+    * choice arrival-ordered instead of id-ordered.
     *
     * Scale shape: state is ONE (hash → id) entry per distinct retained
     * document — ~48 bytes/key in the state store, hash-partitioned across
