@@ -273,6 +273,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x32 warm path: final assembly reads from the persist joints; no cartesian anywhere") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // x31's pin, for the WARM (persisted-state) path: loading the frozen
+    // base artifacts from parquet must not change the assembly discipline
+    // — the state scans feed the staged joints, and the final
+    // capped ⋈ packed assembly reads exclusively from cache
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("plan-x32").resolve("state").toString
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      graft.queries.Pipeline.buildState(spark, dir, stateDir)
+      spark.catalog.clearCache()
+      val plan = graft.queries.Pipeline.x31Warm(spark, dir, stateDir)
+        .queryExecution.executedPlan
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      assert(scans.isEmpty,
+        s"x32's final assembly re-reads ${scans.size} parquet scan(s):\n$plan")
+      assert(plan.collect { case c: InMemoryTableScanExec => c }.nonEmpty,
+        s"x32 lost its persist joints:\n$plan")
+      val ps = plan.toString
+      assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoop"),
+        s"x32 must stay equi-join only:\n$ps")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("flip1 spine: broadcast gather, TakeOrderedAndProject top-k, one ingest window") {
     // the lazy lifecycle (the query fn materializes before closing the
     // engine, leaving only a LocalTableScan — lazySearch exposes the plan)
