@@ -610,7 +610,8 @@ object Pipeline {
                           n3: Array[Long], n2: Array[Long],
                           threshold: Option[(Double, Long)],
                           baseHashes: DataFrame,
-                          screenFn: DataFrame => DataFrame): DeltaStages = {
+                          screenFn: DataFrame => DataFrame,
+                          materializeDec: Boolean): DeltaStages = {
     val docs = Tables.spread(Tables.documents(s, d))
       .filter(col("doc_id") >= ProbeCap && col("lang") === "en")
     val deltaGate = x31Sig(docs.filter(col("doc_id") % 5 === 0))
@@ -626,14 +627,19 @@ object Pipeline {
       .drop("__h", "__keep")
       .persist()
     // d10 screen vs the base keepers; only novel delta docs continue.
-    // MATERIALIZE the decision frame with one linear job before the plan
-    // fans out (the x26 banding-chain lesson): the downstream
-    // contamination aggregate + clean join + cap/pack chain otherwise hit
-    // the screen's internal persists (shingles, buckets) and the dExact
-    // chain COLD from concurrent leaf stages, each recomputing the whole
-    // base+delta pipeline (measured: 6.2 s → see BASELINE.md's x31 pair).
+    // COLD path: MATERIALIZE the decision frame with one linear job
+    // before the plan fans out (the x26 banding-chain lesson): the
+    // downstream contamination aggregate + clean join + cap/pack chain
+    // otherwise hit the screen's internal persists (shingles, buckets)
+    // and the dExact chain COLD from concurrent leaf stages, each
+    // recomputing the whole base+delta pipeline (measured: 6.2 s → see
+    // BASELINE.md's x31 pair). WARM path: skip it — the base side is
+    // parquet state scans, so the fan-out race can only recompute the
+    // (cheap) delta chain, and dropping the extra action wins the
+    // interleaved A/B at BOTH sf0.1 (4.33 → 3.84 s) and sf10
+    // (8.2/10.3 → 6.7/8.7 s); see BASELINE.md's round-14 block.
     val dec = screenFn(dExact).persist()
-    dec.count()
+    if (materializeDec) dec.count()
     val fuzzyNovel = dExact.join(
       dec.filter(col("novel")).select(col("doc_id")), "doc_id")
 
@@ -672,8 +678,10 @@ object Pipeline {
                             n3: Array[Long], n2: Array[Long],
                             threshold: Option[(Double, Long)],
                             baseHashes: DataFrame,
-                            screenFn: DataFrame => DataFrame): DataFrame = {
-    val st = deltaStages(s, d, n3, n2, threshold, baseHashes, screenFn)
+                            screenFn: DataFrame => DataFrame,
+                            materializeDec: Boolean): DataFrame = {
+    val st = deltaStages(s, d, n3, n2, threshold, baseHashes, screenFn,
+      materializeDec)
     val packed = graft.pack.Packing.packByBudget(
       st.capped.select("doc_id", "n_tokens"), "doc_id", "n_tokens", PackBudget)
       .select(col("doc_id"), col("bin_id"), col("bin_offset"))
@@ -703,7 +711,8 @@ object Pipeline {
     val fb = frozenBase(s, d)
     val st = deltaStages(s, d, fb.n3, fb.n2, fb.threshold, fb.baseHashes,
       dEx => graft.dedup.IncrementalDedup.screen(
-        fb.baseExact, dEx, "doc_id", "text", JaccardTau))
+        fb.baseExact, dEx, "doc_id", "text", JaccardTau),
+      materializeDec = true)
     val ingested = Tables.documents(s, d)
       .filter(col("doc_id") >= ProbeCap && col("lang") === "en" &&
         col("doc_id") % 5 === 0).count()
@@ -728,7 +737,8 @@ object Pipeline {
     val fb = frozenBase(s, d)
     deltaManifest(s, d, fb.n3, fb.n2, fb.threshold, fb.baseHashes,
       dEx => graft.dedup.IncrementalDedup.screen(
-        fb.baseExact, dEx, "doc_id", "text", JaccardTau))
+        fb.baseExact, dEx, "doc_id", "text", JaccardTau),
+      materializeDec = true)
   }
 
   /** WARM x31: the delta half against PERSISTED frozen state
@@ -743,7 +753,8 @@ object Pipeline {
     val st = graft.incremental.IncrementalState.load(s, stateDir)
     deltaManifest(s, d, st.n3, st.n2, st.threshold, st.baseHashes,
       dEx => graft.dedup.IncrementalDedup.screenPrepared(
-        st.baseSh, st.baseBuckets, dEx, "doc_id", "text", JaccardTau))
+        st.baseSh, st.baseBuckets, dEx, "doc_id", "text", JaccardTau),
+      materializeDec = false)
   }
 
   /** The whole-chain DuckDB twin of the incremental build: frozen fit via
