@@ -122,6 +122,37 @@ object IncrementalState {
       spark.read.parquet(new Path(live, "buckets").toString))
   }
 
+  /** ADVANCE the state by one accepted batch — the between-batches step
+    * that closes the ingest loop: the documents a batch's screen let
+    * through become part of the BASE the next batch screens against
+    * (without it, two arriving batches could each be "novel" against the
+    * settled corpus while duplicating each other across batches).
+    * `accepted` is the batch's surviving (doc_id, text); the four
+    * relations grow by the batch's rows (hashes deduped, shingles and
+    * band buckets derived here with the screen's own kernels), while the
+    * LM model, threshold and scorable count stay FROZEN by design —
+    * quality refit is an offline decision (`Pipeline.buildState` again),
+    * not a per-batch side effect, or each batch would move its own bar.
+    * Publishes through [[save]]'s swap, so an in-place advance
+    * (`path == live`) reads the old relations while staging and a reader
+    * never observes a half-advanced state. Cost is one pass over the
+    * BATCH plus a rewrite of the relation files — at deployment scale the
+    * relations would be appended as new parquet files per batch instead;
+    * the swap form keeps the single-directory contract the specs pin. */
+  def advance(spark: SparkSession, path: String,
+              accepted: DataFrame, idCol: String, textCol: String): Unit = {
+    import org.apache.spark.sql.functions.{col, md5}
+    val st = load(spark, path)
+    val batch = accepted.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    val newSh = graft.dedup.IncrementalDedup.shingled(batch, "doc_id", "text")
+    save(spark, path, st.n3, st.nScorable, st.threshold,
+      st.baseHashes.unionByName(batch.select(md5(col("text")).as("bh"))).distinct(),
+      st.baseExact.unionByName(batch),
+      st.baseSh.unionByName(newSh),
+      st.baseBuckets.unionByName(graft.dedup.IncrementalDedup.bucketsOf(newSh)))
+  }
+
   /** Crash recovery (the IvfIndex.recover contract): a `.old-` sibling
     * means a save died after moving the live state aside — restore it if
     * nothing took its place; a `.tmp-` sibling is an unpublished stage —

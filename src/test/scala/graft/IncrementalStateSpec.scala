@@ -3,6 +3,7 @@ package graft
 import graft.dedup.IncrementalDedup
 import graft.incremental.IncrementalState
 import graft.queries.{Pipeline, Registry}
+import org.apache.spark.sql.functions.{col, md5}
 
 /** Persistable frozen-state contract (IncrementalState + Pipeline's warm
   * path): save→load is a faithful roundtrip (model bits, threshold bits,
@@ -89,6 +90,45 @@ class IncrementalStateSpec extends SparkSpec {
     spark.catalog.clearCache()
     assert(cold.nonEmpty, "empty manifest — fixture must survive the funnel")
     assert(cold == warm, "save→load→derive must be bit-identical to the in-session build")
+  }
+
+  test("advance folds an accepted batch into the state: the next batch screens against it") {
+    val dir = freshDir("incr-advance")
+    val novel1 = "quantum chromatic lattice verse mountain ember topaz river echo harbor"
+    val base = Seq((10L, baseA)).toDF("doc_id", "text")
+    val bsh = IncrementalDedup.shingled(base, "doc_id", "text")
+    IncrementalState.save(spark, dir, new Array[Long](27 * 27 * 27), 0L, None,
+      base.select(md5(col("text")).as("bh")), base, bsh,
+      IncrementalDedup.bucketsOf(bsh))
+    // batch 1: a novel doc survives its screen, then ADVANCES the state
+    val batch1 = Seq((200L, novel1)).toDF("doc_id", "text")
+    val st1 = IncrementalState.load(spark, dir)
+    val dec1 = IncrementalDedup.screenPrepared(st1.baseSh, st1.baseBuckets,
+        batch1, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(dec1(200L), "batch-1 doc must be novel against the settled base")
+    IncrementalState.advance(spark, dir, batch1, "doc_id", "text")
+    // batch 2: a copy of batch 1's survivor AND a copy of the old base
+    val batch2 = Seq((300L, novel1), (301L, baseA)).toDF("doc_id", "text")
+    val st2 = IncrementalState.load(spark, dir)
+    def decisions(baseSh: org.apache.spark.sql.DataFrame,
+                  baseBk: org.apache.spark.sql.DataFrame) =
+      IncrementalDedup.screenPrepared(baseSh, baseBk, batch2, "doc_id", "text", 0.8)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val warm = decisions(st2.baseSh, st2.baseBuckets)
+    assert(warm == Seq((300L, false, 200L), (301L, false, 10L)),
+      s"cross-batch dup must map to the batch-1 keeper, base dup to the base keeper: $warm")
+    // equivalence: the advanced state decides exactly like a cold screen
+    // over base ∪ batch1
+    val unioned = base.unionByName(batch1)
+    val ush = IncrementalDedup.shingled(unioned, "doc_id", "text")
+    assert(warm == decisions(ush, IncrementalDedup.bucketsOf(ush)),
+      "advance must be indistinguishable from refreezing over the grown corpus")
+    // the frozen scalars never move on advance
+    assert(st2.nScorable == 0L && st2.threshold.isEmpty &&
+      st2.n3.sameElements(st1.n3), "advance must not touch the frozen model")
+    spark.catalog.clearCache()
   }
 
   test("re-save swaps atomically and a crashed save's leftovers never shadow the live state") {

@@ -101,6 +101,24 @@ class IngestLoopSpec extends SparkSpec {
     val topBase = IvfIndex.probedTopK(spark, h, vec(baseA).toArray, nProbe = 2, k = 1)
       .collect().map(_.getLong(0))
     assert(topBase.head == 10L, "the settled base must still serve after the append")
+
+    // ---- close the loop: ADVANCE the state by the accepted batch, so
+    // the NEXT batch's near-dups of batch-1 survivors are caught ----
+    IncrementalState.advance(spark, stateDir,
+      novelIds.map(id => (id, deltaTexts(id))).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val st2 = IncrementalState.load(spark, stateDir)
+    // verbatim copies: identical shingle sets band identically, so the
+    // catch is deterministic (a 0.83-Jaccard near-dup is caught only with
+    // the banding probability — d10's stated LSH semantics)
+    val batch2 = Seq((200L, novel1), (201L, baseB)).toDF("doc_id", "text")
+    val screened2 = IncrementalDedup.screenPrepared(st2.baseSh, st2.baseBuckets,
+        batch2, "doc_id", "text", tau = 0.8)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(screened2(200L) == ((false, 100L)),
+      "a copy of a batch-1 SURVIVOR must be caught by the advanced state")
+    assert(screened2(201L) == ((false, 11L)),
+      "a copy of the original base must still be caught after the advance")
     spark.catalog.clearCache()
   }
 }
