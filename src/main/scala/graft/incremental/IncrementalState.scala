@@ -135,7 +135,10 @@ object IncrementalState {
     * not a per-batch side effect, or each batch would move its own bar.
     * Publishes through [[save]]'s swap, so an in-place advance
     * (`path == live`) reads the old relations while staging and a reader
-    * never observes a half-advanced state. Cost is one pass over the
+    * never observes a half-advanced state. Call ONCE per accepted batch
+    * (not idempotent: re-advancing the same batch appends duplicate
+    * relation rows — decisions stay correct since candidates are
+    * deduped, but the state grows for nothing). Cost is one pass over the
     * BATCH plus a rewrite of the relation files — at deployment scale the
     * relations would be appended as new parquet files per batch instead;
     * the swap form keeps the single-directory contract the specs pin. */
