@@ -127,33 +127,47 @@ object IncrementalState {
     * through become part of the BASE the next batch screens against
     * (without it, two arriving batches could each be "novel" against the
     * settled corpus while duplicating each other across batches).
-    * `accepted` is the batch's surviving (doc_id, text); the four
-    * relations grow by the batch's rows (hashes deduped, shingles and
-    * band buckets derived here with the screen's own kernels), while the
-    * LM model, threshold and scorable count stay FROZEN by design —
-    * quality refit is an offline decision (`Pipeline.buildState` again),
-    * not a per-batch side effect, or each batch would move its own bar.
-    * Publishes through [[save]]'s swap, so an in-place advance
-    * (`path == live`) reads the old relations while staging and a reader
-    * never observes a half-advanced state. Call ONCE per accepted batch
-    * (not idempotent: re-advancing the same batch appends duplicate
-    * relation rows — decisions stay correct since candidates are
-    * deduped, but the state grows for nothing). Cost is one pass over the
-    * BATCH plus a rewrite of the relation files — at deployment scale the
-    * relations would be appended as new parquet files per batch instead;
-    * the swap form keeps the single-directory contract the specs pin. */
+    * `accepted` is the batch's surviving (doc_id, text); its hash /
+    * keeper / shingle / band-bucket rows are APPENDED to the four
+    * relations as new parquet files (the IvfIndex.appendStream
+    * discipline), so advance IO is **O(batch)** — never a rewrite of the
+    * corpus-sized relations, which would hand back exactly the
+    * O(corpus)-per-ingest cost this operator exists to avoid. The LM
+    * model, threshold and scorable count stay FROZEN by design — quality
+    * refit is an offline decision (`Pipeline.buildState` again), not a
+    * per-batch side effect, or each batch would move its own bar; the
+    * sidecar is never touched here.
+    *
+    * Durability contract (the appendStream trade): single writer,
+    * advance BETWEEN batches — a screen racing an in-flight advance can
+    * observe the batch partially folded (hash landed, buckets not yet)
+    * and miss a near-dup of a just-accepted doc for that one read.
+    * Replaying an advance after a crash is at-least-once-safe: the hash
+    * anti-join is existence-only and candidate pairs are deduped before
+    * verification, so duplicate rows cost bytes, not correctness — the
+    * one observable effect is that re-counted bucket rows can push a hot
+    * bucket over `bucketCap` sooner, degrading it to its representative
+    * (the d3 cap semantics, stated, not a wrong answer). A full
+    * [[Pipeline.buildState]] refreeze reclaims the bytes. */
   def advance(spark: SparkSession, path: String,
               accepted: DataFrame, idCol: String, textCol: String): Unit = {
     import org.apache.spark.sql.functions.{col, md5}
-    val st = load(spark, path)
+    val live = new Path(path)
+    sweep(live.getFileSystem(spark.sessionState.newHadoopConf()), live)
     val batch = accepted.select(col(idCol).cast("long").as("doc_id"),
-      col(textCol).as("text"))
-    val newSh = graft.dedup.IncrementalDedup.shingled(batch, "doc_id", "text")
-    save(spark, path, st.n3, st.nScorable, st.threshold,
-      st.baseHashes.unionByName(batch.select(md5(col("text")).as("bh"))).distinct(),
-      st.baseExact.unionByName(batch),
-      st.baseSh.unionByName(newSh),
-      st.baseBuckets.unionByName(graft.dedup.IncrementalDedup.bucketsOf(newSh)))
+      col(textCol).as("text")).persist()
+    try {
+      val newSh = graft.dedup.IncrementalDedup
+        .shingled(batch, "doc_id", "text").persist()
+      try {
+        batch.select(md5(col("text")).as("bh"))
+          .write.mode("append").parquet(new Path(live, "hashes").toString)
+        batch.write.mode("append").parquet(new Path(live, "exact").toString)
+        newSh.write.mode("append").parquet(new Path(live, "shingles").toString)
+        graft.dedup.IncrementalDedup.bucketsOf(newSh)
+          .write.mode("append").parquet(new Path(live, "buckets").toString)
+      } finally { newSh.unpersist(); () }
+    } finally { batch.unpersist(); () }
   }
 
   /** Crash recovery (the IvfIndex.recover contract): a `.old-` sibling

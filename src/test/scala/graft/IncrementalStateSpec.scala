@@ -131,6 +131,32 @@ class IncrementalStateSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("advance is append-only: O(batch) IO, pre-existing relation files untouched") {
+    val dir = freshDir("incr-appendonly")
+    saveTiny(dir, new Array[Long](27 * 27 * 27), nScorable = 5L, threshold = None)
+    def files(rel: String): Map[String, Long] = {
+      val d = new java.io.File(dir, rel)
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = Seq("hashes", "exact", "shingles", "buckets").map(r => r -> files(r)).toMap
+    IncrementalState.advance(spark, dir,
+      Seq((500L, "silver canyon whisper orbit maple thunder")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    Seq("hashes", "exact", "shingles", "buckets").foreach { rel =>
+      val after = files(rel)
+      before(rel).foreach { case (name, mtime) =>
+        assert(after.get(name).contains(mtime),
+          s"$rel/$name was rewritten — advance must never touch corpus-sized files")
+      }
+      assert(after.size > before(rel).size,
+        s"$rel gained no files — the batch's rows were not appended")
+    }
+    // and the sidecar is byte-identical (frozen model untouched)
+    assert(IncrementalState.load(spark, dir).nScorable == 5L)
+    spark.catalog.clearCache()
+  }
+
   test("re-save swaps atomically and a crashed save's leftovers never shadow the live state") {
     val dir = freshDir("incr-swap")
     val n3a = new Array[Long](27 * 27 * 27)
