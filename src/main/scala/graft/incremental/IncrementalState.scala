@@ -147,8 +147,8 @@ object IncrementalState {
     * verification, so duplicate rows cost bytes, not correctness — the
     * one observable effect is that re-counted bucket rows can push a hot
     * bucket over `bucketCap` sooner, degrading it to its representative
-    * (the d3 cap semantics, stated, not a wrong answer). A full
-    * [[Pipeline.buildState]] refreeze reclaims the bytes. */
+    * (the d3 cap semantics, stated, not a wrong answer). [[compact]]
+    * reclaims the bytes and the replay duplicates. */
   def advance(spark: SparkSession, path: String,
               accepted: DataFrame, idCol: String, textCol: String): Unit = {
     import org.apache.spark.sql.functions.{col, md5}
@@ -168,6 +168,26 @@ object IncrementalState {
           .write.mode("append").parquet(new Path(live, "buckets").toString)
       } finally { newSh.unpersist(); () }
     } finally { batch.unpersist(); () }
+  }
+
+  /** COMPACT the state — the maintenance half of the append/compact
+    * pair, like the serving index's: many [[advance]]s fragment the
+    * relations into one small file set per batch (probe latency and
+    * footer parses grow with file count), and a replayed advance leaves
+    * duplicate rows. Rewrite each relation deduped (hashes by value,
+    * keepers/shingles by doc_id, buckets by (doc_id, bucket)) through
+    * [[save]]'s staged swap — the live state stays readable for the
+    * whole rewrite and is replaced atomically; the frozen model rides
+    * along unchanged. Unlike [[Pipeline.buildState]], nothing is
+    * re-derived from the corpus: compaction IO is one read + one write
+    * of the relations. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val st = load(spark, path)
+    save(spark, path, st.n3, st.nScorable, st.threshold,
+      st.baseHashes.distinct(),
+      st.baseExact.dropDuplicates("doc_id"),
+      st.baseSh.dropDuplicates("doc_id"),
+      st.baseBuckets.dropDuplicates("doc_id", "bucket"))
   }
 
   /** Crash recovery (the IvfIndex.recover contract): a `.old-` sibling

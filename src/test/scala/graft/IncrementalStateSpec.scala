@@ -157,6 +157,37 @@ class IncrementalStateSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("compact dedupes replayed-advance rows and shrinks the file sets, content preserved") {
+    val dir = freshDir("incr-compact")
+    saveTiny(dir, new Array[Long](27 * 27 * 27), nScorable = 9L,
+      threshold = Some((0.25, 3L)))
+    val batch = Seq((600L, "quantum chromatic lattice verse mountain ember"))
+      .toDF("doc_id", "text")
+    // the at-least-once scenario: the same advance lands twice
+    IncrementalState.advance(spark, dir, batch, "doc_id", "text")
+    IncrementalState.advance(spark, dir, batch, "doc_id", "text")
+    val dirty = IncrementalState.load(spark, dir)
+    assert(dirty.baseExact.filter(col("doc_id") === 600L).count() == 2,
+      "fixture must actually carry the replay duplicate")
+    def nFiles(rel: String): Int = new java.io.File(dir, rel)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val filesBefore = nFiles("exact")
+    IncrementalState.compact(spark, dir)
+    val clean = IncrementalState.load(spark, dir)
+    assert(clean.baseExact.filter(col("doc_id") === 600L).count() == 1,
+      "compact must drop the replay duplicate")
+    assert(clean.baseExact.count() == 3 && clean.baseSh.count() == 3,
+      "compact must keep every distinct keeper (2 seed + 1 batch)")
+    assert(clean.baseBuckets.count() == 6, "3 docs × 2 band buckets, deduped")
+    assert(clean.baseHashes.as[String].collect().sorted.toSeq ==
+      (Seq("aa", "bb") :+ md5hex("quantum chromatic lattice verse mountain ember")).sorted)
+    assert(nFiles("exact") < filesBefore,
+      s"compaction must shrink the exact file set (was $filesBefore)")
+    // frozen scalars ride along bit-exactly
+    assert(clean.nScorable == 9L && clean.threshold.contains((0.25, 3L)))
+    spark.catalog.clearCache()
+  }
+
   test("re-save swaps atomically and a crashed save's leftovers never shadow the live state") {
     val dir = freshDir("incr-swap")
     val n3a = new Array[Long](27 * 27 * 27)
