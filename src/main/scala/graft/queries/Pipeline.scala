@@ -547,7 +547,8 @@ object Pipeline {
   private[graft] final case class FrozenBase(
       n3: Array[Long], n2: Array[Long], nScorable: Long,
       threshold: Option[(Double, Long)],
-      baseHashes: DataFrame, baseExact: DataFrame)
+      baseHashes: DataFrame, baseExact: DataFrame,
+      baseGate: DataFrame) // the persisted fit cohort — held for release
 
   /** Derive the frozen base state from the settled corpus: LM fit,
     * absolute threshold, content-hash set, exact keepers (what a
@@ -579,19 +580,30 @@ object Pipeline {
       .filter(col("doc_id") === col("__keep"))
       .select(col("doc_id"), col("text"))
       .persist()
-    FrozenBase(lmN3, lmN2, nScorableBase, thrOpt, baseHashes, baseExact)
+    FrozenBase(lmN3, lmN2, nScorableBase, thrOpt, baseHashes, baseExact,
+      baseGate)
   }
 
   /** Derive AND PERSIST the frozen base state — the between-batches step
     * of a production ingest loop. The saved artifacts make the warm path
-    * ([[x31Warm]]) re-derive nothing base-sided. */
+    * ([[x31Warm]]) re-derive nothing base-sided. Unlike the query-path
+    * convention (joints live until the caller's clearCache), this is a
+    * library call that releases its OWN persisted joints on return — a
+    * long-lived session (or a threads>1 bench whose other queries hold
+    * caches) must not pay for a build's scratch space. */
   def buildState(s: org.apache.spark.sql.SparkSession, d: String,
                  stateDir: String): Unit = {
     val fb = frozenBase(s, d)
-    val bsh = graft.dedup.IncrementalDedup.shingled(fb.baseExact, "doc_id", "text")
-    graft.incremental.IncrementalState.save(s, stateDir,
-      fb.n3, fb.nScorable, fb.threshold, fb.baseHashes, fb.baseExact,
-      bsh, graft.dedup.IncrementalDedup.bucketsOf(bsh))
+    try {
+      val bsh = graft.dedup.IncrementalDedup.shingled(fb.baseExact, "doc_id", "text")
+      graft.incremental.IncrementalState.save(s, stateDir,
+        fb.n3, fb.nScorable, fb.threshold, fb.baseHashes, fb.baseExact,
+        bsh, graft.dedup.IncrementalDedup.bucketsOf(bsh))
+    } finally {
+      fb.baseExact.unpersist()
+      fb.baseGate.unpersist()
+      ()
+    }
   }
 
   /** The delta half's intermediate frames, one per funnel stage —
@@ -905,10 +917,8 @@ object Pipeline {
     "x32_delta_manifest_warm",
     (s, d) => {
       val dir = x32StateDir(d)
-      if (!graft.incremental.IncrementalState.exists(s, dir)) {
-        buildState(s, d, dir)
-        s.catalog.clearCache() // the build's joints; the warm path loads from disk
-      }
+      if (!graft.incremental.IncrementalState.exists(s, dir))
+        buildState(s, d, dir) // releases its own joints; warm loads from disk
       x31Warm(s, d, dir)
     },
     Some(x31Sql))
