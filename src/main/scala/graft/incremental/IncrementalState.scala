@@ -26,10 +26,25 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *
   * Layout and durability follow the IvfIndex sidecar discipline: scalars
   * in a `_state.json` sidecar (underscore → ignored by parquet listings),
-  * relations as parquet subdirectories, everything staged into a `.tmp-`
-  * sibling and RENAMED in (move live aside → rename tmp → drop old), so a
-  * reader never observes a half-written state and a crash mid-save leaves
-  * the previous state live. [[load]] sweeps crash leftovers first.
+  * relations as parquet subdirectories, everything staged into a
+  * uniquely-suffixed `.tmp-` sibling and RENAMED in (move live aside →
+  * rename tmp → drop old), so a reader never observes a half-written
+  * state and a crash mid-save leaves the previous state restorable.
+  *
+  * Writer/reader contract: WRITERS ([[save]], [[advance]], [[compact]])
+  * are single-writer-at-a-time and sweep crash leftovers before acting
+  * (restore a moved-aside `.old-` live state, drop unpublished `.tmp-`
+  * stages — the unique tmp suffix means two racing BUILDERS can at worst
+  * drop each other's stage and retry, never interleave rows in one
+  * stage). READERS ([[load]], [[exists]]) are STRICTLY READ-ONLY: a load
+  * racing an in-flight publish can never delete the writer's stage or
+  * roll its renames back — if the live state is mid-swap (moved aside,
+  * tmp not yet published) the reader answers from the `.old-` sibling
+  * read-only; the next writer restores it. The one reader-side hazard
+  * left is benign and stated: a reader that resolved `.old-` holds lazy
+  * scans on that path, and the writer's subsequent restore/publish can
+  * invalidate them mid-query — a retryable read failure, never a wrong
+  * or half state.
   *
   * At 100 TB the relations here are a few percent of the corpus (keepers'
   * text dominates; shingles/buckets are id+hash rows) and every consumer
@@ -50,6 +65,15 @@ object IncrementalState {
 
   private val Sidecar = "_state.json"
 
+  /** The on-disk format version [[save]] stamps and [[load]] REQUIRES —
+    * a sidecar carrying any other version fails loudly instead of being
+    * field-matched through as if it were this layout (a v2 state whose
+    * fields happen to parse would otherwise serve silently wrong
+    * answers). Bump on ANY layout/semantics change; callers that key a
+    * state cache by path should fold this into the directory name (the
+    * x32 bench cache does) so old states are never even probed. */
+  val CurrentVersion = 1
+
   def save(spark: SparkSession, path: String,
            n3: Array[Long], nScorable: Long,
            threshold: Option[(Double, Long)],
@@ -57,8 +81,11 @@ object IncrementalState {
            baseSh: DataFrame, baseBuckets: DataFrame): Unit = {
     val live = new Path(path)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new Path(live.getParent, s".tmp-${live.getName}")
-    fs.delete(tmp, true) // stale crash leftover from an earlier save
+    sweep(fs, live) // writer-side crash recovery: restore .old-, drop stale stages
+    // unique stage name: two racing builders never interleave writes into
+    // one stage — the loser's stage is swept by the winner's next write
+    val tmp = new Path(live.getParent,
+      s".tmp-${live.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
     baseHashes.select("bh").write.parquet(new Path(tmp, "hashes").toString)
     baseExact.select("doc_id", "text").write.parquet(new Path(tmp, "exact").toString)
     baseSh.select("doc_id", "sh").write.parquet(new Path(tmp, "shingles").toString)
@@ -66,7 +93,7 @@ object IncrementalState {
     val thrJson = threshold.fold("") { case (ts, ti) =>
       s""","tsBits":${java.lang.Double.doubleToLongBits(ts)},"ts":$ts,"ti":$ti""" }
     val json =
-      s"""{"version":1,"nScorable":$nScorable$thrJson,"n3":[${n3.mkString(",")}]}"""
+      s"""{"version":$CurrentVersion,"nScorable":$nScorable$thrJson,"n3":[${n3.mkString(",")}]}"""
     val out = fs.create(new Path(tmp, Sidecar), true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -83,17 +110,39 @@ object IncrementalState {
     fs.delete(old, true)
   }
 
+  /** True when a state can be answered from `path` — the live sidecar,
+    * or (crash between [[save]]'s two renames) the intact moved-aside
+    * `.old-` sibling a writer would restore. Read-only: callers that
+    * would otherwise trigger a full rebuild (x32's first touch) must not
+    * rebuild over a restorable state. */
   def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new Path(path, Sidecar)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    resolveReadable(fs, live).isDefined
   }
 
+  /** Where a READ should resolve: the live dir if its sidecar exists,
+    * else the `.old-` sibling a crashed save left (readable as-is —
+    * restoring it is the next WRITER's job, a reader must not rename). */
+  private def resolveReadable(fs: FileSystem, live: Path): Option[Path] = {
+    if (fs.exists(new Path(live, Sidecar))) Some(live)
+    else {
+      val old = new Path(live.getParent, s".old-${live.getName}")
+      if (fs.exists(new Path(old, Sidecar))) Some(old) else None
+    }
+  }
+
+  /** Open a state READ-ONLY. Never deletes, renames, or sweeps — a load
+    * racing an in-flight save/compact cannot corrupt the publish (the
+    * writers own crash recovery). Fails loudly on a missing state or a
+    * sidecar whose `version` is not [[CurrentVersion]]. */
   def load(spark: SparkSession, path: String): Loaded = {
     val live = new Path(path)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-    sweep(fs, live)
+    val root = resolveReadable(fs, live).getOrElse(
+      throw new java.io.IOException(s"no incremental state at $path (no live or .old- sidecar)"))
     val raw = {
-      val in = fs.open(new Path(live, Sidecar))
+      val in = fs.open(new Path(root, Sidecar))
       try {
         val buf = new java.io.ByteArrayOutputStream()
         val chunk = new Array[Byte](8192)
@@ -105,6 +154,13 @@ object IncrementalState {
     // strict parse of the flat object written above (no nesting beyond n3)
     def longField(name: String): Option[Long] =
       s""""$name":(-?\\d+)""".r.findFirstMatchIn(raw).map(_.group(1).toLong)
+    val version = longField("version").getOrElse(
+      throw new java.io.IOException(s"corrupt $Sidecar: no version field in $path"))
+    if (version != CurrentVersion)
+      throw new java.io.IOException(
+        s"incremental state at $path has format version $version, this binary " +
+          s"reads version $CurrentVersion — rebuild the state (Pipeline.buildState) " +
+          "or use a matching binary; refusing to field-match a foreign layout")
     val nScorable = longField("nScorable").getOrElse(
       throw new java.io.IOException(s"corrupt $Sidecar: no nScorable in $path"))
     val threshold = for { bits <- longField("tsBits"); ti <- longField("ti") }
@@ -116,10 +172,10 @@ object IncrementalState {
     var i = 0
     while (i < n3.length) { n2(i / 27) += n3(i); i += 1 }
     Loaded(n3, n2, nScorable, threshold,
-      spark.read.parquet(new Path(live, "hashes").toString),
-      spark.read.parquet(new Path(live, "exact").toString),
-      spark.read.parquet(new Path(live, "shingles").toString),
-      spark.read.parquet(new Path(live, "buckets").toString))
+      spark.read.parquet(new Path(root, "hashes").toString),
+      spark.read.parquet(new Path(root, "exact").toString),
+      spark.read.parquet(new Path(root, "shingles").toString),
+      spark.read.parquet(new Path(root, "buckets").toString))
   }
 
   /** ADVANCE the state by one accepted batch — the between-batches step
@@ -182,6 +238,8 @@ object IncrementalState {
     * re-derived from the corpus: compaction IO is one read + one write
     * of the relations. */
   def compact(spark: SparkSession, path: String): Unit = {
+    val live = new Path(path)
+    sweep(live.getFileSystem(spark.sessionState.newHadoopConf()), live) // writer
     val st = load(spark, path)
     save(spark, path, st.n3, st.nScorable, st.threshold,
       st.baseHashes.distinct(),
@@ -190,16 +248,24 @@ object IncrementalState {
       st.baseBuckets.dropDuplicates("doc_id", "bucket"))
   }
 
-  /** Crash recovery (the IvfIndex.recover contract): a `.old-` sibling
-    * means a save died after moving the live state aside — restore it if
-    * nothing took its place; a `.tmp-` sibling is an unpublished stage —
-    * drop it. */
+  /** Crash recovery, run by WRITERS ONLY (readers must never mutate —
+    * a reader-side sweep racing an in-flight save could delete the
+    * writer's stage mid-write and permanently drop relations): a `.old-`
+    * sibling means a save died after moving the live state aside —
+    * restore it if nothing took its place; `.tmp-` siblings are
+    * unpublished stages — drop them (unique suffixes, so this also
+    * clears stages abandoned by other crashed builders). */
   private def sweep(fs: FileSystem, live: Path): Unit = {
     val old = new Path(live.getParent, s".old-${live.getName}")
     if (fs.exists(old)) {
       if (!fs.exists(live)) fs.rename(old, live)
       else fs.delete(old, true)
     }
-    fs.delete(new Path(live.getParent, s".tmp-${live.getName}"), true)
+    val parent = live.getParent
+    if (fs.exists(parent)) {
+      fs.listStatus(parent).map(_.getPath)
+        .filter(_.getName.startsWith(s".tmp-${live.getName}"))
+        .foreach(p => fs.delete(p, true))
+    }
   }
 }

@@ -590,7 +590,15 @@ object Pipeline {
     * convention (joints live until the caller's clearCache), this is a
     * library call that releases its OWN persisted joints on return — a
     * long-lived session (or a threads>1 bench whose other queries hold
-    * caches) must not pay for a build's scratch space. */
+    * caches) must not pay for a build's scratch space. Stated trade of
+    * that release: Spark's CacheManager keys entries by canonicalized
+    * plan, so if ANOTHER in-flight query (x31 in a threads>1 bench) has
+    * cached the identical baseGate/baseExact plan, this unpersist evicts
+    * it mid-query and that query recomputes — a perf hiccup on a shared
+    * plan, never a correctness issue. buildState is an offline
+    * between-batches step in production (nothing shares its plans);
+    * leaking the joints instead would bleed memory in every long-lived
+    * session, the worse default. */
   def buildState(s: org.apache.spark.sql.SparkSession, d: String,
                  stateDir: String): Unit = {
     val fb = frozenBase(s, d)
@@ -900,11 +908,19 @@ object Pipeline {
   private val x31 = Q("x31_delta_manifest", (s, d) => x31Frame(s, d), Some(x31Sql))
 
   /** Where x32 keeps its persisted state for a fixture dir — one state
-    * per scale factor, under the JVM tmpdir (the fixtures are immutable;
-    * bump the `_v1` tag if the state FORMAT ever changes). */
+    * per scale factor, under the JVM tmpdir (the fixtures are immutable).
+    * The directory name folds in `IncrementalState.CurrentVersion`, so a
+    * format bump automatically lands in a fresh dir instead of probing a
+    * stale layout (and load() would refuse the old sidecar anyway). A
+    * SEMANTIC change to the screen/LM that keeps the format must still
+    * bump the version — the backstop if one slips through is the oracle:
+    * x32 hashes this path against the full-recompute DuckDB twin every
+    * Verify run, so stale-state answers fail the hash gate rather than
+    * ship. */
   private[graft] def x32StateDir(d: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_incr_state_v1_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      s"graft_incr_state_v${graft.incremental.IncrementalState.CurrentVersion}_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
 
   // X32 — x31's WARM path as its own hash-checked row: build + SAVE the
   // frozen base state on first touch of a fixture, then always answer

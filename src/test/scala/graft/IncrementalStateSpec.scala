@@ -188,22 +188,62 @@ class IncrementalStateSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("re-save swaps atomically and a crashed save's leftovers never shadow the live state") {
+  test("re-save swaps atomically; readers are read-only around crash leftovers; writers sweep") {
     val dir = freshDir("incr-swap")
     val n3a = new Array[Long](27 * 27 * 27)
     saveTiny(dir, n3a, nScorable = 1L, threshold = None)
     saveTiny(dir, n3a, nScorable = 2L, threshold = Some((0.5, 7L))) // overwrite
     assert(IncrementalState.load(spark, dir).nScorable == 2L)
-    // crash mid-save leaves a .tmp- sibling → swept, live state still answers
+    // crash mid-save leaves a .tmp- sibling → a READER must leave it alone
+    // (deleting it could destroy a LIVE writer's in-flight stage — the
+    // r14 ADVICE race); the live state still answers
     val live = new java.io.File(dir)
-    val tmp = new java.io.File(live.getParentFile, s".tmp-${live.getName}")
+    val tmp = new java.io.File(live.getParentFile, s".tmp-${live.getName}-dead1234")
     assert(tmp.mkdir())
+    assert(IncrementalState.exists(spark, dir))
     assert(IncrementalState.load(spark, dir).nScorable == 2L)
-    assert(!tmp.exists(), "load must sweep the unpublished stage")
-    // crash AFTER moving live aside (.old- present, live gone) → restored
+    assert(tmp.exists(), "load is read-only: it must NOT sweep stages (writers do)")
+    // crash AFTER moving live aside (.old- present, live gone): readers
+    // answer from .old- WITHOUT renaming; exists() must not report a
+    // rebuild-needed hole
     val old = new java.io.File(live.getParentFile, s".old-${live.getName}")
     assert(live.renameTo(old))
+    assert(IncrementalState.exists(spark, dir),
+      "a restorable .old- state must count as existing (else first-touch rebuilds over it)")
     assert(IncrementalState.load(spark, dir).nScorable == 2L)
-    assert(live.exists() && !old.exists(), "load must restore the moved-aside live state")
+    assert(!live.exists() && old.exists(), "load must not rename — restoring is the writer's job")
+    // the next WRITER restores the live state and drops the dead stage
+    IncrementalState.advance(spark, dir,
+      Seq((700L, "onyx crater violet summit")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(live.exists() && !old.exists() && !tmp.exists(),
+      "a writer must restore the moved-aside live state and sweep dead stages")
+    assert(IncrementalState.load(spark, dir).nScorable == 2L)
+    spark.catalog.clearCache()
+  }
+
+  test("load fails loudly on a sidecar from a different format version") {
+    val dir = freshDir("incr-version")
+    saveTiny(dir, new Array[Long](27 * 27 * 27), nScorable = 3L, threshold = None)
+    val sidecar = java.nio.file.Paths.get(dir, "_state.json")
+    val raw = new String(java.nio.file.Files.readAllBytes(sidecar),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // drop the Hadoop local-FS checksum sidecar — this test tampers with
+    // the file out-of-band, which is exactly what a foreign writer does
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, "._state.json.crc"))
+    // a v2 sidecar whose other fields happen to parse as v1 must NOT be
+    // field-matched through — silent wrong answers are the failure mode
+    java.nio.file.Files.write(sidecar,
+      raw.replace(s""""version":${IncrementalState.CurrentVersion}""", """"version":99""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e = intercept[java.io.IOException](IncrementalState.load(spark, dir))
+    assert(e.getMessage.contains("version 99") &&
+      e.getMessage.contains(s"version ${IncrementalState.CurrentVersion}"),
+      s"error must name both versions: ${e.getMessage}")
+    // and a sidecar with NO version field is corrupt, not implicitly v1
+    java.nio.file.Files.write(sidecar,
+      raw.replaceFirst(""""version":\d+,""", "")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e2 = intercept[java.io.IOException](IncrementalState.load(spark, dir))
+    assert(e2.getMessage.contains("no version field"), e2.getMessage)
   }
 }
