@@ -248,9 +248,13 @@ object Streaming {
     * trade): the group's rows buffer on one executor to sort by id, so
     * memory is O(this micro-batch's copies of ONE text) — bounded by the
     * trigger size, not the corpus. A deployment whose batches can carry
-    * millions of identical texts should shrink the trigger; dropping the
-    * sort would process rows incrementally but make per-batch keeper
-    * choice arrival-ordered instead of id-ordered.
+    * millions of identical texts can shrink the trigger — or set
+    * `idOrderedBatches = false`, which folds the group INCREMENTALLY in
+    * arrival order (one row in flight, no per-group buffering at all):
+    * the keeper becomes the first-ARRIVED copy instead of the min-id
+    * copy, so per-batch output is no longer replay-deterministic when
+    * the source can reorder rows — the stated trade, off by default (the
+    * default path is what the st5 oracle hashes).
     *
     * Scale shape: state is ONE (hash → id) entry per distinct retained
     * document — ~48 bytes/key in the state store, hash-partitioned across
@@ -262,7 +266,8 @@ object Streaming {
     * (GroupStateTimeout) or front an approximate filter — both drop the
     * exactness this operator's oracle checks. */
   def curationGate(docs: DataFrame, textCol: String, idCol: String,
-                   minTokens: Int = 12, alphaMin: Double = 0.8)
+                   minTokens: Int = 12, alphaMin: Double = 0.8,
+                   idOrderedBatches: Boolean = true)
                   (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val gated = docs.select(
@@ -283,14 +288,20 @@ object Streaming {
         (_: String, rows: Iterator[(Long, String, Long, Double)],
          state: GroupState[Long]) =>
           var keeper = state.getOption.getOrElse(-1L)
-          val out = rows.toSeq.sortBy(_._1).map { case (id, _, nt, ar) =>
+          def decide(id: Long, nt: Long, ar: Double): CurationDecision =
             if (keeper < 0) {
               keeper = id
+              // effective when the output iterator completes — legal from
+              // inside a lazy map (GroupState commits post-iteration), so
+              // the incremental mode needs no terminal buffering either
+              state.update(keeper)
               CurationDecision(id, novel = true, dup_of = -1L, nt, ar)
             } else CurationDecision(id, novel = false, dup_of = keeper, nt, ar)
-          }
-          state.update(keeper)
-          out.iterator
+          if (idOrderedBatches)
+            rows.toSeq.sortBy(_._1)
+              .map { case (id, _, nt, ar) => decide(id, nt, ar) }.iterator
+          else // incremental min-fold: one row in flight, group never buffered
+            rows.map { case (id, _, nt, ar) => decide(id, nt, ar) }
       }
       .toDF()
   }

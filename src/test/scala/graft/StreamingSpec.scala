@@ -460,4 +460,37 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.contains((i, false, i - 1)), s"doc $i not flagged as dup of ${i - 1}")
     }
   }
+
+  test("curation gate min-fold mode: flag-off bit-identical, flag-on folds arrival order without the sort") {
+    implicit val s = spark
+    import spark.implicits._
+    // ids deliberately DESCENDING in arrival order: the id-ordered default
+    // must pick the min id as keeper regardless, the incremental mode the
+    // first ARRIVAL — the one stated semantic difference between the modes
+    val docs = Seq((9L, good1), (5L, good1), (2L, good1), (7L, good3))
+      .toDF("doc_id", "text").coalesce(1)
+    def run(flag: Boolean) = Streaming.curationGate(
+        docs, "text", "doc_id", idOrderedBatches = flag)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSet
+    // flag OFF (explicit) is bit-identical to the default signature — the
+    // st5-oracle-hashed path is untouched by the flag's existence
+    val default = Streaming.curationGate(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSet
+    assert(run(flag = true) == default)
+    assert(default == Set((2L, true, -1L), (5L, false, 2L), (9L, false, 2L), (7L, true, -1L)),
+      s"id-ordered mode must keep the min id: $default")
+    // flag ON: keeper is the first-arrived copy (9 arrived first); the
+    // group is folded one row at a time — rows.map, no toSeq/sort — so a
+    // degenerate batch never buffers its copies to pick the keeper
+    assert(run(flag = false) ==
+      Set((9L, true, -1L), (5L, false, 9L), (2L, false, 9L), (7L, true, -1L)))
+    // degenerate batch: 50k copies of ONE text in a single batch — the
+    // incremental fold must process it and emit exactly one keeper
+    val big = (1L to 50000L).map(i => (i, good1)).toDF("doc_id", "text").coalesce(1)
+    val dec = Streaming.curationGate(big, "text", "doc_id", idOrderedBatches = false)
+      .groupBy(col("novel")).count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(dec == Map(true -> 1L, false -> 49999L),
+      s"one keeper, everyone else its duplicate: $dec")
+  }
 }
