@@ -22,7 +22,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *   - the keepers' shingle relation (`shingles/`: doc_id, sh) and
   *     MinHash band-bucket relation (`buckets/`: doc_id, bucket) — the
   *     two base-sided inputs of `IncrementalDedup.screenPrepared`, so the
-  *     warm screen is: scan buckets, cap, equi-join the delta's probes.
+  *     warm screen is: scan buckets, cap, equi-join the delta's probes;
+  *   - the contamination probe's distinct 5-gram hashes (`probe/`: g
+  *     string) — the benchmark-set side of the decontamination join.
+  *     Frozen fixture content (doc_id < ProbeCap), formerly re-derived
+  *     per warm batch: one documents scan + distinct shuffle per ingest
+  *     for a set that never changes between refits.
   *
   * Layout and durability follow the IvfIndex sidecar discipline: scalars
   * in a `_state.json` sidecar (underscore → ignored by parquet listings),
@@ -61,7 +66,8 @@ object IncrementalState {
       baseHashes: DataFrame,  // (bh string)
       baseExact: DataFrame,   // (doc_id long, text string)
       baseSh: DataFrame,      // (doc_id long, sh array<string>)
-      baseBuckets: DataFrame) // (doc_id long, bucket string)
+      baseBuckets: DataFrame, // (doc_id long, bucket string)
+      probeGrams: DataFrame)  // (g string) — distinct contamination-probe grams
 
   private val Sidecar = "_state.json"
 
@@ -72,13 +78,14 @@ object IncrementalState {
     * answers). Bump on ANY layout/semantics change; callers that key a
     * state cache by path should fold this into the directory name (the
     * x32 bench cache does) so old states are never even probed. */
-  val CurrentVersion = 1
+  val CurrentVersion = 2
 
   def save(spark: SparkSession, path: String,
            n3: Array[Long], nScorable: Long,
            threshold: Option[(Double, Long)],
            baseHashes: DataFrame, baseExact: DataFrame,
-           baseSh: DataFrame, baseBuckets: DataFrame): Unit = {
+           baseSh: DataFrame, baseBuckets: DataFrame,
+           probeGrams: DataFrame): Unit = {
     val live = new Path(path)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     sweep(fs, live) // writer-side crash recovery: restore .old-, drop stale stages
@@ -90,6 +97,7 @@ object IncrementalState {
     baseExact.select("doc_id", "text").write.parquet(new Path(tmp, "exact").toString)
     baseSh.select("doc_id", "sh").write.parquet(new Path(tmp, "shingles").toString)
     baseBuckets.select("doc_id", "bucket").write.parquet(new Path(tmp, "buckets").toString)
+    probeGrams.select("g").write.parquet(new Path(tmp, "probe").toString)
     val thrJson = threshold.fold("") { case (ts, ti) =>
       s""","tsBits":${java.lang.Double.doubleToLongBits(ts)},"ts":$ts,"ti":$ti""" }
     val json =
@@ -175,7 +183,8 @@ object IncrementalState {
       spark.read.parquet(new Path(root, "hashes").toString),
       spark.read.parquet(new Path(root, "exact").toString),
       spark.read.parquet(new Path(root, "shingles").toString),
-      spark.read.parquet(new Path(root, "buckets").toString))
+      spark.read.parquet(new Path(root, "buckets").toString),
+      spark.read.parquet(new Path(root, "probe").toString))
   }
 
   /** ADVANCE the state by one accepted batch — the between-batches step
@@ -245,7 +254,8 @@ object IncrementalState {
       st.baseHashes.distinct(),
       st.baseExact.dropDuplicates("doc_id"),
       st.baseSh.dropDuplicates("doc_id"),
-      st.baseBuckets.dropDuplicates("doc_id", "bucket"))
+      st.baseBuckets.dropDuplicates("doc_id", "bucket"),
+      st.probeGrams.distinct())
   }
 
   /** Crash recovery, run by WRITERS ONLY (readers must never mutate —

@@ -606,13 +606,25 @@ object Pipeline {
       val bsh = graft.dedup.IncrementalDedup.shingled(fb.baseExact, "doc_id", "text")
       graft.incremental.IncrementalState.save(s, stateDir,
         fb.n3, fb.nScorable, fb.threshold, fb.baseHashes, fb.baseExact,
-        bsh, graft.dedup.IncrementalDedup.bucketsOf(bsh))
+        bsh, graft.dedup.IncrementalDedup.bucketsOf(bsh), probeGramsOf(s, d))
     } finally {
       fb.baseExact.unpersist()
       fb.baseGate.unpersist()
       ()
     }
   }
+
+  /** The contamination probe's distinct 5-gram hashes — frozen fixture
+    * content (the doc_id < ProbeCap benchmark set, same for every batch
+    * and both build paths). The COLD path derives it per run; the state
+    * persists it (`probe/`) so a WARM batch reads a tiny parquet instead
+    * of re-running this scan + distinct shuffle every ingest. */
+  private def probeGramsOf(s: org.apache.spark.sql.SparkSession,
+                           d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") < ProbeCap)
+      .withColumn("__toks", TextDedup.tokens(col("text")))
+      .select(explode(TextDedup.gramHashes(col("__toks"))).as("g"))
+      .distinct()
 
   /** The delta half's intermediate frames, one per funnel stage —
     * [[deltaManifest]] assembles the manifest from them, [[deltaFunnel]]
@@ -630,6 +642,7 @@ object Pipeline {
                           n3: Array[Long], n2: Array[Long],
                           threshold: Option[(Double, Long)],
                           baseHashes: DataFrame,
+                          probe: DataFrame,
                           screenFn: DataFrame => DataFrame,
                           materializeDec: Boolean): DeltaStages = {
     val docs = Tables.spread(Tables.documents(s, d))
@@ -664,10 +677,6 @@ object Pipeline {
       dec.filter(col("novel")).select(col("doc_id")), "doc_id")
 
     // ---- contamination screen (x26's probe and τ, batch-independent) ----
-    val probe = Tables.documents(s, d).filter(col("doc_id") < ProbeCap)
-      .withColumn("__toks", TextDedup.tokens(col("text")))
-      .select(explode(TextDedup.gramHashes(col("__toks"))).as("g"))
-      .distinct()
     val fgrams = fuzzyNovel
       .withColumn("__toks", TextDedup.tokens(col("text")))
       .withColumn("__grams", TextDedup.gramHashes(col("__toks")))
@@ -698,9 +707,10 @@ object Pipeline {
                             n3: Array[Long], n2: Array[Long],
                             threshold: Option[(Double, Long)],
                             baseHashes: DataFrame,
+                            probe: DataFrame,
                             screenFn: DataFrame => DataFrame,
                             materializeDec: Boolean): DataFrame = {
-    val st = deltaStages(s, d, n3, n2, threshold, baseHashes, screenFn,
+    val st = deltaStages(s, d, n3, n2, threshold, baseHashes, probe, screenFn,
       materializeDec)
     val packed = graft.pack.Packing.packByBudget(
       st.capped.select("doc_id", "n_tokens"), "doc_id", "n_tokens", PackBudget)
@@ -730,6 +740,7 @@ object Pipeline {
   def deltaFunnel(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val fb = frozenBase(s, d)
     val st = deltaStages(s, d, fb.n3, fb.n2, fb.threshold, fb.baseHashes,
+      probeGramsOf(s, d),
       dEx => graft.dedup.IncrementalDedup.screen(
         fb.baseExact, dEx, "doc_id", "text", JaccardTau),
       materializeDec = true)
@@ -756,6 +767,7 @@ object Pipeline {
   private def x31Frame(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val fb = frozenBase(s, d)
     deltaManifest(s, d, fb.n3, fb.n2, fb.threshold, fb.baseHashes,
+      probeGramsOf(s, d),
       dEx => graft.dedup.IncrementalDedup.screen(
         fb.baseExact, dEx, "doc_id", "text", JaccardTau),
       materializeDec = true)
@@ -771,7 +783,18 @@ object Pipeline {
   def x31Warm(s: org.apache.spark.sql.SparkSession, d: String,
               stateDir: String): DataFrame = {
     val st = graft.incremental.IncrementalState.load(s, stateDir)
+    // The contamination probe rides the STATE (st.probeGrams), not a
+    // per-batch re-derivation: the probe is frozen fixture content, and
+    // deriving it cost one documents scan + a distinct shuffle per warm
+    // run for a set that never changes between refits. Cost model: the
+    // persisted side is a tiny single-file parquet scan feeding the
+    // broadcast, the derived side re-reads the (corpus-sized at scale)
+    // documents table — so the win GROWS with sf. Shipped on interleaved
+    // same-window A/B wins: sf0.1 3/3 pairs (3.45–3.84 s vs 3.99–4.34 s),
+    // sf10 2/2 comparable-calib pairs (6.75/7.08 s vs 7.51/7.59 s) — see
+    // BASELINE.md round-15 block.
     deltaManifest(s, d, st.n3, st.n2, st.threshold, st.baseHashes,
+      st.probeGrams,
       dEx => graft.dedup.IncrementalDedup.screenPrepared(
         st.baseSh, st.baseBuckets, dEx, "doc_id", "text", JaccardTau),
       materializeDec = false)

@@ -26,7 +26,8 @@ class IncrementalStateSpec extends SparkSpec {
     val exact = Seq((1L, baseA), (2L, baseB)).toDF("doc_id", "text")
     val sh = IncrementalDedup.shingled(exact, "doc_id", "text")
     IncrementalState.save(spark, dir, n3, nScorable, threshold,
-      hashes, exact, sh, IncrementalDedup.bucketsOf(sh))
+      hashes, exact, sh, IncrementalDedup.bucketsOf(sh),
+      Seq("g1", "g2").toDF("g"))
   }
 
   test("save→load roundtrips the model, the threshold bits, and the relations") {
@@ -49,6 +50,8 @@ class IncrementalStateSpec extends SparkSpec {
     assert(st.baseHashes.as[String].collect().sorted.toSeq == Seq("aa", "bb"))
     assert(st.baseExact.count() == 2 && st.baseSh.count() == 2)
     assert(st.baseBuckets.count() == 4, "2 docs × 2 band buckets")
+    assert(st.probeGrams.as[String].collect().sorted.toSeq == Seq("g1", "g2"),
+      "the contamination-probe gram relation must roundtrip")
   }
 
   test("a state with no threshold (k = 0 cohort) loads as None") {
@@ -66,7 +69,8 @@ class IncrementalStateSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val bsh = IncrementalDedup.shingled(base, "doc_id", "text")
     IncrementalState.save(spark, dir, new Array[Long](27 * 27 * 27), 0L, None,
-      Seq.empty[String].toDF("bh"), base, bsh, IncrementalDedup.bucketsOf(bsh))
+      Seq.empty[String].toDF("bh"), base, bsh, IncrementalDedup.bucketsOf(bsh),
+      Seq.empty[String].toDF("g"))
     val st = IncrementalState.load(spark, dir)
     def decisions(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).sortBy(_._1).toSeq
@@ -99,7 +103,7 @@ class IncrementalStateSpec extends SparkSpec {
     val bsh = IncrementalDedup.shingled(base, "doc_id", "text")
     IncrementalState.save(spark, dir, new Array[Long](27 * 27 * 27), 0L, None,
       base.select(md5(col("text")).as("bh")), base, bsh,
-      IncrementalDedup.bucketsOf(bsh))
+      IncrementalDedup.bucketsOf(bsh), Seq.empty[String].toDF("g"))
     // batch 1: a novel doc survives its screen, then ADVANCES the state
     val batch1 = Seq((200L, novel1)).toDF("doc_id", "text")
     val st1 = IncrementalState.load(spark, dir)
@@ -179,6 +183,8 @@ class IncrementalStateSpec extends SparkSpec {
     assert(clean.baseExact.count() == 3 && clean.baseSh.count() == 3,
       "compact must keep every distinct keeper (2 seed + 1 batch)")
     assert(clean.baseBuckets.count() == 6, "3 docs × 2 band buckets, deduped")
+    assert(clean.probeGrams.as[String].collect().sorted.toSeq == Seq("g1", "g2"),
+      "compact must carry the frozen probe relation through the swap")
     assert(clean.baseHashes.as[String].collect().sorted.toSeq ==
       (Seq("aa", "bb") :+ md5hex("quantum chromatic lattice verse mountain ember")).sorted)
     assert(nFiles("exact") < filesBefore,

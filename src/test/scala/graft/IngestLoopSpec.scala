@@ -44,7 +44,7 @@ class IngestLoopSpec extends SparkSpec {
     val bsh = IncrementalDedup.shingled(base, "doc_id", "text")
     IncrementalState.save(spark, stateDir, new Array[Long](27 * 27 * 27), 0L,
       None, Seq.empty[String].toDF("bh"), base, bsh,
-      IncrementalDedup.bucketsOf(bsh))
+      IncrementalDedup.bucketsOf(bsh), Seq.empty[String].toDF("g"))
     val idxPath = java.nio.file.Files.createTempDirectory("ingest-idx").toString
     val h = IvfIndex.write(
       Seq((10L, vec(baseA)), (11L, vec(baseB))).toDF("vec_id", "embedding"),
