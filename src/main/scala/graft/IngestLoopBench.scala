@@ -1,0 +1,176 @@
+package graft
+
+import graft.incremental.IncrementalState
+import graft.queries.Pipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MEASURED multi-batch ingest loop (VERDICT r14 ask #1): the production
+  * loop `IngestLoopSpec` proves in miniature — buildState once, then per
+  * arriving batch: warm screen → accept → advance — run for real over K
+  * successive batches at a real scale factor, timing every cycle.
+  *
+  * What it demonstrates (printed per batch, recorded in BASELINE.md):
+  *   - per-batch wall time vs batch index must stay FLAT: each advance
+  *     appends one file set per relation, so the warm screen reads more
+  *     files every cycle — fragmentation is the drift risk `compact`
+  *     exists for, and this is the measurement that shows the drift and
+  *     the recovery (file counts before/after compact, next batch's
+  *     time);
+  *   - one batch is deliberately advanced TWICE (the at-least-once
+  *     replay); compact must reclaim the duplicates;
+  *   - EQUIVALENCE: after the loop + compact, every state relation is
+  *     set-identical to a one-shot comparator (fresh `buildState` + ONE
+  *     advance folding all accepted batches at once), and a re-screen of
+  *     a probe batch decides identically against both states — the
+  *     at-least-once/compact contract exercised end-to-end at scale.
+  *
+  * Usage: `runMain graft.IngestLoopBench [sfDir]` (default /tmp/sf1).
+  * Exits non-zero on any equivalence failure.
+  */
+object IngestLoopBench {
+
+  private val KPre = 10 // timed batches before compact
+  private val KPost = 2 // timed batches after (recovery check)
+  private val K = KPre + KPost
+  private val ReplayAt = 5 // this batch's advance is replayed (at-least-once)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest-loop")
+    val loopDir = root.resolve("loop").toString
+    val oneShotDir = root.resolve("oneshot").toString
+    val acceptedDir = root.resolve("accepted").toString
+
+    def secs[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def relFiles(stateDir: String, rel: String): Int = {
+      val d = new java.io.File(stateDir, rel)
+      if (!d.exists()) 0 else d.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    def fileCounts(stateDir: String): String =
+      Seq("hashes", "exact", "shingles", "buckets", "probe")
+        .map(r => s"$r=${relFiles(stateDir, r)}").mkString(" ")
+
+    // the fixture's delta split (the x31 convention), dealt into K
+    // arrival batches by doc_id — deterministic, disjoint, exhaustive
+    def batchOf(k: Int): DataFrame = Tables.spread(Tables.documents(spark, sfDir))
+      .filter(col("doc_id") >= Pipeline.ProbeCap && col("lang") === "en" &&
+        col("doc_id") % 5 === 0)
+      .filter(pmod((col("doc_id") / 5).cast("long"), lit(K.toLong)) === k)
+
+    // ---- settle the base: one offline buildState (reported, not a cycle)
+    val (_, buildSec) = secs { Pipeline.buildState(spark, sfDir, loopDir) }
+    spark.catalog.clearCache()
+    println(f"[loop] buildState $buildSec%.2f s  files: ${fileCounts(loopDir)}")
+
+    // ---- the loop: K timed cycles (warm screen -> advance), compact
+    // between cycle KPre-1 and KPre
+    var compactLine = ""
+    val rows = (0 until K).map { k =>
+      if (k == KPre) {
+        val before = fileCounts(loopDir)
+        val (_, cSec) = secs { IncrementalState.compact(spark, loopDir) }
+        compactLine = f"[loop] compact $cSec%.2f s  before: $before  after: ${fileCounts(loopDir)}"
+        println(compactLine)
+      }
+      val batch = batchOf(k)
+      val ((nAcc, replayed), sec) = secs {
+        val acc = Pipeline.warmScreenAccepted(spark, sfDir, loopDir, batch)
+        val n = acc.count()
+        // land the accepted batch BEFORE advancing (the production
+        // ordering warmScreenAccepted documents); the landed copies feed
+        // the one-shot comparator below
+        acc.write.mode("overwrite").parquet(s"$acceptedDir/k=$k")
+        IncrementalState.advance(spark, loopDir, acc, "doc_id", "text")
+        val rep = k == ReplayAt
+        if (rep) IncrementalState.advance(spark, loopDir, acc, "doc_id", "text")
+        (n, rep)
+      }
+      spark.catalog.clearCache()
+      val line = f"[loop] batch=$k%2d accepted=$nAcc%6d sec=$sec%6.2f " +
+        f"bucketFiles=${relFiles(loopDir, "buckets")}%3d" +
+        (if (replayed) "  (advance REPLAYED)" else "")
+      println(line)
+      (k, nAcc, sec)
+    }
+
+    // ---- final compact (reclaims the replay duplicates), then the
+    // one-shot comparator: fresh buildState + ONE advance of everything
+    val beforeFinal = fileCounts(loopDir)
+    val (_, finalCompactSec) = secs { IncrementalState.compact(spark, loopDir) }
+    println(f"[loop] final compact $finalCompactSec%.2f s  before: $beforeFinal  after: ${fileCounts(loopDir)}")
+
+    val (_, osBuildSec) = secs {
+      Pipeline.buildState(spark, sfDir, oneShotDir)
+      IncrementalState.advance(spark, oneShotDir,
+        spark.read.parquet(s"$acceptedDir/k=*"), "doc_id", "text")
+      IncrementalState.compact(spark, oneShotDir)
+    }
+    spark.catalog.clearCache()
+    println(f"[loop] one-shot comparator built in $osBuildSec%.2f s  files: ${fileCounts(oneShotDir)}")
+
+    // ---- equivalence: every relation set-identical, decisions identical
+    val a = IncrementalState.load(spark, loopDir)
+    val b = IncrementalState.load(spark, oneShotDir)
+    var failures = 0
+    def sameSet(name: String, x: DataFrame, y: DataFrame): Unit = {
+      val (nx, ny) = (x.count(), y.count())
+      val dXY = x.except(y).count()
+      val dYX = y.except(x).count()
+      val ok = nx == ny && dXY == 0 && dYX == 0
+      if (!ok) failures += 1
+      println(s"[loop] relation $name: loop=$nx oneshot=$ny loopOnly=$dXY oneshotOnly=$dYX " +
+        (if (ok) "EQUAL" else "MISMATCH"))
+    }
+    sameSet("hashes", a.baseHashes, b.baseHashes)
+    sameSet("exact", a.baseExact, b.baseExact)
+    sameSet("shingles",
+      a.baseSh.select(col("doc_id"), concat_ws("", col("sh")).as("s")),
+      b.baseSh.select(col("doc_id"), concat_ws("", col("sh")).as("s")))
+    sameSet("buckets", a.baseBuckets, b.baseBuckets)
+    sameSet("probe", a.probeGrams, b.probeGrams)
+    if (!(a.nScorable == b.nScorable && a.threshold == b.threshold &&
+        a.n3.sameElements(b.n3))) {
+      failures += 1
+      println("[loop] frozen scalars MISMATCH")
+    }
+    // decision equality: re-screen batch 0 (now folded in — every doc a
+    // known duplicate) against both states
+    val probeBatch = batchOf(0).select(col("doc_id"), col("text"))
+    def decisions(st: IncrementalState.Loaded) =
+      graft.dedup.IncrementalDedup.screenPrepared(
+          st.baseSh, st.baseBuckets, probeBatch, "doc_id", "text", 0.8)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val (dA, dB) = (decisions(a), decisions(b))
+    if (dA != dB) {
+      failures += 1
+      println(s"[loop] re-screen decisions MISMATCH (${dA.diff(dB).take(5)} ...)")
+    } else println(s"[loop] re-screen decisions EQUAL (${dA.size} rows)")
+
+    val times = rows.map(_._3)
+    val pre = times.take(KPre)
+    println(f"[loop] per-batch pre-compact: min=${pre.min}%.2f max=${pre.max}%.2f " +
+      f"first=${pre.head}%.2f last=${pre.last}%.2f  post-compact: " +
+      times.drop(KPre).map(t => f"$t%.2f").mkString(", "))
+    println(s"[loop] equivalence failures: $failures")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}

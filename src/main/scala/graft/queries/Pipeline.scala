@@ -88,7 +88,7 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  private val ProbeCap = 20L // doc_id < 20 = the stand-in benchmark set
+  private[graft] val ProbeCap = 20L // doc_id < 20 = the stand-in benchmark set
   private val AlphaMin = 0.8
   private val MinTokens = 12
   private val LmDropFrac = 20 // drop bottom 1/20 = 5% by LM score
@@ -636,18 +636,23 @@ object Pipeline {
       clean: DataFrame, capped: DataFrame)
 
   /** The delta half of the incremental build, parameterized over the
-    * frozen state's provenance (cold = just derived, warm = loaded) and
-    * over the screen's base artifacts (`screenFn`). */
+    * frozen state's provenance (cold = just derived, warm = loaded), the
+    * screen's base artifacts (`screenFn`), and — for the multi-batch
+    * ingest loop — the delta source itself (`deltaSrc`: raw (doc_id,
+    * source, text, …) rows replacing the fixture's standard doc_id ≡ 0
+    * (mod 5) split, e.g. ONE of K arriving batches). */
   private def deltaStages(s: org.apache.spark.sql.SparkSession, d: String,
                           n3: Array[Long], n2: Array[Long],
                           threshold: Option[(Double, Long)],
                           baseHashes: DataFrame,
                           probe: DataFrame,
                           screenFn: DataFrame => DataFrame,
-                          materializeDec: Boolean): DeltaStages = {
-    val docs = Tables.spread(Tables.documents(s, d))
+                          materializeDec: Boolean,
+                          deltaSrc: Option[DataFrame] = None): DeltaStages = {
+    def stdDelta = Tables.spread(Tables.documents(s, d))
       .filter(col("doc_id") >= ProbeCap && col("lang") === "en")
-    val deltaGate = x31Sig(docs.filter(col("doc_id") % 5 === 0))
+      .filter(col("doc_id") % 5 === 0)
+    val deltaGate = x31Sig(deltaSrc.getOrElse(stdDelta))
     val deltaScored = deltaGate
       .withColumn("lm_score", TextDedup.charLmScoreCol(col("text"), n3, n2))
       .filter(col("lm_score").isNotNull)
@@ -798,6 +803,45 @@ object Pipeline {
       dEx => graft.dedup.IncrementalDedup.screenPrepared(
         st.baseSh, st.baseBuckets, dEx, "doc_id", "text", JaccardTau),
       materializeDec = false)
+  }
+
+  /** ONE warm ingest cycle of the production loop: screen `batch` (raw
+    * (doc_id, source, text) rows — one of K arriving crawls) against the
+    * PERSISTED state and return the ACCEPTED survivors (quality gate →
+    * frozen LM cut → exact dedup incl. state-hash anti-join → d10 novel
+    * screen → decontamination — everything a deployment admits to the
+    * corpus; the per-batch cap/pack manifest tail is formatting, not
+    * admission). The caller advances the state with the result
+    * ([[graft.incremental.IncrementalState.advance]]) — screen and
+    * advance are the loop's two halves, measured end-to-end by
+    * `graft.IngestLoopBench`. Unlike the query-path convention, this
+    * releases its OWN scratch joints on return (a loop iteration must
+    * not leak cache into the next).
+    *
+    * The result is returned LINEAGE-TRUNCATED (eager localCheckpoint),
+    * and that is load-bearing, not a convenience: the accepted frame's
+    * plan READS the state's relations (the hash anti-join, the screen),
+    * and the caller's very next step — `advance` — APPENDS files to
+    * those paths. Spark's CacheManager reacts to a write under a cached
+    * plan's path by RECOMPUTING the cache entry (recacheByPath), so a
+    * merely-persisted result would silently re-evaluate against the
+    * already-advanced state and anti-join every accepted doc away —
+    * measured: the batch's replay and downstream writes became EMPTY.
+    * Checkpointing cuts the file lineage so the decided rows stay
+    * decided. At deployment scale the same contract holds durably: land
+    * the accepted batch (parquet) BEFORE advancing and fold in the
+    * landed copy — localCheckpoint is the in-session equivalent (block
+    * storage, not fault-tolerant across executor loss). */
+  def warmScreenAccepted(s: org.apache.spark.sql.SparkSession, d: String,
+                         stateDir: String, batch: DataFrame): DataFrame = {
+    val st = graft.incremental.IncrementalState.load(s, stateDir)
+    val stages = deltaStages(s, d, st.n3, st.n2, st.threshold, st.baseHashes,
+      st.probeGrams,
+      dEx => graft.dedup.IncrementalDedup.screenPrepared(
+        st.baseSh, st.baseBuckets, dEx, "doc_id", "text", JaccardTau),
+      materializeDec = false, deltaSrc = Some(batch))
+    try stages.clean.select(col("doc_id"), col("text")).localCheckpoint(true)
+    finally { stages.dExact.unpersist(); stages.dec.unpersist(); stages.capped.unpersist(); () }
   }
 
   /** The whole-chain DuckDB twin of the incremental build: frozen fit via

@@ -121,4 +121,41 @@ class IngestLoopSpec extends SparkSpec {
       "a copy of the original base must still be caught after the advance")
     spark.catalog.clearCache()
   }
+
+  test("warmScreenAccepted survives the advance it precedes (lineage truncation regression)") {
+    // The accepted frame's PLAN reads the state relations (hash anti-join,
+    // screen). advance() appends files under those paths, and Spark's
+    // recacheByPath then RECOMPUTES path-dependent cache entries — a
+    // merely-persisted result would re-evaluate against the advanced
+    // state and anti-join its own rows away (measured in IngestLoopBench:
+    // replays and downstream writes went empty). warmScreenAccepted
+    // returns an eager localCheckpoint, so the decided rows stay decided.
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("ingest-acc").resolve("state").toString
+    val base = Seq((10L, baseA)).toDF("doc_id", "text")
+    val bsh = IncrementalDedup.shingled(base, "doc_id", "text")
+    IncrementalState.save(spark, stateDir, new Array[Long](27 * 27 * 27), 0L,
+      None, base.select(org.apache.spark.sql.functions.md5(col("text")).as("bh")),
+      base, bsh, IncrementalDedup.bucketsOf(bsh), Seq.empty[String].toDF("g"))
+    // two gate-passing novel docs (≥12 tokens, alpha ≥ 0.8)
+    val t1 = "quantum chromatic lattice verse mountain ember topaz river echo harbor silver canyon"
+    val t2 = "violet summit crater onyx meadow harbor lantern spruce velvet marble cobalt prairie"
+    val batch = Seq((100L, "s", t1), (101L, "s", t2)).toDF("doc_id", "source", "text")
+    val acc = graft.queries.Pipeline.warmScreenAccepted(spark, "unused", stateDir, batch)
+    val before = acc.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(before.map(_._1) == Seq(100L, 101L), s"both novel docs must be accepted: $before")
+    IncrementalState.advance(spark, stateDir, acc, "doc_id", "text")
+    val after = acc.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(after == before,
+      "the accepted rows must not re-evaluate against the advanced state " +
+        "(recacheByPath would anti-join them away without lineage truncation)")
+    // and the advance actually folded them in: their replay screens as dups
+    val st = IncrementalState.load(spark, stateDir)
+    val rescreen = IncrementalDedup.screenPrepared(st.baseSh, st.baseBuckets,
+        Seq((200L, t1)).toDF("doc_id", "text"), "doc_id", "text", 0.8)
+      .collect().map(r => (r.getBoolean(1), r.getLong(2))).toSeq
+    assert(rescreen == Seq((false, 100L)),
+      s"the advanced state must catch a copy of the accepted doc: $rescreen")
+    spark.catalog.clearCache()
+  }
 }
