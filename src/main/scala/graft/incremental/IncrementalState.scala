@@ -176,6 +176,10 @@ object IncrementalState {
     val n3 = """"n3":\[([^\]]*)\]""".r.findFirstMatchIn(raw)
       .map(_.group(1).split(",").map(_.trim.toLong))
       .getOrElse(throw new java.io.IOException(s"corrupt $Sidecar: no n3 in $path"))
+    if (n3.length != 27 * 27 * 27)
+      throw new java.io.IOException(
+        s"corrupt $Sidecar: n3 carries ${n3.length} cells, the char-trigram " +
+          s"model has ${27 * 27 * 27} — a truncated or foreign sidecar")
     val n2 = new Array[Long](27 * 27)
     var i = 0
     while (i < n3.length) { n2(i / 27) += n3(i); i += 1 }
@@ -256,6 +260,44 @@ object IncrementalState {
       st.baseSh.dropDuplicates("doc_id"),
       st.baseBuckets.dropDuplicates("doc_id", "bucket"),
       st.probeGrams.distinct())
+  }
+
+  /** REMOVE documents from the state — the maintenance op [[advance]]
+    * and [[compact]] don't cover: a licensing take-down / opt-out means
+    * a settled keeper must stop shielding its future copies (the next
+    * crawl of the same text must screen as NOVEL again, or the corpus
+    * can never re-admit it). Drops the ids' rows from the keeper /
+    * shingle / bucket relations AND their content hashes from the
+    * exact-dedup set (the hash rides the keeper: each hash value has
+    * exactly one keeper row, so removing the keeper's md5(text) removes
+    * precisely its shield). Published through [[save]]'s staged swap —
+    * the live state serves throughout; the frozen model/threshold ride
+    * along unchanged (removal is not a refit, exactly like advance is
+    * not one — re-freeze offline via `Pipeline.buildState` when the bar
+    * should move).
+    *
+    * Cost model, stated: the relations are not partitioned by doc_id,
+    * so removal rewrites them — one read + one write of the state, the
+    * same IO class as [[compact]] (an offline maintenance pass, batched
+    * over many take-downs). A deployment with frequent removals should
+    * bucket the relations by id range to localize the rewrite (the
+    * IvfIndex.delete cell discipline); at the measured state sizes the
+    * uniform rewrite is the simpler correct baseline. */
+  def remove(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    import org.apache.spark.sql.functions.{col, md5}
+    if (ids.isEmpty) return
+    val live = new Path(path)
+    sweep(live.getFileSystem(spark.sessionState.newHadoopConf()), live) // writer
+    val st = load(spark, path)
+    val idSet = ids.map(java.lang.Long.valueOf)
+    val doomedHashes = st.baseExact.filter(col("doc_id").isin(idSet: _*))
+      .select(md5(col("text")).as("bh"))
+    save(spark, path, st.n3, st.nScorable, st.threshold,
+      st.baseHashes.join(doomedHashes, Seq("bh"), "left_anti"),
+      st.baseExact.filter(!col("doc_id").isin(idSet: _*)),
+      st.baseSh.filter(!col("doc_id").isin(idSet: _*)),
+      st.baseBuckets.filter(!col("doc_id").isin(idSet: _*)),
+      st.probeGrams)
   }
 
   /** Crash recovery, run by WRITERS ONLY (readers must never mutate —

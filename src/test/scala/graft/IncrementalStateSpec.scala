@@ -227,6 +227,44 @@ class IncrementalStateSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("remove: a taken-down keeper stops shielding its copies; everything else intact") {
+    val dir = freshDir("incr-remove")
+    val novel1 = "quantum chromatic lattice verse mountain ember topaz river echo harbor"
+    val base = Seq((10L, baseA), (11L, baseB)).toDF("doc_id", "text")
+    val bsh = IncrementalDedup.shingled(base, "doc_id", "text")
+    IncrementalState.save(spark, dir, new Array[Long](27 * 27 * 27), 7L,
+      Some((0.5, 3L)), base.select(md5(col("text")).as("bh")), base, bsh,
+      IncrementalDedup.bucketsOf(bsh), Seq("g1").toDF("g"))
+    IncrementalState.advance(spark, dir,
+      Seq((600L, novel1)).toDF("doc_id", "text"), "doc_id", "text")
+    // take down the baseA keeper
+    IncrementalState.remove(spark, dir, Seq(10L))
+    val st = IncrementalState.load(spark, dir)
+    assert(st.baseExact.select("doc_id").as[Long].collect().sorted.toSeq == Seq(11L, 600L),
+      "only the doomed keeper row may vanish")
+    assert(st.baseSh.filter(col("doc_id") === 10L).count() == 0 &&
+      st.baseBuckets.filter(col("doc_id") === 10L).count() == 0,
+      "the doomed keeper's shingles and buckets must go with it")
+    assert(st.baseHashes.as[String].collect().sorted.toSeq ==
+      Seq(md5hex(baseB), md5hex(novel1)).sorted,
+      "exactly the doomed keeper's content hash leaves the exact-dedup set")
+    // its future copies screen as NOVEL again; everyone else still shields
+    val rescreen = IncrementalDedup.screenPrepared(st.baseSh, st.baseBuckets,
+        Seq((900L, baseA), (901L, baseB), (902L, novel1)).toDF("doc_id", "text"),
+        "doc_id", "text", 0.8)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(rescreen(900L) == ((true, -1L)),
+      "a copy of the removed doc must be novel — the take-down must not keep shielding it")
+    assert(rescreen(901L) == ((false, 11L)) && rescreen(902L) == ((false, 600L)),
+      s"surviving keepers must still shield their copies: $rescreen")
+    // frozen scalars and the probe ride along unchanged; empty remove no-ops
+    assert(st.nScorable == 7L && st.threshold.contains((0.5, 3L)) &&
+      st.probeGrams.as[String].collect().toSeq == Seq("g1"))
+    IncrementalState.remove(spark, dir, Seq.empty)
+    assert(IncrementalState.load(spark, dir).baseExact.count() == 2)
+    spark.catalog.clearCache()
+  }
+
   test("load fails loudly on a sidecar from a different format version") {
     val dir = freshDir("incr-version")
     saveTiny(dir, new Array[Long](27 * 27 * 27), nScorable = 3L, threshold = None)
