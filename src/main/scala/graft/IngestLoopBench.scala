@@ -48,6 +48,7 @@ object IngestLoopBench {
       .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
 
     val root = java.nio.file.Files.createTempDirectory("graft-ingest-loop")
     val loopDir = root.resolve("loop").toString
@@ -163,6 +164,24 @@ object IngestLoopBench {
       failures += 1
       println(s"[loop] re-screen decisions MISMATCH (${dA.diff(dB).take(5)} ...)")
     } else println(s"[loop] re-screen decisions EQUAL (${dA.size} rows)")
+
+    // ---- take-down phase (after the equivalence gate on purpose: the
+    // one-shot comparator mirrors the loop WITHOUT removals): remove one
+    // batch-0 keeper from the state, then its copy must screen NOVEL
+    val takedownId = spark.read.parquet(s"$acceptedDir/k=0")
+      .orderBy(col("doc_id")).select("doc_id", "text").head()
+    val (_, rmSec) = secs {
+      IncrementalState.remove(spark, loopDir, Seq(takedownId.getLong(0)))
+    }
+    val reAdmit = graft.dedup.IncrementalDedup.screenPrepared(
+        IncrementalState.load(spark, loopDir).baseSh,
+        IncrementalState.load(spark, loopDir).baseBuckets,
+        Seq((9999999L, takedownId.getString(1))).toDF("doc_id", "text"),
+        "doc_id", "text", 0.8)
+      .collect().headOption.exists(_.getBoolean(1))
+    if (!reAdmit) failures += 1
+    println(f"[loop] take-down: remove(1 keeper) $rmSec%.2f s, copy re-screens novel: " +
+      (if (reAdmit) "YES" else "NO — FAILURE"))
 
     val times = rows.map(_._3)
     val pre = times.take(KPre)

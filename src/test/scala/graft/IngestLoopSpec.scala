@@ -119,6 +119,29 @@ class IngestLoopSpec extends SparkSpec {
       "a copy of a batch-1 SURVIVOR must be caught by the advanced state")
     assert(screened2(201L) == ((false, 11L)),
       "a copy of the original base must still be caught after the advance")
+
+    // ---- TAKE-DOWN: the loop's subtraction half — remove doc 100 from
+    // the curation state AND the serving index in one maintenance pass;
+    // its copies must re-screen novel and its vector must stop serving,
+    // while every other keeper keeps shielding and serving
+    IncrementalState.remove(spark, stateDir, Seq(100L))
+    IvfIndex.delete(spark, h, Seq(100L))
+    val st3 = IncrementalState.load(spark, stateDir)
+    val screened3 = IncrementalDedup.screenPrepared(st3.baseSh, st3.baseBuckets,
+        Seq((300L, novel1), (301L, novel2)).toDF("doc_id", "text"),
+        "doc_id", "text", tau = 0.8)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(screened3(300L) == ((true, -1L)),
+      "a copy of the taken-down doc must screen NOVEL again")
+    assert(screened3(301L) == ((false, 105L)),
+      "the other accepted keeper must still shield its copies")
+    val topAfter = IvfIndex.probedTopK(spark, h, vec(novel1).toArray, nProbe = 2, k = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!topAfter.contains(100L),
+      s"the taken-down doc's vector must not serve: $topAfter")
+    assert(IvfIndex.probedTopK(spark, h, vec(novel2).toArray, nProbe = 2, k = 1)
+      .collect().head.getLong(0) == 105L,
+      "the surviving accepted doc must still be its own top hit")
     spark.catalog.clearCache()
   }
 
