@@ -302,6 +302,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x32 warm path: the contamination probe is a state scan, not a documents re-read") {
+    // Round-15 ship (BASELINE round-15 block): the probe's distinct gram
+    // hashes ride the persisted state (`probe/`), so the warm chain must
+    // (a) scan the state's probe relation and (b) touch the documents
+    // table in strictly FEWER places than the cold chain, which derives
+    // the probe (and the whole base side) from the fixture per run.
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("plan-x32probe").resolve("state").toString
+    graft.queries.Pipeline.buildState(spark, dir, stateDir)
+    spark.catalog.clearCache()
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scanRoots(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.analyzed.collect {
+        case l: LogicalRelation => l.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+      }.flatten
+    val warmRoots = scanRoots(graft.queries.Pipeline.x31Warm(spark, dir, stateDir))
+    spark.catalog.clearCache()
+    val coldRoots = scanRoots(graft.queries.Registry.all
+      .find(_.name == "x31_delta_manifest")
+      .getOrElse(fail("x31 not registered")).fn(spark, dir))
+    spark.catalog.clearCache()
+    assert(warmRoots.exists(_.contains(new java.io.File(stateDir, "probe").getPath)),
+      s"warm contamination must read the state's probe relation; scans: $warmRoots")
+    def docScans(roots: Seq[String]): Int = roots.count(_.contains("documents.parquet"))
+    assert(docScans(warmRoots) < docScans(coldRoots),
+      s"warm path must re-read the documents table in strictly fewer places " +
+        s"than cold (warm=${docScans(warmRoots)}, cold=${docScans(coldRoots)})")
+  }
+
   test("flip1 spine: broadcast gather, TakeOrderedAndProject top-k, one ingest window") {
     // the lazy lifecycle (the query fn materializes before closing the
     // engine, leaving only a LocalTableScan — lazySearch exposes the plan)
