@@ -60,13 +60,13 @@ object IngestLoopBench {
       val a = body
       (a, (System.nanoTime() - t0) / 1e9)
     }
-    def relFiles(stateDir: String, rel: String): Int = {
-      val d = new java.io.File(stateDir, rel)
-      if (!d.exists()) 0 else d.listFiles().count(_.getName.endsWith(".parquet"))
-    }
+    // IncrementalState.stats IS the operator-facing fragmentation signal
+    // this bench demonstrates — use it rather than ad-hoc listings
+    def relFiles(stateDir: String, rel: String): Int =
+      IncrementalState.stats(spark, stateDir)(rel).files
     def fileCounts(stateDir: String): String =
-      Seq("hashes", "exact", "shingles", "buckets", "probe")
-        .map(r => s"$r=${relFiles(stateDir, r)}").mkString(" ")
+      IncrementalState.stats(spark, stateDir).toSeq.sortBy(_._1)
+        .map { case (r, s) => s"$r=${s.files}" }.mkString(" ")
 
     // the fixture's delta split (the x31 convention), dealt into K
     // arrival batches by doc_id — deterministic, disjoint, exhaustive

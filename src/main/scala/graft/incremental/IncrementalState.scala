@@ -222,7 +222,13 @@ object IncrementalState {
               accepted: DataFrame, idCol: String, textCol: String): Unit = {
     import org.apache.spark.sql.functions.{col, md5}
     val live = new Path(path)
-    sweep(live.getFileSystem(spark.sessionState.newHadoopConf()), live)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    sweep(fs, live)
+    // appending into a void would fabricate a sidecar-less orphan that
+    // every later load rejects — fail at the cause, not the symptom
+    if (!fs.exists(new Path(live, Sidecar)))
+      throw new java.io.IOException(
+        s"no incremental state at $path to advance — build one first (Pipeline.buildState)")
     val batch = accepted.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("text")).persist()
     try {
@@ -260,6 +266,28 @@ object IncrementalState {
       st.baseSh.dropDuplicates("doc_id"),
       st.baseBuckets.dropDuplicates("doc_id", "bucket"),
       st.probeGrams.distinct())
+  }
+
+  /** Per-relation file/byte footprint of a state — the fragmentation
+    * signal an operator watches to SCHEDULE [[compact]] (each advance
+    * lands one small file set per relation; probe latency and footer
+    * parses grow with file count). Driver-side filesystem metadata only:
+    * no Spark job, no row counts — cheap enough to call every batch.
+    * Read-only (resolves a crashed-save `.old-` like any reader). */
+  final case class RelationStats(files: Int, bytes: Long)
+
+  def stats(spark: SparkSession, path: String): Map[String, RelationStats] = {
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = resolveReadable(fs, live).getOrElse(
+      throw new java.io.IOException(s"no incremental state at $path"))
+    Seq("hashes", "exact", "shingles", "buckets", "probe").map { rel =>
+      val dir = new Path(root, rel)
+      val parts =
+        if (!fs.exists(dir)) Array.empty[org.apache.hadoop.fs.FileStatus]
+        else fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+      rel -> RelationStats(parts.length, parts.map(_.getLen).sum)
+    }.toMap
   }
 
   /** REMOVE documents from the state — the maintenance op [[advance]]

@@ -265,6 +265,38 @@ class IncrementalStateSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("stats reports the fragmentation signal; advance into a void fails loudly") {
+    // no state yet → advance must fail at the cause (a sidecar-less
+    // orphan dir would otherwise poison every later load)
+    val empty = freshDir("incr-void")
+    val e = intercept[java.io.IOException](IncrementalState.advance(spark, empty,
+      Seq((1L, baseA)).toDF("doc_id", "text"), "doc_id", "text"))
+    assert(e.getMessage.contains("no incremental state"), e.getMessage)
+    // stats: driver-side FS metadata an operator polls to schedule compact
+    val dir = freshDir("incr-stats")
+    saveTiny(dir, new Array[Long](27 * 27 * 27), nScorable = 1L, threshold = None)
+    val s0 = IncrementalState.stats(spark, dir)
+    assert(s0.keySet == Set("hashes", "exact", "shingles", "buckets", "probe"))
+    assert(s0.values.forall(r => r.files >= 1 && r.bytes > 0L), s0)
+    IncrementalState.advance(spark, dir,
+      Seq((700L, "onyx crater violet summit maple")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    IncrementalState.advance(spark, dir,
+      Seq((701L, "lantern spruce velvet marble cobalt")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val s1 = IncrementalState.stats(spark, dir)
+    Seq("hashes", "exact", "shingles", "buckets").foreach { rel =>
+      assert(s1(rel).files > s0(rel).files, s"$rel gained no files: $s0 vs $s1")
+    }
+    assert(s1("probe").files == s0("probe").files,
+      "advance never touches the frozen probe relation")
+    IncrementalState.compact(spark, dir)
+    val s2 = IncrementalState.stats(spark, dir)
+    assert(s2("exact").files < s1("exact").files,
+      s"compact must shrink what stats reports: $s1 vs $s2")
+    spark.catalog.clearCache()
+  }
+
   test("load fails loudly on a sidecar from a different format version") {
     val dir = freshDir("incr-version")
     saveTiny(dir, new Array[Long](27 * 27 * 27), nScorable = 3L, threshold = None)
