@@ -36,12 +36,16 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * rename tmp → drop old), so a reader never observes a half-written
   * state and a crash mid-save leaves the previous state restorable.
   *
-  * Writer/reader contract: WRITERS ([[save]], [[advance]], [[compact]])
-  * are single-writer-at-a-time and sweep crash leftovers before acting
-  * (restore a moved-aside `.old-` live state, drop unpublished `.tmp-`
-  * stages — the unique tmp suffix means two racing BUILDERS can at worst
-  * drop each other's stage and retry, never interleave rows in one
-  * stage). READERS ([[load]], [[exists]]) are STRICTLY READ-ONLY: a load
+  * Writer/reader contract: WRITERS ([[save]], [[advance]], [[compact]],
+  * [[remove]]) are single-writer-at-a-time and sweep crash leftovers
+  * before acting (restore a moved-aside `.old-` live state, drop
+  * unpublished `.tmp-` stages that are OLDER than the stage TTL — a
+  * young stage may be a live concurrent writer's, and deleting it
+  * mid-write could otherwise let that writer publish a partial state;
+  * the unique tmp suffix additionally means racing builders never
+  * interleave rows in one stage, and [[save]] verifies its stage is
+  * complete before publishing as the final backstop). READERS
+  * ([[load]], [[exists]], [[stats]]) are STRICTLY READ-ONLY: a load
   * racing an in-flight publish can never delete the writer's stage or
   * roll its renames back — if the live state is mid-swap (moved aside,
   * tmp not yet published) the reader answers from the `.old-` sibling
@@ -70,6 +74,13 @@ object IncrementalState {
       probeGrams: DataFrame)  // (g string) — distinct contamination-probe grams
 
   private val Sidecar = "_state.json"
+  private val Relations = Seq("hashes", "exact", "shingles", "buckets", "probe")
+
+  /** Stages younger than this are presumed IN-FLIGHT by another writer
+    * and left alone by [[sweep]]; older ones are crash leftovers and are
+    * reclaimed. Leftovers under the TTL cost bytes only (they are never
+    * read); size it above the longest expected staging time. */
+  private val StageTtlMs = 24L * 3600 * 1000
 
   /** The on-disk format version [[save]] stamps and [[load]] REQUIRES —
     * a sidecar carrying any other version fails loudly instead of being
@@ -90,7 +101,8 @@ object IncrementalState {
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     sweep(fs, live) // writer-side crash recovery: restore .old-, drop stale stages
     // unique stage name: two racing builders never interleave writes into
-    // one stage — the loser's stage is swept by the winner's next write
+    // one stage (a racer's sweep also leaves a YOUNG stage alone — the
+    // age gate in [[sweep]])
     val tmp = new Path(live.getParent,
       s".tmp-${live.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
     baseHashes.select("bh").write.parquet(new Path(tmp, "hashes").toString)
@@ -105,6 +117,18 @@ object IncrementalState {
     val out = fs.create(new Path(tmp, Sidecar), true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // completeness gate: if anything (a misconfigured racer's sweep, a
+    // partial delete) removed part of the stage while it was written, a
+    // parquet write after the deletion would have RECREATED the stage dir
+    // and the publish would land a state missing whole relations while
+    // dropping the previous good one — verify every artifact is present
+    // and fail loudly instead
+    (Relations :+ Sidecar).foreach { a =>
+      if (!fs.exists(new Path(tmp, a)))
+        throw new java.io.IOException(
+          s"stage $tmp lost $a before publish (a concurrent writer or external " +
+            "delete raced this save) — aborting; the live state is untouched")
+    }
     // atomic publish: live (if any) aside, tmp in, old dropped
     val old = new Path(live.getParent, s".old-${live.getName}")
     fs.delete(old, true)
@@ -129,6 +153,31 @@ object IncrementalState {
     resolveReadable(fs, live).isDefined
   }
 
+  private def readSidecar(fs: FileSystem, root: Path): String = {
+    val in = fs.open(new Path(root, Sidecar))
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** Readers AND mutating writers both refuse a foreign layout — an
+    * advance into a v1 state would mix two formats on disk (no probe/
+    * relation, rows every later load rejects anyway). */
+  private def requireCurrentVersion(raw: String, path: String): Unit = {
+    val version = """"version":(-?\d+)""".r.findFirstMatchIn(raw).map(_.group(1).toLong)
+      .getOrElse(throw new java.io.IOException(
+        s"corrupt $Sidecar: no version field in $path"))
+    if (version != CurrentVersion)
+      throw new java.io.IOException(
+        s"incremental state at $path has format version $version, this binary " +
+          s"reads version $CurrentVersion — rebuild the state (Pipeline.buildState) " +
+          "or use a matching binary; refusing to field-match a foreign layout")
+  }
+
   /** Where a READ should resolve: the live dir if its sidecar exists,
     * else the `.old-` sibling a crashed save left (readable as-is —
     * restoring it is the next WRITER's job, a reader must not rename). */
@@ -149,26 +198,11 @@ object IncrementalState {
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     val root = resolveReadable(fs, live).getOrElse(
       throw new java.io.IOException(s"no incremental state at $path (no live or .old- sidecar)"))
-    val raw = {
-      val in = fs.open(new Path(root, Sidecar))
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](8192)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-      } finally in.close()
-    }
+    val raw = readSidecar(fs, root)
+    requireCurrentVersion(raw, path)
     // strict parse of the flat object written above (no nesting beyond n3)
     def longField(name: String): Option[Long] =
       s""""$name":(-?\\d+)""".r.findFirstMatchIn(raw).map(_.group(1).toLong)
-    val version = longField("version").getOrElse(
-      throw new java.io.IOException(s"corrupt $Sidecar: no version field in $path"))
-    if (version != CurrentVersion)
-      throw new java.io.IOException(
-        s"incremental state at $path has format version $version, this binary " +
-          s"reads version $CurrentVersion — rebuild the state (Pipeline.buildState) " +
-          "or use a matching binary; refusing to field-match a foreign layout")
     val nScorable = longField("nScorable").getOrElse(
       throw new java.io.IOException(s"corrupt $Sidecar: no nScorable in $path"))
     val threshold = for { bits <- longField("tsBits"); ti <- longField("ti") }
@@ -225,10 +259,13 @@ object IncrementalState {
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     sweep(fs, live)
     // appending into a void would fabricate a sidecar-less orphan that
-    // every later load rejects — fail at the cause, not the symptom
+    // every later load rejects — fail at the cause, not the symptom; and
+    // appending into a FOREIGN-version layout would mix two formats, so
+    // the version gate guards mutation exactly like it guards reads
     if (!fs.exists(new Path(live, Sidecar)))
       throw new java.io.IOException(
         s"no incremental state at $path to advance — build one first (Pipeline.buildState)")
+    requireCurrentVersion(readSidecar(fs, live), path)
     val batch = accepted.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("text")).persist()
     try {
@@ -281,7 +318,7 @@ object IncrementalState {
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     val root = resolveReadable(fs, live).getOrElse(
       throw new java.io.IOException(s"no incremental state at $path"))
-    Seq("hashes", "exact", "shingles", "buckets", "probe").map { rel =>
+    Relations.map { rel =>
       val dir = new Path(root, rel)
       val parts =
         if (!fs.exists(dir)) Array.empty[org.apache.hadoop.fs.FileStatus]
@@ -333,8 +370,18 @@ object IncrementalState {
     * writer's stage mid-write and permanently drop relations): a `.old-`
     * sibling means a save died after moving the live state aside —
     * restore it if nothing took its place; `.tmp-` siblings are
-    * unpublished stages — drop them (unique suffixes, so this also
-    * clears stages abandoned by other crashed builders). */
+    * unpublished stages — drop the ones older than [[StageTtlMs]].
+    * Two gates keep a sweep from sabotaging anyone:
+    *   - EXACT-NAME match (`.tmp-<name>-<8 hex>`): a sibling state whose
+    *     directory name merely EXTENDS this one ("state" vs "state-eu")
+    *     must never have its stage reclaimed by this state's writer;
+    *   - AGE gate: a stage younger than the TTL may belong to a LIVE
+    *     concurrent writer — deleting it mid-write would let that
+    *     writer's later parquet calls recreate the dir and publish a
+    *     state missing whole relations. Young leftovers cost bytes
+    *     only and are reclaimed by any write after the TTL. (The
+    *     publish-side completeness gate in [[save]] is the backstop if
+    *     something still deletes a stage mid-write.) */
   private def sweep(fs: FileSystem, live: Path): Unit = {
     val old = new Path(live.getParent, s".old-${live.getName}")
     if (fs.exists(old)) {
@@ -343,9 +390,13 @@ object IncrementalState {
     }
     val parent = live.getParent
     if (fs.exists(parent)) {
-      fs.listStatus(parent).map(_.getPath)
-        .filter(_.getName.startsWith(s".tmp-${live.getName}"))
-        .foreach(p => fs.delete(p, true))
+      val stageRe = ("\\.tmp-" + java.util.regex.Pattern.quote(live.getName) +
+        "(-[0-9a-f]{8})?").r
+      val cutoff = System.currentTimeMillis() - StageTtlMs
+      fs.listStatus(parent)
+        .filter(st => stageRe.pattern.matcher(st.getPath.getName).matches() &&
+          st.getModificationTime < cutoff)
+        .foreach(st => fs.delete(st.getPath, true))
     }
   }
 }

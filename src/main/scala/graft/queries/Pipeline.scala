@@ -832,10 +832,13 @@ object Pipeline {
     * the accepted batch (parquet) BEFORE advancing and fold in the
     * landed copy — localCheckpoint is the in-session equivalent (block
     * storage, not fault-tolerant across executor loss). */
-  def warmScreenAccepted(s: org.apache.spark.sql.SparkSession, d: String,
+  def warmScreenAccepted(s: org.apache.spark.sql.SparkSession,
                          stateDir: String, batch: DataFrame): DataFrame = {
     val st = graft.incremental.IncrementalState.load(s, stateDir)
-    val stages = deltaStages(s, d, st.n3, st.n2, st.threshold, st.baseHashes,
+    // no fixture dir: with deltaSrc supplied and the probe riding the
+    // state, every input is the batch or the state — nothing reads the
+    // fixture (deltaStages' stdDelta is a lazy def, never evaluated here)
+    val stages = deltaStages(s, d = "", st.n3, st.n2, st.threshold, st.baseHashes,
       st.probeGrams,
       dEx => graft.dedup.IncrementalDedup.screenPrepared(
         st.baseSh, st.baseBuckets, dEx, "doc_id", "text", JaccardTau),

@@ -57,8 +57,11 @@ class IncrementalRecallSpec extends SparkSpec {
     mem.addData(batch2: _*); q.processAllAvailable()
     q.stop()
 
-    def nFiles(): Long = java.nio.file.Files.walk(java.nio.file.Paths.get(incPath))
-      .filter(p => p.toString.endsWith(".parquet")).count()
+    def nFiles(): Long = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(incPath))
+      try walk.filter(p => p.toString.endsWith(".parquet")).count()
+      finally walk.close()
+    }
     val fragmented = nFiles()
     val compacted = IvfIndex.compact(spark, h, maxFilesPerCell = 1)
     assert(compacted.nonEmpty, "two streamed batches must have fragmented some cell")

@@ -202,10 +202,20 @@ class IncrementalStateSpec extends SparkSpec {
     assert(IncrementalState.load(spark, dir).nScorable == 2L)
     // crash mid-save leaves a .tmp- sibling → a READER must leave it alone
     // (deleting it could destroy a LIVE writer's in-flight stage — the
-    // r14 ADVICE race); the live state still answers
+    // r14 ADVICE race); the live state still answers. Make the leftover
+    // OLDER than the stage TTL so the next WRITER reclaims it — a young
+    // stage is presumed in-flight and survives writers too.
     val live = new java.io.File(dir)
     val tmp = new java.io.File(live.getParentFile, s".tmp-${live.getName}-dead1234")
     assert(tmp.mkdir())
+    assert(tmp.setLastModified(System.currentTimeMillis() - 25L * 3600 * 1000))
+    val young = new java.io.File(live.getParentFile, s".tmp-${live.getName}-feed5678")
+    assert(young.mkdir()) // fresh mtime: a possibly-live writer's stage
+    // a sibling state whose name EXTENDS this one must never be swept by
+    // this state's writers, however old its stage is
+    val sibling = new java.io.File(live.getParentFile, s".tmp-${live.getName}-eu-aaaa1111")
+    assert(sibling.mkdir())
+    assert(sibling.setLastModified(System.currentTimeMillis() - 25L * 3600 * 1000))
     assert(IncrementalState.exists(spark, dir))
     assert(IncrementalState.load(spark, dir).nScorable == 2L)
     assert(tmp.exists(), "load is read-only: it must NOT sweep stages (writers do)")
@@ -218,11 +228,17 @@ class IncrementalStateSpec extends SparkSpec {
       "a restorable .old- state must count as existing (else first-touch rebuilds over it)")
     assert(IncrementalState.load(spark, dir).nScorable == 2L)
     assert(!live.exists() && old.exists(), "load must not rename — restoring is the writer's job")
-    // the next WRITER restores the live state and drops the dead stage
+    // the next WRITER restores the live state and drops the EXPIRED
+    // stage — but leaves the young (possibly in-flight) stage and the
+    // sibling state's stage strictly alone
     IncrementalState.advance(spark, dir,
       Seq((700L, "onyx crater violet summit")).toDF("doc_id", "text"), "doc_id", "text")
     assert(live.exists() && !old.exists() && !tmp.exists(),
-      "a writer must restore the moved-aside live state and sweep dead stages")
+      "a writer must restore the moved-aside live state and sweep expired stages")
+    assert(young.exists(),
+      "a stage younger than the TTL may be a live writer's — writers must not sweep it")
+    assert(sibling.exists(),
+      "a sibling state's stage must never be swept by this state's writer")
     assert(IncrementalState.load(spark, dir).nScorable == 2L)
     spark.catalog.clearCache()
   }
@@ -315,6 +331,11 @@ class IncrementalStateSpec extends SparkSpec {
     assert(e.getMessage.contains("version 99") &&
       e.getMessage.contains(s"version ${IncrementalState.CurrentVersion}"),
       s"error must name both versions: ${e.getMessage}")
+    // the gate guards MUTATION too: advancing a foreign layout would mix
+    // two formats on disk, so it must fail the same way
+    val eAdv = intercept[java.io.IOException](IncrementalState.advance(spark, dir,
+      Seq((1L, baseA)).toDF("doc_id", "text"), "doc_id", "text"))
+    assert(eAdv.getMessage.contains("version 99"), eAdv.getMessage)
     // and a sidecar with NO version field is corrupt, not implicitly v1
     java.nio.file.Files.write(sidecar,
       raw.replaceFirst(""""version":\d+,""", "")

@@ -164,7 +164,7 @@ class IngestLoopSpec extends SparkSpec {
     val t1 = "quantum chromatic lattice verse mountain ember topaz river echo harbor silver canyon"
     val t2 = "violet summit crater onyx meadow harbor lantern spruce velvet marble cobalt prairie"
     val batch = Seq((100L, "s", t1), (101L, "s", t2)).toDF("doc_id", "source", "text")
-    val acc = graft.queries.Pipeline.warmScreenAccepted(spark, "unused", stateDir, batch)
+    val acc = graft.queries.Pipeline.warmScreenAccepted(spark, stateDir, batch)
     val before = acc.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
     assert(before.map(_._1) == Seq(100L, 101L), s"both novel docs must be accepted: $before")
     IncrementalState.advance(spark, stateDir, acc, "doc_id", "text")
