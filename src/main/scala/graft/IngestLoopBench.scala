@@ -73,7 +73,10 @@ object IngestLoopBench {
     def batchOf(k: Int): DataFrame = Tables.spread(Tables.documents(spark, sfDir))
       .filter(col("doc_id") >= Pipeline.ProbeCap && col("lang") === "en" &&
         col("doc_id") % 5 === 0)
-      .filter(pmod((col("doc_id") / 5).cast("long"), lit(K.toLong)) === k)
+      // integer division (`div`), not SQL double division: above 2^53 a
+      // double quotient truncates inexactly and a doc could land in the
+      // wrong batch — the deal must stay exact for all long ids
+      .filter(pmod(expr("doc_id div 5"), lit(K.toLong)) === k)
 
     // ---- settle the base: one offline buildState (reported, not a cycle)
     val (_, buildSec) = secs { Pipeline.buildState(spark, sfDir, loopDir) }

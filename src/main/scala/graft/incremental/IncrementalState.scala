@@ -35,9 +35,21 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * uniquely-suffixed `.tmp-` sibling and RENAMED in (move live aside →
   * rename tmp → drop old), so a reader never observes a half-written
   * state and a crash mid-save leaves the previous state restorable.
+  * The publish protocol assumes HDFS-like ATOMIC DIRECTORY RENAME; on a
+  * rename-by-copy object store (raw S3) point the state at an
+  * HDFS-semantics layer instead.
   *
   * Writer/reader contract: WRITERS ([[save]], [[advance]], [[compact]],
-  * [[remove]]) are single-writer-at-a-time and sweep crash leftovers
+  * [[remove]]) are single-writer-at-a-time — ENFORCED by a best-effort
+  * lock file (`.lock-<name>` beside the state): a writer that finds the
+  * lock held fails LOUDLY naming the holder instead of racing (a
+  * compact racing an advance would otherwise load the live relations,
+  * rewrite them, and publish over the advance's appends — silent data
+  * loss). The lock is advisory in the filesystem sense (create-if-absent
+  * is atomic on HDFS-like stores, best-effort on raw local/object
+  * stores) and a crashed holder's lock is broken after [[StageTtlMs]];
+  * an operator can delete it manually after a confirmed crash. Writers
+  * also sweep crash leftovers
   * before acting (restore a moved-aside `.old-` live state, drop
   * unpublished `.tmp-` stages that are OLDER than the stage TTL — a
   * young stage may be a live concurrent writer's, and deleting it
@@ -91,12 +103,77 @@ object IncrementalState {
     * x32 bench cache does) so old states are never even probed. */
   val CurrentVersion = 2
 
+  /** The single-writer lock every mutating entry point takes around its
+    * WHOLE read-modify-write (not just the publish): a compact that read
+    * the live relations while an advance appends would otherwise publish
+    * a rewrite missing the appended batch — last rename wins, silently.
+    * Acquire = create-if-absent of `.lock-<name>` (atomic on HDFS-like
+    * stores); held → a LOUD error naming the holder; a lock older than
+    * [[StageTtlMs]] is a crashed holder's and is broken (best-effort —
+    * two breakers can in principle both win; the staged-swap publish
+    * keeps even that worst case a lost-update, never a torn state). */
+  private def withWriterLock[A](fs: FileSystem, live: Path)(body: => A): A = {
+    val lock = new Path(live.getParent, s".lock-${live.getName}")
+    fs.mkdirs(live.getParent)
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(lock, false)
+        try out.write(
+          (s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}" +
+            s" thread=${Thread.currentThread().getName}" +
+            s" since=${System.currentTimeMillis()}")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val stale =
+        try fs.getFileStatus(lock).getModificationTime <
+          System.currentTimeMillis() - StageTtlMs
+        catch { case _: java.io.IOException => false }
+      if (stale) fs.delete(lock, false)
+      if (!(stale && tryAcquire())) {
+        val holder =
+          try {
+            val in = fs.open(lock)
+            try {
+              val buf = new Array[Byte](512)
+              val n = in.read(buf)
+              if (n > 0) new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8)
+              else "unknown"
+            } finally in.close()
+          } catch { case _: java.io.IOException => "unknown" }
+        throw new java.io.IOException(
+          s"incremental state at $live is locked by another writer [$holder] — " +
+            "a concurrent save/advance/compact/remove would silently drop its " +
+            s"work; retry after it finishes, or delete $lock if the holder crashed")
+      }
+    }
+    try body finally { fs.delete(lock, false); () }
+  }
+
   def save(spark: SparkSession, path: String,
            n3: Array[Long], nScorable: Long,
            threshold: Option[(Double, Long)],
            baseHashes: DataFrame, baseExact: DataFrame,
            baseSh: DataFrame, baseBuckets: DataFrame,
            probeGrams: DataFrame): Unit = {
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    withWriterLock(fs, live) {
+      saveLocked(spark, path, n3, nScorable, threshold,
+        baseHashes, baseExact, baseSh, baseBuckets, probeGrams)
+    }
+  }
+
+  /** [[save]]'s body, called with the writer lock already held (compact/
+    * remove hold it across their whole load→rewrite→publish). */
+  private def saveLocked(spark: SparkSession, path: String,
+                         n3: Array[Long], nScorable: Long,
+                         threshold: Option[(Double, Long)],
+                         baseHashes: DataFrame, baseExact: DataFrame,
+                         baseSh: DataFrame, baseBuckets: DataFrame,
+                         probeGrams: DataFrame): Unit = {
     val live = new Path(path)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     sweep(fs, live) // writer-side crash recovery: restore .old-, drop stale stages
@@ -257,6 +334,7 @@ object IncrementalState {
     import org.apache.spark.sql.functions.{col, md5}
     val live = new Path(path)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    withWriterLock(fs, live) {
     sweep(fs, live)
     // appending into a void would fabricate a sidecar-less orphan that
     // every later load rejects — fail at the cause, not the symptom; and
@@ -280,6 +358,7 @@ object IncrementalState {
           .write.mode("append").parquet(new Path(live, "buckets").toString)
       } finally { newSh.unpersist(); () }
     } finally { batch.unpersist(); () }
+    }
   }
 
   /** COMPACT the state — the maintenance half of the append/compact
@@ -295,14 +374,17 @@ object IncrementalState {
     * of the relations. */
   def compact(spark: SparkSession, path: String): Unit = {
     val live = new Path(path)
-    sweep(live.getFileSystem(spark.sessionState.newHadoopConf()), live) // writer
-    val st = load(spark, path)
-    save(spark, path, st.n3, st.nScorable, st.threshold,
-      st.baseHashes.distinct(),
-      st.baseExact.dropDuplicates("doc_id"),
-      st.baseSh.dropDuplicates("doc_id"),
-      st.baseBuckets.dropDuplicates("doc_id", "bucket"),
-      st.probeGrams.distinct())
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    withWriterLock(fs, live) { // held across load→rewrite→publish: a racing
+      sweep(fs, live)          // advance's appends can't be silently dropped
+      val st = load(spark, path)
+      saveLocked(spark, path, st.n3, st.nScorable, st.threshold,
+        st.baseHashes.distinct(),
+        st.baseExact.dropDuplicates("doc_id"),
+        st.baseSh.dropDuplicates("doc_id"),
+        st.baseBuckets.dropDuplicates("doc_id", "bucket"),
+        st.probeGrams.distinct())
+    }
   }
 
   /** Per-relation file/byte footprint of a state — the fragmentation
@@ -347,23 +429,54 @@ object IncrementalState {
     * over many take-downs). A deployment with frequent removals should
     * bucket the relations by id range to localize the rewrite (the
     * IvfIndex.delete cell discipline); at the measured state sizes the
-    * uniform rewrite is the simpler correct baseline. */
+    * uniform rewrite is the simpler correct baseline.
+    *
+    * Plan shape, stated: a SMALL id set (≤ [[IsinRemoveMax]]) rides the
+    * plan as `isin` literals (codegen'd, no extra join); a LARGE one (a
+    * bulk licensing event, thousands of ids) would bloat the plan
+    * linearly and re-evaluate the literal set per row across four
+    * relation rewrites — those become broadcast `left_anti` joins
+    * against an ids DataFrame (plan size O(1), one broadcast of the id
+    * set). Both shapes are output-identical (spec-pinned). */
   def remove(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
-    import org.apache.spark.sql.functions.{col, md5}
+    import org.apache.spark.sql.functions.{broadcast, col, md5}
     if (ids.isEmpty) return
     val live = new Path(path)
-    sweep(live.getFileSystem(spark.sessionState.newHadoopConf()), live) // writer
-    val st = load(spark, path)
-    val idSet = ids.map(java.lang.Long.valueOf)
-    val doomedHashes = st.baseExact.filter(col("doc_id").isin(idSet: _*))
-      .select(md5(col("text")).as("bh"))
-    save(spark, path, st.n3, st.nScorable, st.threshold,
-      st.baseHashes.join(doomedHashes, Seq("bh"), "left_anti"),
-      st.baseExact.filter(!col("doc_id").isin(idSet: _*)),
-      st.baseSh.filter(!col("doc_id").isin(idSet: _*)),
-      st.baseBuckets.filter(!col("doc_id").isin(idSet: _*)),
-      st.probeGrams)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    withWriterLock(fs, live) {
+      sweep(fs, live)
+      val st = load(spark, path)
+      val doomed: DataFrame => DataFrame =
+        if (ids.size <= IsinRemoveMax) {
+          val idSet = ids.map(java.lang.Long.valueOf)
+          df => df.filter(col("doc_id").isin(idSet: _*))
+        } else {
+          import spark.implicits._
+          val idsDf = ids.toDF("doc_id")
+          df => df.join(broadcast(idsDf), Seq("doc_id"), "left_semi")
+        }
+      val keep: DataFrame => DataFrame =
+        if (ids.size <= IsinRemoveMax) {
+          val idSet = ids.map(java.lang.Long.valueOf)
+          df => df.filter(!col("doc_id").isin(idSet: _*))
+        } else {
+          import spark.implicits._
+          val idsDf = ids.toDF("doc_id")
+          df => df.join(broadcast(idsDf), Seq("doc_id"), "left_anti")
+        }
+      val doomedHashes = doomed(st.baseExact).select(md5(col("text")).as("bh"))
+      saveLocked(spark, path, st.n3, st.nScorable, st.threshold,
+        st.baseHashes.join(doomedHashes, Seq("bh"), "left_anti"),
+        keep(st.baseExact),
+        keep(st.baseSh),
+        keep(st.baseBuckets),
+        st.probeGrams)
+    }
   }
+
+  /** Above this many take-down ids, [[remove]] switches from `isin`
+    * literal predicates to a broadcast anti-join (see its scaladoc). */
+  private val IsinRemoveMax = 64
 
   /** Crash recovery, run by WRITERS ONLY (readers must never mutate —
     * a reader-side sweep racing an in-flight save could delete the
@@ -381,7 +494,13 @@ object IncrementalState {
     *     state missing whole relations. Young leftovers cost bytes
     *     only and are reclaimed by any write after the TTL. (The
     *     publish-side completeness gate in [[save]] is the backstop if
-    *     something still deletes a stage mid-write.) */
+    *     something still deletes a stage mid-write.)
+    * A stage's age is judged by the NEWEST mtime among the stage dir and
+    * its direct children, not the dir mtime alone: object stores (S3A)
+    * report synthetic-directory mtimes as 0, which would make every
+    * in-flight stage look expired and get swept out from under its
+    * writer. (The whole publish protocol additionally assumes HDFS-like
+    * atomic directory rename — stated in the class doc.) */
   private def sweep(fs: FileSystem, live: Path): Unit = {
     val old = new Path(live.getParent, s".old-${live.getName}")
     if (fs.exists(old)) {
@@ -393,9 +512,15 @@ object IncrementalState {
       val stageRe = ("\\.tmp-" + java.util.regex.Pattern.quote(live.getName) +
         "(-[0-9a-f]{8})?").r
       val cutoff = System.currentTimeMillis() - StageTtlMs
+      def newestMtime(st: org.apache.hadoop.fs.FileStatus): Long = {
+        val children =
+          try fs.listStatus(st.getPath).map(_.getModificationTime)
+          catch { case _: java.io.IOException => Array.empty[Long] }
+        (st.getModificationTime +: children.toSeq).max
+      }
       fs.listStatus(parent)
         .filter(st => stageRe.pattern.matcher(st.getPath.getName).matches() &&
-          st.getModificationTime < cutoff)
+          newestMtime(st) < cutoff)
         .foreach(st => fs.delete(st.getPath, true))
     }
   }

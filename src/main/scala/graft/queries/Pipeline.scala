@@ -818,6 +818,16 @@ object Pipeline {
     * releases its OWN scratch joints on return (a loop iteration must
     * not leak cache into the next).
     *
+    * CALLER PRE-FILTER OBLIGATION: `batch` must already be
+    * language-filtered to English (the fixture pipelines' `lang = 'en'`
+    * gate) — the frozen char-trigram LM model and its rank-cut bar were
+    * fit on English-only cohorts, so a non-English row here is scored
+    * by the ENGLISH LM and can be admitted on a meaningless score, with
+    * only the frozen bar to cut it. This screen applies the quality
+    * gates (alpha ratio, token floor) but deliberately NOT a language
+    * gate: language ID policy belongs to the caller's ingest layer
+    * (x3/x8 are the library's language-ID operators to do it with).
+    *
     * The result is returned LINEAGE-TRUNCATED (eager localCheckpoint),
     * and that is load-bearing, not a convenience: the accepted frame's
     * plan READS the state's relations (the hash anti-join, the screen),

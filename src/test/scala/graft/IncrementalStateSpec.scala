@@ -343,4 +343,85 @@ class IncrementalStateSpec extends SparkSpec {
     val e2 = intercept[java.io.IOException](IncrementalState.load(spark, dir))
     assert(e2.getMessage.contains("no version field"), e2.getMessage)
   }
+
+  test("writer lock: a racing writer fails LOUDLY naming the holder; the state stays valid") {
+    val dir = freshDir("incr-lock")
+    saveTiny(dir, new Array[Long](27 * 27 * 27), nScorable = 4L, threshold = None)
+    // writer A mid-compact: its lock is on disk (the deterministic half of
+    // the race — the lock file IS what a concurrent compact would hold)
+    val live = new java.io.File(dir)
+    val lock = new java.io.File(live.getParentFile, s".lock-${live.getName}")
+    java.nio.file.Files.write(lock.toPath,
+      "pid@hostA thread=writer-A since=12345".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    // every mutating entry point must refuse — compact/remove would load,
+    // rewrite, and publish over writer A's in-flight work (silent loss)
+    val eC = intercept[java.io.IOException](IncrementalState.compact(spark, dir))
+    assert(eC.getMessage.contains("locked by another writer") &&
+      eC.getMessage.contains("writer-A"),
+      s"error must name the holder: ${eC.getMessage}")
+    val eA = intercept[java.io.IOException](IncrementalState.advance(spark, dir,
+      Seq((1L, baseA)).toDF("doc_id", "text"), "doc_id", "text"))
+    assert(eA.getMessage.contains("locked by another writer"), eA.getMessage)
+    val eR = intercept[java.io.IOException](
+      IncrementalState.remove(spark, dir, Seq(1L)))
+    assert(eR.getMessage.contains("locked by another writer"), eR.getMessage)
+    // the loser must not have torn anything: lock intact, state loads
+    assert(lock.exists(), "the loser must not delete the holder's lock")
+    assert(IncrementalState.load(spark, dir).nScorable == 4L,
+      "readers are lock-free and the state stays valid throughout")
+    // a CRASHED holder's lock (older than the TTL) is broken, loudly-but-
+    // automatically: the next writer proceeds
+    assert(lock.setLastModified(System.currentTimeMillis() - 25L * 3600 * 1000))
+    IncrementalState.compact(spark, dir)
+    assert(IncrementalState.load(spark, dir).nScorable == 4L)
+    assert(!lock.exists(), "the winning writer must release the lock on exit")
+    // two writers racing through the PUBLIC api: exactly one order wins —
+    // serialized (both succeed) or collided (the loser names the holder);
+    // in every interleaving the state remains loadable
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val racers = (0 until 2).map(_ => new Thread(() =>
+      results.add(
+        try { IncrementalState.compact(spark, dir); "ok" }
+        catch { case e: java.io.IOException
+          if e.getMessage.contains("locked by another writer") => "lost-race" })))
+    racers.foreach(_.start()); racers.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val outcomes = results.asScala.toSeq
+    assert(outcomes.forall(r => r == "ok" || r == "lost-race"), outcomes)
+    assert(outcomes.contains("ok"), s"at least one racer must win: $outcomes")
+    assert(IncrementalState.load(spark, dir).nScorable == 4L)
+    spark.catalog.clearCache()
+  }
+
+  test("remove with a LARGE id set takes the broadcast anti-join path, output-identical to isin") {
+    val novel1 = "quantum chromatic lattice verse mountain ember topaz river echo harbor"
+    val base = Seq((10L, baseA), (11L, baseB), (12L, novel1)).toDF("doc_id", "text")
+    val bsh = IncrementalDedup.shingled(base, "doc_id", "text")
+    def build(tag: String): String = {
+      val dir = freshDir(tag)
+      IncrementalState.save(spark, dir, new Array[Long](27 * 27 * 27), 7L,
+        Some((0.5, 3L)), base.select(md5(col("text")).as("bh")), base, bsh,
+        IncrementalDedup.bucketsOf(bsh), Seq("g1").toDF("g"))
+      dir
+    }
+    // the same take-down through both plan shapes: 1 real id via isin
+    // literals, and the SAME id buried in 10K others (a bulk licensing
+    // event) via the broadcast anti-join — no 10K-literal plan
+    val small = build("incr-rm-small")
+    IncrementalState.remove(spark, small, Seq(10L))
+    val big = build("incr-rm-big")
+    IncrementalState.remove(spark, big, 10L +: (1000000L to 1009999L).toSeq)
+    def snapshot(dir: String) = {
+      val st = IncrementalState.load(spark, dir)
+      (st.baseExact.select("doc_id").as[Long].collect().sorted.toSeq,
+        st.baseSh.select("doc_id").as[Long].collect().sorted.toSeq,
+        st.baseBuckets.select("doc_id").as[Long].collect().sorted.toSeq,
+        st.baseHashes.as[String].collect().sorted.toSeq)
+    }
+    val (sa, sb) = (snapshot(small), snapshot(big))
+    assert(sa == sb, s"isin and anti-join removals must be output-identical:\n$sa\n$sb")
+    assert(sa._1 == Seq(11L, 12L), s"exactly the doomed keeper leaves: $sa")
+    spark.catalog.clearCache()
+  }
 }
