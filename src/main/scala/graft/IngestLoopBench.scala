@@ -148,6 +148,7 @@ object IngestLoopBench {
       a.baseSh.select(col("doc_id"), concat_ws("", col("sh")).as("s")),
       b.baseSh.select(col("doc_id"), concat_ws("", col("sh")).as("s")))
     sameSet("buckets", a.baseBuckets, b.baseBuckets)
+    sameSet("partners", a.basePartners, b.basePartners)
     sameSet("probe", a.probeGrams, b.probeGrams)
     if (!(a.nScorable == b.nScorable && a.threshold == b.threshold &&
         a.n3.sameElements(b.n3))) {
@@ -157,9 +158,13 @@ object IngestLoopBench {
     // decision equality: re-screen batch 0 (now folded in — every doc a
     // known duplicate) against both states
     val probeBatch = batchOf(0).select(col("doc_id"), col("text"))
+    // through the PRODUCTION path (persisted partners + pruned reads);
+    // state A also cross-checked against the aggregate-per-batch
+    // screenPrepared path — partitioned and prepared must agree at scale
     def decisions(st: IncrementalState.Loaded) =
-      graft.dedup.IncrementalDedup.screenPrepared(
-          st.baseSh, st.baseBuckets, probeBatch, "doc_id", "text", 0.8)
+      graft.dedup.IncrementalDedup.screenPartitioned(
+          st.baseShP, st.basePartnersP, st.pMod, st.canonical,
+          probeBatch, "doc_id", "text", 0.8, prune = true, st.bucketCap)
         .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
         .sortBy(_._1).toSeq
     val (dA, dB) = (decisions(a), decisions(b))
@@ -167,6 +172,15 @@ object IngestLoopBench {
       failures += 1
       println(s"[loop] re-screen decisions MISMATCH (${dA.diff(dB).take(5)} ...)")
     } else println(s"[loop] re-screen decisions EQUAL (${dA.size} rows)")
+    val dPrep = graft.dedup.IncrementalDedup.screenPrepared(
+        a.baseSh, a.baseBuckets, probeBatch, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    if (dA != dPrep) {
+      failures += 1
+      println(s"[loop] partitioned-vs-prepared screen MISMATCH (${dA.diff(dPrep).take(5)} ...)")
+    } else println("[loop] partitioned-vs-prepared screen EQUAL")
+    spark.catalog.clearCache()
 
     // ---- take-down phase (after the equivalence gate on purpose: the
     // one-shot comparator mirrors the loop WITHOUT removals): remove one
@@ -182,10 +196,11 @@ object IngestLoopBench {
       IncrementalState.remove(spark, loopDir, Seq(takedownId))
     }
     val stAfterRm = IncrementalState.load(spark, loopDir)
-    val reDecision = graft.dedup.IncrementalDedup.screenPrepared(
-        stAfterRm.baseSh, stAfterRm.baseBuckets,
+    val reDecision = graft.dedup.IncrementalDedup.screenPartitioned(
+        stAfterRm.baseShP, stAfterRm.basePartnersP,
+        stAfterRm.pMod, stAfterRm.canonical,
         Seq((9999999L, takedownRow.getString(1))).toDF("doc_id", "text"),
-        "doc_id", "text", 0.8)
+        "doc_id", "text", 0.8, prune = true, stAfterRm.bucketCap)
       .collect().headOption.map(r => (r.getBoolean(1), r.getLong(2)))
     val unshielded = reDecision.exists { case (novel, dupOf) =>
       novel || dupOf != takedownId }
@@ -196,6 +211,26 @@ object IngestLoopBench {
         case Some((false, d)) if d != takedownId => s"YES (maps to surviving partner $d)"
         case other => s"NO — FAILURE ($other)"
       }))
+    spark.catalog.clearCache()
+    // batched take-down (a bulk licensing event): 100 keepers leave in ONE
+    // maintenance pass through the broadcast anti-join path — the batched
+    // cost model remove()'s scaladoc promises (same IO class as compact,
+    // amortized over the whole batch, NOT 100 single-id rewrites)
+    val batchIds = spark.read.parquet(s"$acceptedDir/k=1")
+      .orderBy(col("doc_id")).limit(100)
+      .select("doc_id").as[Long].collect().toSeq
+    val nBefore = IncrementalState.load(spark, loopDir).baseExact.count()
+    val (_, rmBatchSec) = secs {
+      IncrementalState.remove(spark, loopDir, batchIds)
+    }
+    spark.catalog.clearCache()
+    val nAfterBatch = IncrementalState.load(spark, loopDir).baseExact.count()
+    val removedN = nBefore - nAfterBatch
+    if (removedN != batchIds.size) failures += 1
+    println(f"[loop] take-down batch: remove(${batchIds.size} ids, " +
+      (if (batchIds.size > 64) "anti-join path) " else "isin path) ") +
+      f"$rmBatchSec%.2f s  keepers $nBefore -> $nAfterBatch " +
+      (if (removedN == batchIds.size) "(ALL GONE)" else "— FAILURE"))
 
     val times = rows.map(_._3)
     val pre = times.take(KPre)

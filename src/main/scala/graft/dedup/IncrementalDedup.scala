@@ -93,17 +93,119 @@ object IncrementalDedup {
                      idCol: String, textCol: String,
                      tau: Double,
                      bucketCap: Int = graft.search.Search.LshBucketCap): DataFrame = {
-    val bsh = baseSh
     val dsh = shingled(delta, idCol, textCol).persist()
     val partners = partnerRelation(baseBuckets, bucketCap)
     val cand = bucketsOf(dsh).select(col("bucket"), col("doc_id").as("delta_id"))
       .join(partners, "bucket")
       .select(col("delta_id"), col("base_id"))
       .distinct()
-    // one-shuffle verification: pair rows explode into their two member
-    // (id, side) keys, the side-tagged UNIONED shingle relation joins once
-    // on (doc_id, side), the regroup moves only matched pairs' arrays —
-    // the side in the join key keeps overlapping base/delta ids apart
+    decide(baseSh, dsh, cand, delta, idCol, tau)
+  }
+
+  /** The state's mod-space partition keys — the ONE definition both the
+    * write side ([[graft.incremental.IncrementalState]] lays `buckets/`,
+    * `partners/` out by [[pbOf]] and `shingles/` by [[pdOf]]) and the
+    * read side ([[screenPartitioned]] turns a batch's bounded bucket /
+    * candidate-id sets into partition `isin` filters) must share, or a
+    * pruned scan silently drops the files the batch needed. Murmur3
+    * (`hash`) is seed-fixed and stable across sessions and JVMs. */
+  private[graft] def pbOf(bucket: Column, pMod: Int): Column =
+    pmod(hash(bucket), lit(pMod)).cast("int")
+  private[graft] def pdOf(docId: Column, pMod: Int): Column =
+    pmod(hash(docId), lit(pMod)).cast("int")
+
+  /** [[screenPrepared]] against the state's PARTITIONED artifacts — the
+    * 100-TB warm path. Two O(corpus)-per-ingest terms of the plain warm
+    * screen disappear here:
+    *
+    *  1. no per-batch base aggregation: `partnersP` is the PERSISTED
+    *     capped partner relation (maintained by the state — see
+    *     [[partnerRelationCnt]]'s foldable invariant), so the
+    *     whole-relation `groupBy(bucket)` that [[partnerRelation]] runs
+    *     per batch is already on disk. When the state is CANONICAL (no
+    *     appends since the last save/compact) the rows are used AS-IS —
+    *     zero aggregation; after appends ([[canonical]] = false) the cap
+    *     is re-folded EXACTLY, but only over the batch's touched buckets;
+    *  2. pruned reads (`prune = true`): the batch's band buckets map to
+    *     a bounded `pb` set and its verified candidates to a bounded `pd`
+    *     set — pushed down as partition filters, so a small batch READS
+    *     a small subset of the corpus-sized relations' files instead of
+    *     scanning them whole (the one surviving O(corpus) read term).
+    *     Computing the two sets costs two bounded driver actions over
+    *     batch-derived frames — O(batch), never O(corpus) — which is why
+    *     the flag exists: a fixture-shaped batch that is a double-digit
+    *     percentage OF the corpus touches every partition, pays the
+    *     actions, and prunes nothing (x31Warm passes `prune = false`);
+    *     a production trickle batch prunes almost everything
+    *     (warmScreenAccepted passes `prune = true`).
+    *
+    * Decision semantics are bit-identical to [[screenPrepared]] over the
+    * same corpus (spec-pinned, including states whose appends pushed a
+    * bucket over the cap). */
+  def screenPartitioned(baseShP: DataFrame,   // (doc_id, sh, pd)
+                        partnersP: DataFrame, // (bucket, base_id, cnt, pb)
+                        pMod: Int, canonical: Boolean,
+                        delta: DataFrame,
+                        idCol: String, textCol: String,
+                        tau: Double, prune: Boolean,
+                        bucketCap: Int = graft.search.Search.LshBucketCap): DataFrame = {
+    val dsh = shingled(delta, idCol, textCol).persist()
+    val dbk = bucketsOf(dsh).select(col("bucket"), col("doc_id").as("delta_id"))
+    val cand = prunedCandidates(partnersP, pMod, canonical, dbk, prune, bucketCap)
+    val bsh =
+      if (!prune) baseShP.select(col("doc_id"), col("sh"))
+      else {
+        // bounded action #2: the candidates' base ids → pd partition set
+        // (cand is persisted inside prunedCandidates for exactly this)
+        val pdVals = cand.select(pdOf(col("base_id"), pMod).as("pd"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val pruned = if (pdVals.size >= pMod) baseShP
+                     else baseShP.filter(col("pd").isin(pdVals: _*))
+        pruned.select(col("doc_id"), col("sh"))
+      }
+    decide(bsh, dsh, cand, delta, idCol, tau)
+  }
+
+  /** The candidate (delta_id, base_id) pairs of a batch against the
+    * persisted partner relation — [[screenPartitioned]]'s first half,
+    * exposed for plan pinning. With `prune`, the result is PERSISTED
+    * (the pd-set action and the verification both consume it). */
+  private[graft] def prunedCandidates(partnersP: DataFrame, pMod: Int,
+                                      canonical: Boolean, dbk: DataFrame,
+                                      prune: Boolean, bucketCap: Int): DataFrame = {
+    val pPruned =
+      if (!prune) partnersP
+      else {
+        // bounded action #1: the batch's band buckets → pb partition set
+        val pbVals = dbk.select(pbOf(col("bucket"), pMod).as("pb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        if (pbVals.size >= pMod) partnersP
+        else partnersP.filter(col("pb").isin(pbVals: _*))
+      }
+    val partners =
+      if (canonical) pPruned.select(col("bucket"), col("base_id"))
+      else {
+        // appended rows since the last save: re-fold the cap, but only
+        // over the batch's touched buckets (broadcast semijoin keeps
+        // whole buckets, so the fold stays exact)
+        val touched = pPruned
+          .join(broadcast(dbk.select("bucket").distinct()), Seq("bucket"), "left_semi")
+        foldPartners(touched, bucketCap)
+      }
+    val cand = dbk.join(partners, "bucket")
+      .select(col("delta_id"), col("base_id"))
+      .distinct()
+    if (prune) cand.persist() else cand
+  }
+
+  /** Shared verification + decision tail: pair rows explode into their
+    * two member (id, side) keys, the side-tagged UNIONED shingle
+    * relation joins once on (doc_id, side), the regroup moves only
+    * matched pairs' arrays — one shuffle of the (possibly pruned) base
+    * shingle relation, never a shingle shuffle per pair side; the side
+    * in the join key keeps overlapping base/delta ids apart. */
+  private def decide(bsh: DataFrame, dsh: DataFrame, cand: DataFrame,
+                     delta: DataFrame, idCol: String, tau: Double): DataFrame = {
     val allSh = bsh.withColumn("__side", lit(0))
       .unionByName(dsh.withColumn("__side", lit(1)))
     val verified = cand
@@ -142,6 +244,46 @@ object IncrementalDedup {
       .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("rep"))
     bb.join(stats.filter(col("bn") <= bucketCap).select(col("bucket")), "bucket")
       .select(col("bucket"), col("doc_id").as("base_id"))
+      .unionByName(stats.filter(col("bn") > bucketCap)
+        .select(col("bucket"), col("rep").as("base_id")))
+  }
+
+  /** [[partnerRelation]] in its PERSISTABLE, append-foldable form —
+    * `(bucket, base_id, cnt)` where `cnt` is the number of underlying
+    * member rows the partner row stands for: an under-cap bucket keeps
+    * its member rows (`cnt = 1` each), an over-cap bucket collapses to
+    * its min-id representative carrying the whole count (`cnt = bn`).
+    *
+    * The foldable INVARIANT that makes the state's append-only
+    * maintenance exact ([[foldPartners]] is the proof's other half):
+    * for any set of partner rows of one bucket — a saved fold plus any
+    * number of appended `cnt = 1` batch rows —
+    * `sum(cnt)` is the bucket's TRUE total member count (a rep row
+    * carries its collapsed members; appends add one each), and
+    * `min(base_id)` is the TRUE min id (the rep IS the saved min).
+    * So re-folding appended rows reproduces [[partnerRelation]] over
+    * the grown corpus exactly: if `sum(cnt) ≤ cap` no rep row can be
+    * present (a rep alone carries `cnt > cap`), hence the rows ARE the
+    * complete member set; if `sum(cnt) > cap` the bucket degrades to
+    * `min(base_id)` — the exact representative. */
+  private[graft] def partnerRelationCnt(bb: DataFrame, bucketCap: Int): DataFrame = {
+    val stats = bb.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("rep"))
+    bb.join(stats.filter(col("bn") <= bucketCap).select(col("bucket")), "bucket")
+      .select(col("bucket"), col("doc_id").as("base_id"), lit(1L).as("cnt"))
+      .unionByName(stats.filter(col("bn") > bucketCap)
+        .select(col("bucket"), col("rep").as("base_id"), col("bn").as("cnt")))
+  }
+
+  /** Re-fold the cap over `(bucket, base_id, cnt)` partner rows — exact
+    * over any saved-fold-plus-appends row set (see
+    * [[partnerRelationCnt]]'s invariant). Identity on a canonical
+    * (just-saved) relation. */
+  private[graft] def foldPartners(rows: DataFrame, bucketCap: Int): DataFrame = {
+    val stats = rows.groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("bn"), min(col("base_id")).as("rep"))
+    rows.join(stats.filter(col("bn") <= bucketCap).select(col("bucket")), "bucket")
+      .select(col("bucket"), col("base_id"))
       .unionByName(stats.filter(col("bn") > bucketCap)
         .select(col("bucket"), col("rep").as("base_id")))
   }

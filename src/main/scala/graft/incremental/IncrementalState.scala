@@ -21,13 +21,42 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *     d10 screen verifies against (and what serving would re-embed);
   *   - the keepers' shingle relation (`shingles/`: doc_id, sh) and
   *     MinHash band-bucket relation (`buckets/`: doc_id, bucket) — the
-  *     two base-sided inputs of `IncrementalDedup.screenPrepared`, so the
-  *     warm screen is: scan buckets, cap, equi-join the delta's probes;
+  *     base-sided raw inputs of the d10 screen (buckets is also what
+  *     compact re-derives the partner relation from);
+  *   - the CAPPED PARTNER relation (`partners/`: bucket, base_id, cnt —
+  *     `IncrementalDedup.partnerRelationCnt`'s foldable form): the
+  *     pre-aggregated, skew-capped join input of the warm screen, so a
+  *     batch's screening runs NO per-batch aggregation over the
+  *     corpus-sized bucket relation (the groupBy is paid once at
+  *     save/compact, amortized over every batch until the next one);
   *   - the contamination probe's distinct 5-gram hashes (`probe/`: g
   *     string) — the benchmark-set side of the decontamination join.
   *     Frozen fixture content (doc_id < ProbeCap), formerly re-derived
   *     per warm batch: one documents scan + distinct shuffle per ingest
   *     for a set that never changes between refits.
+  *
+  * LAYOUT FOR PRUNED READS (format v3): the corpus-sized relations are
+  * hash-partitioned into a fixed mod space (`pmod` in the sidecar,
+  * [[DefaultPMod]] dirs) — `buckets/` and `partners/` by
+  * `pb = pmod(hash(bucket), pmod)`, `shingles/` by
+  * `pd = pmod(hash(doc_id), pmod)` — so a batch's bounded bucket and
+  * candidate-id sets push down as PARTITION FILTERS and a small batch
+  * reads a small subset of state files instead of scanning the corpus
+  * relations whole (`IncrementalDedup.screenPartitioned`). At 100 TB
+  * raise `pMod` at build time (it rides the sidecar; readers adapt) and
+  * salt the writer's repartition if `pMod` exceeds the write
+  * parallelism you want.
+  *
+  * CANONICAL vs DIRTY: [[advance]] appends batch rows (including
+  * `cnt = 1` partner partials) and drops a `_dirty` marker; readers of
+  * a dirty state re-fold the partner cap over the batch's touched
+  * buckets (exact — `partnerRelationCnt`'s invariant), while a
+  * canonical state (fresh [[save]]/[[compact]]/[[remove]], which never
+  * stage the marker) serves partner rows AS-IS with zero aggregation.
+  * The marker is dropped BEFORE the first append, so no appended row is
+  * ever read under a canonical flag; a crash between marker and append
+  * leaves a dirty-but-canonical state, on which the fold is the
+  * identity.
   *
   * Layout and durability follow the IvfIndex sidecar discipline: scalars
   * in a `_state.json` sidecar (underscore → ignored by parquet listings),
@@ -75,18 +104,37 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object IncrementalState {
 
-  /** A reopened state: model arrays driver-side, relations lazy scans. */
+  /** A reopened state: model arrays driver-side, relations lazy scans.
+    * The partitioned frames (`*P`) carry their partition column for the
+    * pruned warm path; the plain accessors project it away for
+    * consumers that only want the relation. `canonical` = no appends
+    * since the last save/compact (partner rows usable without a fold). */
   final case class Loaded(
       n3: Array[Long], n2: Array[Long], nScorable: Long,
       threshold: Option[(Double, Long)],
-      baseHashes: DataFrame,  // (bh string)
-      baseExact: DataFrame,   // (doc_id long, text string)
-      baseSh: DataFrame,      // (doc_id long, sh array<string>)
-      baseBuckets: DataFrame, // (doc_id long, bucket string)
-      probeGrams: DataFrame)  // (g string) — distinct contamination-probe grams
+      baseHashes: DataFrame,   // (bh string)
+      baseExact: DataFrame,    // (doc_id long, text string)
+      baseShP: DataFrame,      // (doc_id long, sh array<string>, pd int)
+      baseBucketsP: DataFrame, // (doc_id long, bucket string, pb int)
+      basePartnersP: DataFrame,// (bucket string, base_id long, cnt long, pb int)
+      probeGrams: DataFrame,   // (g string) — distinct contamination-probe grams
+      pMod: Int,        // the layout's partition-mod (sidecar `pmod`)
+      bucketCap: Int,   // the cap BAKED into partners/ at the last publish
+      canonical: Boolean) {
+    def baseSh: DataFrame = baseShP.select("doc_id", "sh")
+    def baseBuckets: DataFrame = baseBucketsP.select("doc_id", "bucket")
+    def basePartners: DataFrame = basePartnersP.select("bucket", "base_id", "cnt")
+  }
 
   private val Sidecar = "_state.json"
-  private val Relations = Seq("hashes", "exact", "shingles", "buckets", "probe")
+  private val DirtyMarker = "_dirty"
+  private val Relations = Seq("hashes", "exact", "shingles", "buckets", "partners", "probe")
+
+  /** Default partition-mod for the v3 pruned layout — 32 directories per
+    * corpus relation balances prune granularity against per-advance file
+    * fan-out at the tested scales; a 100-TB deployment raises it at
+    * build time (the value rides the sidecar, readers adapt). */
+  val DefaultPMod = 32
 
   /** Stages younger than this are presumed IN-FLIGHT by another writer
     * and left alone by [[sweep]]; older ones are crash leftovers and are
@@ -100,8 +148,10 @@ object IncrementalState {
     * fields happen to parse would otherwise serve silently wrong
     * answers). Bump on ANY layout/semantics change; callers that key a
     * state cache by path should fold this into the directory name (the
-    * x32 bench cache does) so old states are never even probed. */
-  val CurrentVersion = 2
+    * x32 bench cache does) so old states are never even probed.
+    * v3: mod-partitioned buckets/shingles, the persisted capped partner
+    * relation (`partners/`), `pmod` in the sidecar. */
+  val CurrentVersion = 3
 
   /** The single-writer lock every mutating entry point takes around its
     * WHOLE read-modify-write (not just the publish): a compact that read
@@ -157,23 +207,35 @@ object IncrementalState {
            threshold: Option[(Double, Long)],
            baseHashes: DataFrame, baseExact: DataFrame,
            baseSh: DataFrame, baseBuckets: DataFrame,
-           probeGrams: DataFrame): Unit = {
+           probeGrams: DataFrame,
+           pMod: Int = DefaultPMod,
+           bucketCap: Int = graft.search.Search.LshBucketCap): Unit = {
     val live = new Path(path)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     withWriterLock(fs, live) {
       saveLocked(spark, path, n3, nScorable, threshold,
-        baseHashes, baseExact, baseSh, baseBuckets, probeGrams)
+        baseHashes, baseExact, baseSh, baseBuckets, probeGrams, pMod, bucketCap)
     }
   }
 
   /** [[save]]'s body, called with the writer lock already held (compact/
-    * remove hold it across their whole load→rewrite→publish). */
+    * remove hold it across their whole load→rewrite→publish). Lays the
+    * corpus relations out in the v3 pruned format and derives the capped
+    * partner relation from the just-written bucket files (one extra scan
+    * of small parquet, and a guarantee `partners/` ≡ `buckets/` at every
+    * publish). The `repartition(partCol)` before each partitioned write
+    * bounds the file fan-out to ≤ one file per partition dir — without
+    * it every write task would fan into every dir (tasks × pMod files). */
   private def saveLocked(spark: SparkSession, path: String,
                          n3: Array[Long], nScorable: Long,
                          threshold: Option[(Double, Long)],
                          baseHashes: DataFrame, baseExact: DataFrame,
                          baseSh: DataFrame, baseBuckets: DataFrame,
-                         probeGrams: DataFrame): Unit = {
+                         probeGrams: DataFrame,
+                         pMod: Int = DefaultPMod,
+                         bucketCap: Int = graft.search.Search.LshBucketCap): Unit = {
+    import org.apache.spark.sql.functions.col
+    import graft.dedup.IncrementalDedup.{partnerRelationCnt, pbOf, pdOf}
     val live = new Path(path)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     sweep(fs, live) // writer-side crash recovery: restore .old-, drop stale stages
@@ -184,13 +246,24 @@ object IncrementalState {
       s".tmp-${live.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
     baseHashes.select("bh").write.parquet(new Path(tmp, "hashes").toString)
     baseExact.select("doc_id", "text").write.parquet(new Path(tmp, "exact").toString)
-    baseSh.select("doc_id", "sh").write.parquet(new Path(tmp, "shingles").toString)
-    baseBuckets.select("doc_id", "bucket").write.parquet(new Path(tmp, "buckets").toString)
+    baseSh.select(col("doc_id"), col("sh"))
+      .withColumn("pd", pdOf(col("doc_id"), pMod))
+      .repartition(col("pd")).write.partitionBy("pd")
+      .parquet(new Path(tmp, "shingles").toString)
+    baseBuckets.select(col("doc_id"), col("bucket"))
+      .withColumn("pb", pbOf(col("bucket"), pMod))
+      .repartition(col("pb")).write.partitionBy("pb")
+      .parquet(new Path(tmp, "buckets").toString)
+    partnerRelationCnt(readBuckets(spark, new Path(tmp, "buckets"))
+        .select("doc_id", "bucket"), bucketCap)
+      .withColumn("pb", pbOf(col("bucket"), pMod))
+      .repartition(col("pb")).write.partitionBy("pb")
+      .parquet(new Path(tmp, "partners").toString)
     probeGrams.select("g").write.parquet(new Path(tmp, "probe").toString)
     val thrJson = threshold.fold("") { case (ts, ti) =>
       s""","tsBits":${java.lang.Double.doubleToLongBits(ts)},"ts":$ts,"ti":$ti""" }
     val json =
-      s"""{"version":$CurrentVersion,"nScorable":$nScorable$thrJson,"n3":[${n3.mkString(",")}]}"""
+      s"""{"version":$CurrentVersion,"pmod":$pMod,"cap":$bucketCap,"nScorable":$nScorable$thrJson,"n3":[${n3.mkString(",")}]}"""
     val out = fs.create(new Path(tmp, Sidecar), true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -266,6 +339,18 @@ object IncrementalState {
     }
   }
 
+  // Explicit schemas for the partitioned relations: schema inference on
+  // a partitioned dir needs at least one data file, so an explicit
+  // schema keeps degenerate (empty-corpus) states readable, and pins the
+  // partition column's type to what the writer computed (int).
+  private def readBuckets(spark: SparkSession, dir: Path): DataFrame =
+    spark.read.schema("doc_id BIGINT, bucket STRING, pb INT").parquet(dir.toString)
+  private def readShingles(spark: SparkSession, dir: Path): DataFrame =
+    spark.read.schema("doc_id BIGINT, sh ARRAY<STRING>, pd INT").parquet(dir.toString)
+  private def readPartners(spark: SparkSession, dir: Path): DataFrame =
+    spark.read.schema("bucket STRING, base_id BIGINT, cnt BIGINT, pb INT")
+      .parquet(dir.toString)
+
   /** Open a state READ-ONLY. Never deletes, renames, or sweeps — a load
     * racing an in-flight save/compact cannot corrupt the publish (the
     * writers own crash recovery). Fails loudly on a missing state or a
@@ -282,6 +367,10 @@ object IncrementalState {
       s""""$name":(-?\\d+)""".r.findFirstMatchIn(raw).map(_.group(1).toLong)
     val nScorable = longField("nScorable").getOrElse(
       throw new java.io.IOException(s"corrupt $Sidecar: no nScorable in $path"))
+    val pMod = longField("pmod").getOrElse(
+      throw new java.io.IOException(s"corrupt $Sidecar: no pmod in $path")).toInt
+    val cap = longField("cap").getOrElse(
+      throw new java.io.IOException(s"corrupt $Sidecar: no cap in $path")).toInt
     val threshold = for { bits <- longField("tsBits"); ti <- longField("ti") }
       yield (java.lang.Double.longBitsToDouble(bits), ti)
     val n3 = """"n3":\[([^\]]*)\]""".r.findFirstMatchIn(raw)
@@ -297,9 +386,12 @@ object IncrementalState {
     Loaded(n3, n2, nScorable, threshold,
       spark.read.parquet(new Path(root, "hashes").toString),
       spark.read.parquet(new Path(root, "exact").toString),
-      spark.read.parquet(new Path(root, "shingles").toString),
-      spark.read.parquet(new Path(root, "buckets").toString),
-      spark.read.parquet(new Path(root, "probe").toString))
+      readShingles(spark, new Path(root, "shingles")),
+      readBuckets(spark, new Path(root, "buckets")),
+      readPartners(spark, new Path(root, "partners")),
+      spark.read.parquet(new Path(root, "probe").toString),
+      pMod, cap,
+      canonical = !fs.exists(new Path(root, DirtyMarker)))
   }
 
   /** ADVANCE the state by one accepted batch — the between-batches step
@@ -308,7 +400,9 @@ object IncrementalState {
     * (without it, two arriving batches could each be "novel" against the
     * settled corpus while duplicating each other across batches).
     * `accepted` is the batch's surviving (doc_id, text); its hash /
-    * keeper / shingle / band-bucket rows are APPENDED to the four
+    * keeper / shingle / band-bucket / partner-partial rows (and a
+    * `_dirty` marker, dropped before the first append — readers of a
+    * dirty state re-fold the partner cap) are APPENDED to the
     * relations as new parquet files (the IvfIndex.appendStream
     * discipline), so advance IO is **O(batch)** — never a rewrite of the
     * corpus-sized relations, which would hand back exactly the
@@ -331,7 +425,7 @@ object IncrementalState {
     * reclaims the bytes and the replay duplicates. */
   def advance(spark: SparkSession, path: String,
               accepted: DataFrame, idCol: String, textCol: String): Unit = {
-    import org.apache.spark.sql.functions.{col, md5}
+    import org.apache.spark.sql.functions.{col, lit, md5}
     val live = new Path(path)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     withWriterLock(fs, live) {
@@ -343,19 +437,41 @@ object IncrementalState {
     if (!fs.exists(new Path(live, Sidecar)))
       throw new java.io.IOException(
         s"no incremental state at $path to advance — build one first (Pipeline.buildState)")
-    requireCurrentVersion(readSidecar(fs, live), path)
+    val raw = readSidecar(fs, live)
+    requireCurrentVersion(raw, path)
+    val pMod = s""""pmod":(-?\\d+)""".r.findFirstMatchIn(raw)
+      .getOrElse(throw new java.io.IOException(s"corrupt $Sidecar: no pmod in $path"))
+      .group(1).toInt
+    // the dirty marker lands BEFORE the first append: a reader must
+    // never see appended partner rows under a canonical flag (crash
+    // between marker and append = dirty-but-canonical, fold = identity)
+    fs.create(new Path(live, DirtyMarker), true).close()
     val batch = accepted.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("text")).persist()
     try {
       val newSh = graft.dedup.IncrementalDedup
         .shingled(batch, "doc_id", "text").persist()
       try {
-        batch.select(md5(col("text")).as("bh"))
-          .write.mode("append").parquet(new Path(live, "hashes").toString)
-        batch.write.mode("append").parquet(new Path(live, "exact").toString)
-        newSh.write.mode("append").parquet(new Path(live, "shingles").toString)
-        graft.dedup.IncrementalDedup.bucketsOf(newSh)
-          .write.mode("append").parquet(new Path(live, "buckets").toString)
+        val newBk = graft.dedup.IncrementalDedup.bucketsOf(newSh).persist()
+        try {
+          import graft.dedup.IncrementalDedup.{pbOf, pdOf}
+          batch.select(md5(col("text")).as("bh"))
+            .write.mode("append").parquet(new Path(live, "hashes").toString)
+          batch.write.mode("append").parquet(new Path(live, "exact").toString)
+          newSh.withColumn("pd", pdOf(col("doc_id"), pMod))
+            .repartition(col("pd")).write.mode("append").partitionBy("pd")
+            .parquet(new Path(live, "shingles").toString)
+          val bkP = newBk.withColumn("pb", pbOf(col("bucket"), pMod))
+          bkP.repartition(col("pb")).write.mode("append").partitionBy("pb")
+            .parquet(new Path(live, "buckets").toString)
+          // the batch's partner PARTIALS: one cnt=1 row per member — the
+          // foldable form readers re-cap over touched buckets until the
+          // next compact canonicalizes (partnerRelationCnt's invariant)
+          bkP.select(col("bucket"), col("doc_id").as("base_id"),
+              lit(1L).as("cnt"), col("pb"))
+            .repartition(col("pb")).write.mode("append").partitionBy("pb")
+            .parquet(new Path(live, "partners").toString)
+        } finally { newBk.unpersist(); () }
       } finally { newSh.unpersist(); () }
     } finally { batch.unpersist(); () }
     }
@@ -383,7 +499,8 @@ object IncrementalState {
         st.baseExact.dropDuplicates("doc_id"),
         st.baseSh.dropDuplicates("doc_id"),
         st.baseBuckets.dropDuplicates("doc_id", "bucket"),
-        st.probeGrams.distinct())
+        st.probeGrams.distinct(),
+        st.pMod, st.bucketCap) // a maintenance pass preserves the layout
     }
   }
 
@@ -402,10 +519,20 @@ object IncrementalState {
       throw new java.io.IOException(s"no incremental state at $path"))
     Relations.map { rel =>
       val dir = new Path(root, rel)
-      val parts =
-        if (!fs.exists(dir)) Array.empty[org.apache.hadoop.fs.FileStatus]
-        else fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
-      rel -> RelationStats(parts.length, parts.map(_.getLen).sum)
+      // recursive: the v3 partitioned relations nest their files under
+      // pb=/pd= dirs — count data files wherever they sit
+      var files = 0
+      var bytes = 0L
+      if (fs.exists(dir)) {
+        val it = fs.listFiles(dir, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet")) {
+            files += 1; bytes += st.getLen
+          }
+        }
+      }
+      rel -> RelationStats(files, bytes)
     }.toMap
   }
 
@@ -470,7 +597,8 @@ object IncrementalState {
         keep(st.baseExact),
         keep(st.baseSh),
         keep(st.baseBuckets),
-        st.probeGrams)
+        st.probeGrams,
+        st.pMod, st.bucketCap)
     }
   }
 

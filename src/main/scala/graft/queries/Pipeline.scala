@@ -800,8 +800,15 @@ object Pipeline {
     // BASELINE.md round-15 block.
     deltaManifest(s, d, st.n3, st.n2, st.threshold, st.baseHashes,
       st.probeGrams,
-      dEx => graft.dedup.IncrementalDedup.screenPrepared(
-        st.baseSh, st.baseBuckets, dEx, "doc_id", "text", JaccardTau),
+      // the PERSISTED capped partner relation replaces the per-batch
+      // groupBy over the whole buckets/ relation; prune = false because
+      // the fixture's delta is 20% OF the corpus — it touches every
+      // partition by construction, so the two bounded prune actions
+      // would cost without pruning anything (warmScreenAccepted, whose
+      // batches are production-shaped, prunes)
+      dEx => graft.dedup.IncrementalDedup.screenPartitioned(
+        st.baseShP, st.basePartnersP, st.pMod, st.canonical,
+        dEx, "doc_id", "text", JaccardTau, prune = false, st.bucketCap),
       materializeDec = false)
   }
 
@@ -850,8 +857,14 @@ object Pipeline {
     // fixture (deltaStages' stdDelta is a lazy def, never evaluated here)
     val stages = deltaStages(s, d = "", st.n3, st.n2, st.threshold, st.baseHashes,
       st.probeGrams,
-      dEx => graft.dedup.IncrementalDedup.screenPrepared(
-        st.baseSh, st.baseBuckets, dEx, "doc_id", "text", JaccardTau),
+      // prune = true: a production batch is small relative to the corpus,
+      // so its bounded bucket/candidate sets push down as partition
+      // filters and the screen READS a small subset of the state's files
+      // (the two prune actions are O(batch); a batch touching every
+      // partition skips the filters and loses nothing but those actions)
+      dEx => graft.dedup.IncrementalDedup.screenPartitioned(
+        st.baseShP, st.basePartnersP, st.pMod, st.canonical,
+        dEx, "doc_id", "text", JaccardTau, prune = true, st.bucketCap),
       materializeDec = false, deltaSrc = Some(batch))
     try stages.clean.select(col("doc_id"), col("text")).localCheckpoint(true)
     finally { stages.dExact.unpersist(); stages.dec.unpersist(); stages.capped.unpersist(); () }

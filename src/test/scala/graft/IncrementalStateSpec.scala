@@ -138,16 +138,23 @@ class IncrementalStateSpec extends SparkSpec {
   test("advance is append-only: O(batch) IO, pre-existing relation files untouched") {
     val dir = freshDir("incr-appendonly")
     saveTiny(dir, new Array[Long](27 * 27 * 27), nScorable = 5L, threshold = None)
+    val rels = Seq("hashes", "exact", "shingles", "buckets", "partners")
+    // recursive: the v3 layout nests shingle/bucket/partner files under
+    // pd=/pb= partition dirs — key by relation-relative path
     def files(rel: String): Map[String, Long] = {
-      val d = new java.io.File(dir, rel)
-      d.listFiles().filter(_.getName.endsWith(".parquet"))
-        .map(f => f.getName -> f.lastModified()).toMap
+      val root = java.nio.file.Paths.get(dir, rel)
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      java.nio.file.Files.walk(root).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          out(root.relativize(p).toString) = p.toFile.lastModified()
+      }
+      out.toMap
     }
-    val before = Seq("hashes", "exact", "shingles", "buckets").map(r => r -> files(r)).toMap
+    val before = rels.map(r => r -> files(r)).toMap
     IncrementalState.advance(spark, dir,
       Seq((500L, "silver canyon whisper orbit maple thunder")).toDF("doc_id", "text"),
       "doc_id", "text")
-    Seq("hashes", "exact", "shingles", "buckets").foreach { rel =>
+    rels.foreach { rel =>
       val after = files(rel)
       before(rel).foreach { case (name, mtime) =>
         assert(after.get(name).contains(mtime),
@@ -292,7 +299,7 @@ class IncrementalStateSpec extends SparkSpec {
     val dir = freshDir("incr-stats")
     saveTiny(dir, new Array[Long](27 * 27 * 27), nScorable = 1L, threshold = None)
     val s0 = IncrementalState.stats(spark, dir)
-    assert(s0.keySet == Set("hashes", "exact", "shingles", "buckets", "probe"))
+    assert(s0.keySet == Set("hashes", "exact", "shingles", "buckets", "partners", "probe"))
     assert(s0.values.forall(r => r.files >= 1 && r.bytes > 0L), s0)
     IncrementalState.advance(spark, dir,
       Seq((700L, "onyx crater violet summit maple")).toDF("doc_id", "text"),
@@ -301,7 +308,7 @@ class IncrementalStateSpec extends SparkSpec {
       Seq((701L, "lantern spruce velvet marble cobalt")).toDF("doc_id", "text"),
       "doc_id", "text")
     val s1 = IncrementalState.stats(spark, dir)
-    Seq("hashes", "exact", "shingles", "buckets").foreach { rel =>
+    Seq("hashes", "exact", "shingles", "buckets", "partners").foreach { rel =>
       assert(s1(rel).files > s0(rel).files, s"$rel gained no files: $s0 vs $s1")
     }
     assert(s1("probe").files == s0("probe").files,
@@ -391,6 +398,72 @@ class IncrementalStateSpec extends SparkSpec {
     assert(outcomes.forall(r => r == "ok" || r == "lost-race"), outcomes)
     assert(outcomes.contains("ok"), s"at least one racer must win: $outcomes")
     assert(IncrementalState.load(spark, dir).nScorable == 4L)
+    spark.catalog.clearCache()
+  }
+
+  test("screenPartitioned ≡ screenPrepared: canonical, appended-over-cap (dirty fold), and recompacted") {
+    val dir = freshDir("incr-partscreen")
+    // a hot bucket NEAR the cap: 8 base copies of baseA (cap 10), so the
+    // appended batch pushes it OVER — the dirty-state fold must collapse
+    // it to the min-id representative exactly like partnerRelation would
+    val base = ((20L to 27L).map(i => (i, baseA)) :+ ((12L, baseB))).toDF("doc_id", "text")
+    val bsh = IncrementalDedup.shingled(base, "doc_id", "text")
+    IncrementalState.save(spark, dir, new Array[Long](27 * 27 * 27), 0L, None,
+      base.select(md5(col("text")).as("bh")), base, bsh,
+      IncrementalDedup.bucketsOf(bsh), Seq.empty[String].toDF("g"),
+      bucketCap = 10)
+    val delta = Seq((100L, baseA), (101L, baseB),
+      (102L, "completely different words nowhere near the base corpus at all"))
+      .toDF("doc_id", "text")
+    def both(st: IncrementalState.Loaded, prune: Boolean) = {
+      def dec(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).sortBy(_._1).toSeq
+      val part = dec(IncrementalDedup.screenPartitioned(
+        st.baseShP, st.basePartnersP, st.pMod, st.canonical,
+        delta, "doc_id", "text", 0.8, prune, st.bucketCap))
+      val prep = dec(IncrementalDedup.screenPrepared(
+        st.baseSh, st.baseBuckets, delta, "doc_id", "text", 0.8, st.bucketCap))
+      (part, prep)
+    }
+    // canonical (fresh save): partner rows serve AS-IS — and must decide
+    // exactly like the per-batch aggregation path, pruned or not
+    val st0 = IncrementalState.load(spark, dir)
+    assert(st0.canonical, "a fresh save must load canonical")
+    assert(st0.pMod == IncrementalState.DefaultPMod && st0.bucketCap == 10,
+      "layout params must ride the sidecar")
+    Seq(true, false).foreach { p =>
+      val (part, prep) = both(st0, p)
+      assert(part == prep, s"canonical prune=$p: $part vs $prep")
+      assert(part == Seq((100L, false, 20L), (101L, false, 12L), (102L, true, -1L)), part)
+    }
+    // release the screens' persisted joints BETWEEN state publishes: a
+    // cached plan over the state's paths is canonically identical to the
+    // post-compact one and would serve the swapped-away file list (the
+    // documented retryable-reader hazard, exercised here determinstically)
+    spark.catalog.clearCache()
+    // advance 6 more copies: the hot bucket's true count is now 14 > 10 —
+    // a DIRTY state whose fold must degrade it to rep 20, never lose it
+    IncrementalState.advance(spark, dir,
+      (30L to 35L).map(i => (i, baseA)).toDF("doc_id", "text"), "doc_id", "text")
+    val st1 = IncrementalState.load(spark, dir)
+    assert(!st1.canonical, "an advanced state must load dirty (fold required)")
+    Seq(true, false).foreach { p =>
+      val (part, prep) = both(st1, p)
+      assert(part == prep, s"dirty prune=$p: $part vs $prep")
+      assert(part.head == ((100L, false, 20L)),
+        s"over-cap bucket must degrade to its min-id rep, not vanish: $part")
+    }
+    spark.catalog.clearCache() // see above: release before the next publish
+    // compact canonicalizes: the rep row now carries cnt=14 on disk
+    IncrementalState.compact(spark, dir)
+    val st2 = IncrementalState.load(spark, dir)
+    assert(st2.canonical, "compact must publish a canonical state")
+    assert(st2.basePartners.filter(col("cnt") > 1L).count() >= 1,
+      "the over-cap bucket must persist as a single collapsed rep row")
+    Seq(true, false).foreach { p =>
+      val (part, prep) = both(st2, p)
+      assert(part == prep, s"recompacted prune=$p: $part vs $prep")
+    }
     spark.catalog.clearCache()
   }
 

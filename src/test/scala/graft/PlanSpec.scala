@@ -334,6 +334,79 @@ class PlanSpec extends SparkSpec {
         s"than cold (warm=${docScans(warmRoots)}, cold=${docScans(coldRoots)})")
   }
 
+  test("pruned warm screen: a 1-doc batch reads a strict subset of the state's files") {
+    // VERDICT r15 ask #1(b): the state's corpus relations are laid out in
+    // a hash-mod partition space, and a small batch's bounded bucket /
+    // candidate-id sets push down as PARTITION FILTERS — so the per-batch
+    // read cost is O(touched files), not O(corpus files). Pin it at the
+    // scan level: numFiles metrics after execution vs the state's own
+    // file listing (IncrementalState.stats).
+    import graft.dedup.IncrementalDedup
+    import graft.incremental.IncrementalState
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("plan-pruned").resolve("state").toString
+    // 200 distinct docs spread over most of the 32 pd/pb partitions
+    val base = (1L to 200L)
+      .map(i => (i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+      .toDF("doc_id", "text")
+    val bsh = IncrementalDedup.shingled(base, "doc_id", "text")
+    IncrementalState.save(spark, stateDir, new Array[Long](27 * 27 * 27), 0L,
+      None, base.select(org.apache.spark.sql.functions.md5(col("text")).as("bh")),
+      base, bsh, IncrementalDedup.bucketsOf(bsh), Seq.empty[String].toDF("g"))
+    val st = IncrementalState.load(spark, stateDir)
+    val stats = IncrementalState.stats(spark, stateDir)
+    assert(stats("shingles").files > 8 && stats("partners").files > 8,
+      s"fixture must spread over many partition dirs for the pin to mean anything: $stats")
+    val batch = Seq((9000L, "alpha50 beta50 gamma50 delta50 epsilon50 zeta50"))
+      .toDF("doc_id", "text")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def filesRead(df: org.apache.spark.sql.DataFrame, rel: String): Long = {
+        df.collect() // metrics are filled by execution
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+        // descend into persisted joints: the scans live in the cached plan
+        def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+          case s: FileSourceScanExec => Seq(s)
+          case im: InMemoryTableScanExec => allScans(im.relation.cachedPlan)
+        }.flatten
+        val scans = allScans(df.queryExecution.executedPlan).filter(
+          _.relation.location.rootPaths.exists(_.toString.contains(
+            new java.io.File(stateDir, rel).getPath)))
+        assert(scans.nonEmpty, s"no $rel scan in:\n${df.queryExecution.executedPlan}")
+        scans.map(_.metrics("numFiles").value).sum
+      }
+      // half 1: the candidate join reads a pruned subset of partners/
+      val dbk = IncrementalDedup.bucketsOf(
+          IncrementalDedup.shingled(batch, "doc_id", "text"))
+        .select(col("bucket"), col("doc_id").as("delta_id"))
+      val cand = IncrementalDedup.prunedCandidates(
+        st.basePartnersP, st.pMod, st.canonical, dbk, prune = true, st.bucketCap)
+      val partnersRead = filesRead(cand, "partners")
+      assert(partnersRead > 0 && partnersRead < stats("partners").files,
+        s"1-doc batch must read a strict subset of partners/ files " +
+          s"($partnersRead of ${stats("partners").files})")
+      assert(cand.select("base_id").as[Long].collect().toSeq == Seq(50L),
+        "the pruned read must still find the one true candidate")
+      // half 2: verification reads a pruned subset of shingles/
+      val screened = IncrementalDedup.screenPartitioned(
+        st.baseShP, st.basePartnersP, st.pMod, st.canonical,
+        batch, "doc_id", "text", 0.8, prune = true, st.bucketCap)
+      val shinglesRead = filesRead(screened, "shingles")
+      assert(shinglesRead > 0 && shinglesRead < stats("shingles").files,
+        s"1-doc batch must read a strict subset of shingles/ files " +
+          s"($shinglesRead of ${stats("shingles").files})")
+      assert(screened.collect().map(r => (r.getBoolean(1), r.getLong(2))).toSeq ==
+        Seq((false, 50L)), "the pruned screen must still catch the copy")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("flip1 spine: broadcast gather, TakeOrderedAndProject top-k, one ingest window") {
     // the lazy lifecycle (the query fn materializes before closing the
     // engine, leaving only a LocalTableScan — lazySearch exposes the plan)
