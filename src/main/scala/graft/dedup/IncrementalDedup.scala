@@ -113,6 +113,8 @@ object IncrementalDedup {
     pmod(hash(bucket), lit(pMod)).cast("int")
   private[graft] def pdOf(docId: Column, pMod: Int): Column =
     pmod(hash(docId), lit(pMod)).cast("int")
+  private[graft] def phOf(bh: Column, pMod: Int): Column =
+    pmod(hash(bh), lit(pMod)).cast("int")
 
   /** [[screenPrepared]] against the state's PARTITIONED artifacts — the
     * 100-TB warm path. Two O(corpus)-per-ingest terms of the plain warm

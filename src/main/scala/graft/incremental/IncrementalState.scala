@@ -35,14 +35,17 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *     per warm batch: one documents scan + distinct shuffle per ingest
   *     for a set that never changes between refits.
   *
-  * LAYOUT FOR PRUNED READS (format v3): the corpus-sized relations are
+  * LAYOUT FOR PRUNED READS (format v4): the corpus-sized relations are
   * hash-partitioned into a fixed mod space (`pmod` in the sidecar,
   * [[DefaultPMod]] dirs) — `buckets/` and `partners/` by
   * `pb = pmod(hash(bucket), pmod)`, `shingles/` by
-  * `pd = pmod(hash(doc_id), pmod)` — so a batch's bounded bucket and
-  * candidate-id sets push down as PARTITION FILTERS and a small batch
-  * reads a small subset of state files instead of scanning the corpus
-  * relations whole (`IncrementalDedup.screenPartitioned`). At 100 TB
+  * `pd = pmod(hash(doc_id), pmod)`, `hashes/` by
+  * `ph = pmod(hash(bh), pmod)` — so a batch's bounded bucket /
+  * candidate-id / content-hash sets push down as PARTITION FILTERS and
+  * a small batch reads a small subset of state files instead of
+  * scanning the corpus relations whole
+  * (`IncrementalDedup.screenPartitioned`; the exact-dedup anti-join
+  * prunes via `Pipeline.prunedBaseHashes`). At 100 TB
   * raise `pMod` at build time (it rides the sidecar; readers adapt) and
   * salt the writer's repartition if `pMod` exceeds the write
   * parallelism you want.
@@ -112,7 +115,7 @@ object IncrementalState {
   final case class Loaded(
       n3: Array[Long], n2: Array[Long], nScorable: Long,
       threshold: Option[(Double, Long)],
-      baseHashes: DataFrame,   // (bh string)
+      baseHashesP: DataFrame,  // (bh string, ph int)
       baseExact: DataFrame,    // (doc_id long, text string)
       baseShP: DataFrame,      // (doc_id long, sh array<string>, pd int)
       baseBucketsP: DataFrame, // (doc_id long, bucket string, pb int)
@@ -121,6 +124,7 @@ object IncrementalState {
       pMod: Int,        // the layout's partition-mod (sidecar `pmod`)
       bucketCap: Int,   // the cap BAKED into partners/ at the last publish
       canonical: Boolean) {
+    def baseHashes: DataFrame = baseHashesP.select("bh")
     def baseSh: DataFrame = baseShP.select("doc_id", "sh")
     def baseBuckets: DataFrame = baseBucketsP.select("doc_id", "bucket")
     def basePartners: DataFrame = basePartnersP.select("bucket", "base_id", "cnt")
@@ -150,8 +154,10 @@ object IncrementalState {
     * state cache by path should fold this into the directory name (the
     * x32 bench cache does) so old states are never even probed.
     * v3: mod-partitioned buckets/shingles, the persisted capped partner
-    * relation (`partners/`), `pmod` in the sidecar. */
-  val CurrentVersion = 3
+    * relation (`partners/`), `pmod` in the sidecar. v4: `hashes/` joins
+    * the partitioned layout (`ph = pmod(hash(bh), pmod)`) so the warm
+    * exact-dedup anti-join prunes too. */
+  val CurrentVersion = 4
 
   /** The single-writer lock every mutating entry point takes around its
     * WHOLE read-modify-write (not just the publish): a compact that read
@@ -235,7 +241,7 @@ object IncrementalState {
                          pMod: Int = DefaultPMod,
                          bucketCap: Int = graft.search.Search.LshBucketCap): Unit = {
     import org.apache.spark.sql.functions.col
-    import graft.dedup.IncrementalDedup.{partnerRelationCnt, pbOf, pdOf}
+    import graft.dedup.IncrementalDedup.{partnerRelationCnt, pbOf, pdOf, phOf}
     val live = new Path(path)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     sweep(fs, live) // writer-side crash recovery: restore .old-, drop stale stages
@@ -244,7 +250,10 @@ object IncrementalState {
     // age gate in [[sweep]])
     val tmp = new Path(live.getParent,
       s".tmp-${live.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
-    baseHashes.select("bh").write.parquet(new Path(tmp, "hashes").toString)
+    baseHashes.select("bh")
+      .withColumn("ph", phOf(col("bh"), pMod))
+      .repartition(col("ph")).write.partitionBy("ph")
+      .parquet(new Path(tmp, "hashes").toString)
     baseExact.select("doc_id", "text").write.parquet(new Path(tmp, "exact").toString)
     baseSh.select(col("doc_id"), col("sh"))
       .withColumn("pd", pdOf(col("doc_id"), pMod))
@@ -350,6 +359,8 @@ object IncrementalState {
   private def readPartners(spark: SparkSession, dir: Path): DataFrame =
     spark.read.schema("bucket STRING, base_id BIGINT, cnt BIGINT, pb INT")
       .parquet(dir.toString)
+  private def readHashes(spark: SparkSession, dir: Path): DataFrame =
+    spark.read.schema("bh STRING, ph INT").parquet(dir.toString)
 
   /** Open a state READ-ONLY. Never deletes, renames, or sweeps — a load
     * racing an in-flight save/compact cannot corrupt the publish (the
@@ -384,7 +395,7 @@ object IncrementalState {
     var i = 0
     while (i < n3.length) { n2(i / 27) += n3(i); i += 1 }
     Loaded(n3, n2, nScorable, threshold,
-      spark.read.parquet(new Path(root, "hashes").toString),
+      readHashes(spark, new Path(root, "hashes")),
       spark.read.parquet(new Path(root, "exact").toString),
       readShingles(spark, new Path(root, "shingles")),
       readBuckets(spark, new Path(root, "buckets")),
@@ -454,9 +465,11 @@ object IncrementalState {
       try {
         val newBk = graft.dedup.IncrementalDedup.bucketsOf(newSh).persist()
         try {
-          import graft.dedup.IncrementalDedup.{pbOf, pdOf}
+          import graft.dedup.IncrementalDedup.{pbOf, pdOf, phOf}
           batch.select(md5(col("text")).as("bh"))
-            .write.mode("append").parquet(new Path(live, "hashes").toString)
+            .withColumn("ph", phOf(col("bh"), pMod))
+            .repartition(col("ph")).write.mode("append").partitionBy("ph")
+            .parquet(new Path(live, "hashes").toString)
           batch.write.mode("append").parquet(new Path(live, "exact").toString)
           newSh.withColumn("pd", pdOf(col("doc_id"), pMod))
             .repartition(col("pd")).write.mode("append").partitionBy("pd")

@@ -812,6 +812,27 @@ object Pipeline {
       materializeDec = false)
   }
 
+  /** The state's content-hash relation PRUNED to the partitions a batch
+    * can possibly hit — the exact-dedup anti-join's base side, cut from
+    * O(corpus) to O(touched files) for a production-shaped batch. The
+    * prune set comes from the RAW batch's text hashes (one bounded
+    * O(batch) action, independent of the heavy screen chain): post-cut
+    * delta hashes are a SUBSET of the raw batch's, so filtering the base
+    * side to the raw set's partitions can never drop a hash the
+    * anti-join needed — the join's outcome is bit-identical to the
+    * unpruned one (spec-pinned). A batch touching every partition skips
+    * the filter and loses nothing but the one action. */
+  private[graft] def prunedBaseHashes(
+      st: graft.incremental.IncrementalState.Loaded,
+      batch: DataFrame, textCol: String): DataFrame = {
+    val phVals = batch
+      .select(graft.dedup.IncrementalDedup
+        .phOf(md5(col(textCol)), st.pMod).as("ph"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    if (phVals.size >= st.pMod) st.baseHashes
+    else st.baseHashesP.filter(col("ph").isin(phVals: _*)).select("bh")
+  }
+
   /** ONE warm ingest cycle of the production loop: screen `batch` (raw
     * (doc_id, source, text) rows — one of K arriving crawls) against the
     * PERSISTED state and return the ACCEPTED survivors (quality gate →
@@ -855,7 +876,8 @@ object Pipeline {
     // no fixture dir: with deltaSrc supplied and the probe riding the
     // state, every input is the batch or the state — nothing reads the
     // fixture (deltaStages' stdDelta is a lazy def, never evaluated here)
-    val stages = deltaStages(s, d = "", st.n3, st.n2, st.threshold, st.baseHashes,
+    val stages = deltaStages(s, d = "", st.n3, st.n2, st.threshold,
+      prunedBaseHashes(st, batch, "text"), // anti-join base side pruned too
       st.probeGrams,
       // prune = true: a production batch is small relative to the corpus,
       // so its bounded bucket/candidate sets push down as partition

@@ -467,6 +467,30 @@ class IncrementalStateSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("pruned base-hash anti-join is bit-identical to the unpruned one (copies cut, novel kept)") {
+    val dir = freshDir("incr-hashprune")
+    val novel1 = "quantum chromatic lattice verse mountain ember topaz river echo harbor"
+    val base = Seq((10L, baseA), (11L, baseB)).toDF("doc_id", "text")
+    val bsh = IncrementalDedup.shingled(base, "doc_id", "text")
+    IncrementalState.save(spark, dir, new Array[Long](27 * 27 * 27), 0L, None,
+      base.select(md5(col("text")).as("bh")), base, bsh,
+      IncrementalDedup.bucketsOf(bsh), Seq.empty[String].toDF("g"))
+    val st = IncrementalState.load(spark, dir)
+    // a copy of a base keeper (its hash must survive the prune and cut
+    // the copy) and a novel doc (must pass the anti-join untouched)
+    val batch = Seq((100L, baseA), (101L, novel1)).toDF("doc_id", "text")
+    def anti(hashes: org.apache.spark.sql.DataFrame): Seq[Long] = batch
+      .withColumn("__h", md5(col("text")))
+      .join(hashes, col("__h") === col("bh"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val pruned = Pipeline.prunedBaseHashes(st, batch, "text")
+    assert(anti(pruned) == anti(st.baseHashes),
+      "pruning must not change the anti-join's outcome")
+    assert(anti(pruned) == Seq(101L),
+      "the base copy must be cut, the novel doc kept")
+    spark.catalog.clearCache()
+  }
+
   test("remove with a LARGE id set takes the broadcast anti-join path, output-identical to isin") {
     val novel1 = "quantum chromatic lattice verse mountain ember topaz river echo harbor"
     val base = Seq((10L, baseA), (11L, baseB), (12L, novel1)).toDF("doc_id", "text")

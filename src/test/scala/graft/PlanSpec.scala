@@ -401,6 +401,20 @@ class PlanSpec extends SparkSpec {
           s"($shinglesRead of ${stats("shingles").files})")
       assert(screened.collect().map(r => (r.getBoolean(1), r.getLong(2))).toSeq ==
         Seq((false, 50L)), "the pruned screen must still catch the copy")
+      // half 3: the exact-dedup anti-join's base side reads a pruned
+      // subset of hashes/ — and still carries the one hash the batch's
+      // copy must anti-join against (superset-validity of the raw-batch
+      // prune set)
+      val prunedHashes = graft.queries.Pipeline.prunedBaseHashes(
+        st, batch, "text")
+      val hashesRead = filesRead(prunedHashes, "hashes")
+      assert(hashesRead > 0 && hashesRead < stats("hashes").files,
+        s"1-doc batch must read a strict subset of hashes/ files " +
+          s"($hashesRead of ${stats("hashes").files})")
+      val copyHash = batch.select(org.apache.spark.sql.functions
+        .md5(col("text")).as("h")).head().getString(0)
+      assert(prunedHashes.filter(col("bh") === copyHash).count() == 1,
+        "the pruned hash set must still contain the copy's content hash")
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.catalog.clearCache()
