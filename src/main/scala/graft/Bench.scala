@@ -290,8 +290,15 @@ object Bench {
         "samples" -> jmap(samples.toSeq.sortBy(_._1).map { case (k, v) =>
           k -> v.mkString("[", ",", "]") }),
         "errors" -> jmap(errors.toSeq.sortBy(_._1).map { case (k, v) => k -> ("\"" + v + "\"") })))
+    // A SOLO/SUBSET run (SPARK_GRAFT_BENCH_ONLY) must never clobber the
+    // committed full-campaign detail — round 15's end-of-round snapshot
+    // shipped a 2-query A/B leftover as "the 106-query campaign" exactly
+    // this way (VERDICT r15 "what's wrong" #1). Subset runs write a side
+    // file; only a full-suite run owns BENCH_DETAIL.json.
+    val detailPath =
+      if (only.isEmpty) "BENCH_DETAIL.json" else "BENCH_DETAIL_SUBSET.json"
     scala.util.Try(java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      java.nio.file.Paths.get(detailPath),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calibration":${fmt(calibration)},"calib_ratio":${fmt(calibRatio)},"attempts":$attempts,"calib_retries_exhausted":$retriesExhausted,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
