@@ -600,13 +600,15 @@ object Pipeline {
     * leaking the joints instead would bleed memory in every long-lived
     * session, the worse default. */
   def buildState(s: org.apache.spark.sql.SparkSession, d: String,
-                 stateDir: String): Unit = {
+                 stateDir: String,
+                 pMod: Int = graft.incremental.IncrementalState.DefaultPMod): Unit = {
     val fb = frozenBase(s, d)
     try {
       val bsh = graft.dedup.IncrementalDedup.shingled(fb.baseExact, "doc_id", "text")
       graft.incremental.IncrementalState.save(s, stateDir,
         fb.n3, fb.nScorable, fb.threshold, fb.baseHashes, fb.baseExact,
-        bsh, graft.dedup.IncrementalDedup.bucketsOf(bsh), probeGramsOf(s, d))
+        bsh, graft.dedup.IncrementalDedup.bucketsOf(bsh), probeGramsOf(s, d),
+        pMod)
     } finally {
       fb.baseExact.unpersist()
       fb.baseGate.unpersist()
@@ -870,23 +872,45 @@ object Pipeline {
     * the accepted batch (parquet) BEFORE advancing and fold in the
     * landed copy — localCheckpoint is the in-session equivalent (block
     * storage, not fault-tolerant across executor loss). */
+  /** Below this many bytes across the state's pruned relations
+    * (partners + shingles + hashes), [[warmScreenAccepted]] skips
+    * pruning even when allowed: the two bounded prune actions cost
+    * ~0.2–0.8 s of driver roundtrips (measured, `graft.WarmBatchBench`
+    * — the fixtures' replicated corpora collapse to ~1.9K distinct
+    * keepers, so their full scans are effectively free), while scanning
+    * a GiB-scale relation costs more than the actions save. The same
+    * metadata-driven shape as Spark's own broadcast threshold: cheap
+    * driver-side listing, no job. */
+  val PruneBytesFloor: Long = 1L << 30
+
   def warmScreenAccepted(s: org.apache.spark.sql.SparkSession,
-                         stateDir: String, batch: DataFrame): DataFrame = {
+                         stateDir: String, batch: DataFrame,
+                         prune: Boolean = true,
+                         pruneBytesFloor: Long = PruneBytesFloor): DataFrame = {
     val st = graft.incremental.IncrementalState.load(s, stateDir)
+    // size gate: pruning pays only when the state's pruned relations are
+    // big enough that their full scans dominate the two bounded prune
+    // actions — driver-side file metadata, no Spark job
+    val doPrune = prune && {
+      val sizes = graft.incremental.IncrementalState.stats(s, stateDir)
+      Seq("partners", "shingles", "hashes").map(sizes(_).bytes).sum >= pruneBytesFloor
+    }
     // no fixture dir: with deltaSrc supplied and the probe riding the
     // state, every input is the batch or the state — nothing reads the
     // fixture (deltaStages' stdDelta is a lazy def, never evaluated here)
     val stages = deltaStages(s, d = "", st.n3, st.n2, st.threshold,
-      prunedBaseHashes(st, batch, "text"), // anti-join base side pruned too
+      // anti-join base side pruned too (prune = false is the measured
+      // full-scan comparison arm, graft.WarmBatchBench)
+      if (doPrune) prunedBaseHashes(st, batch, "text") else st.baseHashes,
       st.probeGrams,
-      // prune = true: a production batch is small relative to the corpus,
-      // so its bounded bucket/candidate sets push down as partition
-      // filters and the screen READS a small subset of the state's files
-      // (the two prune actions are O(batch); a batch touching every
-      // partition skips the filters and loses nothing but those actions)
+      // doPrune: a production batch is small relative to the corpus, so
+      // its bounded bucket/candidate sets push down as partition filters
+      // and the screen READS a small subset of the state's files (the
+      // two prune actions are O(batch); a batch touching every partition
+      // skips the filters and loses nothing but those actions)
       dEx => graft.dedup.IncrementalDedup.screenPartitioned(
         st.baseShP, st.basePartnersP, st.pMod, st.canonical,
-        dEx, "doc_id", "text", JaccardTau, prune = true, st.bucketCap),
+        dEx, "doc_id", "text", JaccardTau, doPrune, st.bucketCap),
       materializeDec = false, deltaSrc = Some(batch))
     try stages.clean.select(col("doc_id"), col("text")).localCheckpoint(true)
     finally { stages.dExact.unpersist(); stages.dec.unpersist(); stages.capped.unpersist(); () }
