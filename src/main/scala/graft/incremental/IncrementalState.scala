@@ -111,19 +111,35 @@ object IncrementalState {
     * The partitioned frames (`*P`) carry their partition column for the
     * pruned warm path; the plain accessors project it away for
     * consumers that only want the relation. `canonical` = no appends
-    * since the last save/compact (partner rows usable without a fold). */
-  final case class Loaded(
-      n3: Array[Long], n2: Array[Long], nScorable: Long,
-      threshold: Option[(Double, Long)],
-      baseHashesP: DataFrame,  // (bh string, ph int)
-      baseExact: DataFrame,    // (doc_id long, text string)
-      baseShP: DataFrame,      // (doc_id long, sh array<string>, pd int)
-      baseBucketsP: DataFrame, // (doc_id long, bucket string, pb int)
-      basePartnersP: DataFrame,// (bucket string, base_id long, cnt long, pb int)
-      probeGrams: DataFrame,   // (g string) — distinct contamination-probe grams
-      pMod: Int,        // the layout's partition-mod (sidecar `pmod`)
-      bucketCap: Int,   // the cap BAKED into partners/ at the last publish
-      canonical: Boolean) {
+    * since the last save/compact (partner rows usable without a fold).
+    *
+    * The relation fields are LAZY (by-name constructor args): building a
+    * `DataFrame` over a mod-partitioned directory pays partition
+    * discovery — a recursive file listing whose driver cost grows with
+    * `pMod` × fragmentation — so a consumer must only pay it for the
+    * relations it actually reads. The warm screen touches hashes /
+    * shingles / partners (+ the tiny probe) and never exact / buckets;
+    * an eager load made it list all six (measured: ~2 s of the ~4 s
+    * per-batch load at pMod = 512 was the two unread relations'
+    * listings). */
+  final class Loaded(
+      val n3: Array[Long], val n2: Array[Long], val nScorable: Long,
+      val threshold: Option[(Double, Long)],
+      baseHashesP0: => DataFrame,  // (bh string, ph int)
+      baseExact0: => DataFrame,    // (doc_id long, text string)
+      baseShP0: => DataFrame,      // (doc_id long, sh array<string>, pd int)
+      baseBucketsP0: => DataFrame, // (doc_id long, bucket string, pb int)
+      basePartnersP0: => DataFrame,// (bucket string, base_id long, cnt long, pb int)
+      probeGrams0: => DataFrame,   // (g string) — distinct contamination-probe grams
+      val pMod: Int,        // the layout's partition-mod (sidecar `pmod`)
+      val bucketCap: Int,   // the cap BAKED into partners/ at the last publish
+      val canonical: Boolean) {
+    lazy val baseHashesP: DataFrame = baseHashesP0
+    lazy val baseExact: DataFrame = baseExact0
+    lazy val baseShP: DataFrame = baseShP0
+    lazy val baseBucketsP: DataFrame = baseBucketsP0
+    lazy val basePartnersP: DataFrame = basePartnersP0
+    lazy val probeGrams: DataFrame = probeGrams0
     def baseHashes: DataFrame = baseHashesP.select("bh")
     def baseSh: DataFrame = baseShP.select("doc_id", "sh")
     def baseBuckets: DataFrame = baseBucketsP.select("doc_id", "bucket")
@@ -394,7 +410,7 @@ object IncrementalState {
     val n2 = new Array[Long](27 * 27)
     var i = 0
     while (i < n3.length) { n2(i / 27) += n3(i); i += 1 }
-    Loaded(n3, n2, nScorable, threshold,
+    new Loaded(n3, n2, nScorable, threshold,
       readHashes(spark, new Path(root, "hashes")),
       spark.read.parquet(new Path(root, "exact").toString),
       readShingles(spark, new Path(root, "shingles")),
@@ -532,19 +548,28 @@ object IncrementalState {
       throw new java.io.IOException(s"no incremental state at $path"))
     Relations.map { rel =>
       val dir = new Path(root, rel)
-      // recursive: the v3 partitioned relations nest their files under
-      // pb=/pd= dirs — count data files wherever they sit
+      // recursive via plain listStatus: the v3 partitioned relations nest
+      // their files under pb=/pd= dirs — count data files wherever they
+      // sit. NOT fs.listFiles(dir, recursive = true): that returns
+      // LocatedFileStatus, and materializing one on the local filesystem
+      // loads per-file permission/block info (an exec per entry on
+      // RawLocalFileSystem) — measured 15 s for a pMod = 512 state's
+      // ~2.5K dirs + 2K files, vs milliseconds for the plain recursion.
+      // listStatus keeps the walk at one listing call per directory and
+      // never touches the fields that trigger the per-file work.
       var files = 0
       var bytes = 0L
-      if (fs.exists(dir)) {
-        val it = fs.listFiles(dir, true)
-        while (it.hasNext) {
-          val st = it.next()
-          if (st.getPath.getName.endsWith(".parquet")) {
-            files += 1; bytes += st.getLen
+      def walk(p: Path): Unit =
+        (try fs.listStatus(p)
+         catch { case _: java.io.FileNotFoundException =>
+           Array.empty[org.apache.hadoop.fs.FileStatus] })
+          .foreach { st =>
+            if (st.isDirectory) walk(st.getPath)
+            else if (st.getPath.getName.endsWith(".parquet")) {
+              files += 1; bytes += st.getLen
+            }
           }
-        }
-      }
+      if (fs.exists(dir)) walk(dir)
       rel -> RelationStats(files, bytes)
     }.toMap
   }

@@ -875,13 +875,24 @@ object Pipeline {
   /** Below this many bytes across the state's pruned relations
     * (partners + shingles + hashes), [[warmScreenAccepted]] skips
     * pruning even when allowed: the two bounded prune actions cost
-    * ~0.2–0.8 s of driver roundtrips (measured, `graft.WarmBatchBench`
-    * — the fixtures' replicated corpora collapse to ~1.9K distinct
-    * keepers, so their full scans are effectively free), while scanning
-    * a GiB-scale relation costs more than the actions save. The same
-    * metadata-driven shape as Spark's own broadcast threshold: cheap
-    * driver-side listing, no job. */
-  val PruneBytesFloor: Long = 1L << 30
+    * ~0.2–0.8 s of driver roundtrips, while below the floor a full scan
+    * of the small relations costs less than the actions save. The same
+    * metadata-driven shape as Spark's own broadcast threshold — and the
+    * size is read off the scan plans' file-index statistics the screen
+    * builds anyway, so the gate itself is free.
+    *
+    * Placement is MEASURED on deployment-shaped (distinct-document)
+    * states, not the replicated fixtures whose exact-dedup collapse
+    * keeps these relations sub-MB (`graft.SaltedFixture` +
+    * `graft.WarmBatchBench`, BASELINE.md round-16): at 197 MB of pruned
+    * relations (1M-doc state) the arms are even (pruning neither wins
+    * nor loses, ±0.3 s across batch 8–1024); at 968 MB (5M-doc state)
+    * pruning wins 35%/33%/13% at batch 8/64/1024 and its per-batch time
+    * is FLAT across the 5× state growth while the scan arm's grows.
+    * 256 MiB sits just above the measured indifference point, so every
+    * state big enough to show a win prunes and no state pays the
+    * actions for nothing. */
+  val PruneBytesFloor: Long = 1L << 28
 
   def warmScreenAccepted(s: org.apache.spark.sql.SparkSession,
                          stateDir: String, batch: DataFrame,
@@ -890,11 +901,16 @@ object Pipeline {
     val st = graft.incremental.IncrementalState.load(s, stateDir)
     // size gate: pruning pays only when the state's pruned relations are
     // big enough that their full scans dominate the two bounded prune
-    // actions — driver-side file metadata, no Spark job
-    val doPrune = prune && {
-      val sizes = graft.incremental.IncrementalState.stats(s, stateDir)
-      Seq("partners", "shingles", "hashes").map(sizes(_).bytes).sum >= pruneBytesFloor
-    }
+    // actions. Sized from the scan plans' own statistics (the file
+    // index's summed file lengths) — the three relations gated on are
+    // exactly the three the screen reads, so their (lazy) file indexes
+    // are built here and REUSED by the scans: the gate adds no listing
+    // of its own. (An earlier cut re-listed the state via
+    // IncrementalState.stats per batch — ~15 s of LocatedFileStatus
+    // overhead at pMod = 512 before the screen ran a single job.)
+    val doPrune = prune &&
+      Seq(st.basePartnersP, st.baseShP, st.baseHashesP)
+        .map(_.queryExecution.optimizedPlan.stats.sizeInBytes).sum >= pruneBytesFloor
     // no fixture dir: with deltaSrc supplied and the probe riding the
     // state, every input is the batch or the state — nothing reads the
     // fixture (deltaStages' stdDelta is a lazy def, never evaluated here)
