@@ -294,9 +294,15 @@ object Bench {
     // committed full-campaign detail — round 15's end-of-round snapshot
     // shipped a 2-query A/B leftover as "the 106-query campaign" exactly
     // this way (VERDICT r15 "what's wrong" #1). Subset runs write a side
-    // file; only a full-suite run owns BENCH_DETAIL.json.
+    // file, and so does a full-suite run at any OTHER scale factor (a
+    // full sf0.01 sanity run clobbered the sf0.1 campaign detail in
+    // round 16 through the subset-only guard): only the full suite at
+    // the campaign's sf0.1 owns BENCH_DETAIL.json.
+    val sfBase = new java.io.File(sfDir).getName
     val detailPath =
-      if (only.isEmpty) "BENCH_DETAIL.json" else "BENCH_DETAIL_SUBSET.json"
+      if (only.nonEmpty) "BENCH_DETAIL_SUBSET.json"
+      else if (sfBase == "sf0.1") "BENCH_DETAIL.json"
+      else s"BENCH_DETAIL_$sfBase.json"
     scala.util.Try(java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
