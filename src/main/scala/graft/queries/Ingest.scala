@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.Tables
+import graft.sources.Jsonl
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Ingest-format queries: the corpus interchange formats a training-data
+  * pipeline reads BEFORE any curation operator runs. The oracle cannot
+  * read JSONL (the harness pins DuckDB to the parquet fixtures), so the
+  * round trip itself is what goes under the hash: the Spark side writes
+  * the documents table out as sharded JSONL (plus a deliberately corrupt
+  * shard), reads it back through [[graft.sources.Jsonl]], and aggregates
+  * the GOOD stream — any parse loss, type drift, or text mangling in
+  * either direction moves `n_docs`/`id_sum` or the md5 extremes and
+  * fails the hash against the oracle's direct-parquet answer. The
+  * corrupt shard's two lines must land in quarantine, and ONLY those
+  * two: the count rides the result as a column the oracle states as a
+  * constant, so a quarantine that over- or under-catches also fails the
+  * gate.
+  */
+object Ingest {
+
+  private[graft] val DocSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("source", StringType),
+    StructField("lang", StringType),
+    StructField("text", StringType)))
+
+  /** Two malformed lines every fixture carries: truncated JSON, and a
+    * type mismatch that IS valid JSON (the case a naive "does it parse"
+    * quarantine misses). */
+  private val CorruptLines = Seq(
+    """{"doc_id": 1000000001, "source": "crawl", "text": "truncat""",
+    """{"doc_id": "not-a-number", "source": "crawl", "lang": "en", "text": "x"}""")
+
+  /** The JSONL mirror of a fixture's documents table, built ONCE per
+    * scale factor under the JVM tmpdir (the fixtures are immutable —
+    * the x32 state-dir convention) via a staged rename: shards from one
+    * `write.json` pass plus the corrupt shard, so concurrent first
+    * touches race to an atomic rename, never to a half-written dir. */
+  private[graft] def jsonlDirFor(s: SparkSession, d: String): String = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_jsonl_v1_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+    if (!dir.isDirectory) {
+      val stage = new java.io.File(dir.getParentFile,
+        s".tmp-${dir.getName}-${java.util.UUID.randomUUID()}")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+        .write.mode("overwrite").json(stage.getPath)
+      java.nio.file.Files.write(
+        stage.toPath.resolve("zz-corrupt-shard.jsonl"),
+        CorruptLines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      if (!stage.renameTo(dir)) { // lost the build race: a sibling published
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(stage.toPath).iterator().asScala.toSeq
+          .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        require(dir.isDirectory, s"jsonl fixture publish failed for $dir")
+      }
+    }
+    dir.getPath
+  }
+
+  private val x33 = Q(
+    "x33_jsonl_ingest",
+    (s, d) => {
+      val dir = jsonlDirFor(s, d)
+      val nQuar = Jsonl.quarantine(s, dir, DocSchema).count()
+      Jsonl.good(Jsonl.read(s, dir, DocSchema))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          min(md5(col("text"))).as("min_h"),
+          max(md5(col("text"))).as("max_h"))
+        .withColumn("n_quarantined", lit(nQuar))
+        .orderBy("source")
+    },
+    Some("""
+      SELECT source, count(*)::BIGINT AS n_docs,
+             sum(doc_id)::BIGINT AS id_sum,
+             min(md5(text)) AS min_h, max(md5(text)) AS max_h,
+             2::BIGINT AS n_quarantined
+      FROM documents GROUP BY source ORDER BY source"""))
+
+  val qs: Seq[Q] = Seq(x33)
+}

@@ -8,7 +8,7 @@ object Registry {
     Relational.qs ++ Vectors.qs ++ TextDedup.qs ++ GeoQueries.qs ++
       FuseRank.qs ++ RerankQueries.qs ++ Extended.qs ++ Restaurants.qs ++
       Flipkart.qs ++ EvalQueries.qs ++ Media.qs ++ Pipeline.qs ++
-      SqlSurface.qs
+      SqlSurface.qs ++ Ingest.qs
 
   def duplicateNames: Seq[String] =
     all.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }.toSeq
