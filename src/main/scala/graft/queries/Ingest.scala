@@ -83,5 +83,59 @@ object Ingest {
              2::BIGINT AS n_quarantined
       FROM documents GROUP BY source ORDER BY source"""))
 
-  val qs: Seq[Q] = Seq(x33)
+  /** The WARC mirror of a fixture's documents table — the crawl layout
+    * (per-record gzip members), URIs carrying source as the host and
+    * doc_id as the path the way a real dump's `WARC-Target-URI` carries
+    * the registered domain x24-style capping keys on. Four shards via a
+    * deterministic hash repartition; built once per scale factor (x33's
+    * staged-rename convention). */
+  private[graft] def warcDirFor(s: SparkSession, d: String): String = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_warc_v1_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+    if (!dir.isDirectory) {
+      val stage = new java.io.File(dir.getParentFile,
+        s".tmp-${dir.getName}-${java.util.UUID.randomUUID()}")
+      graft.sources.Warc.write(
+        Tables.documents(s, d)
+          .select(
+            concat(lit("https://"), col("source"), lit(".example/"),
+              col("doc_id")).as("uri"),
+            encode(col("text"), "UTF-8").as("payload"))
+          .repartition(4, col("uri")),
+        "uri", "payload", stage.getPath)
+      if (!stage.renameTo(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(stage.toPath).iterator().asScala.toSeq
+          .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        require(dir.isDirectory, s"warc fixture publish failed for $dir")
+      }
+    }
+    dir.getPath
+  }
+
+  private val x34 = Q(
+    "x34_warc_ingest",
+    (s, d) => {
+      val dir = warcDirFor(s, d)
+      graft.sources.Warc.records(s, dir)
+        .select(
+          regexp_extract(col("target_uri"),
+            "^https://([^.]+)\\.example/", 1).as("source"),
+          regexp_extract(col("target_uri"), "/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          md5(col("payload")).as("h")) // md5 of the UTF-8 payload == md5(text)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          min(col("h")).as("min_h"),
+          max(col("h")).as("max_h"))
+        .orderBy("source")
+    },
+    Some("""
+      SELECT source, count(*)::BIGINT AS n_docs,
+             sum(doc_id)::BIGINT AS id_sum,
+             min(md5(text)) AS min_h, max(md5(text)) AS max_h
+      FROM documents GROUP BY source ORDER BY source"""))
+
+  val qs: Seq[Q] = Seq(x33, x34)
 }
