@@ -137,5 +137,35 @@ object Ingest {
              min(md5(text)) AS min_h, max(md5(text)) AS max_h
       FROM documents GROUP BY source ORDER BY source"""))
 
-  val qs: Seq[Q] = Seq(x33, x34)
+  // X35 — HTML → text extraction (the WET step between WARC ingest and
+  // every text operator): each document is wrapped in deterministic
+  // markup IN-QUERY (the x16 injection convention — provable ground
+  // truth on a corpus that ships as plain text), with script/style
+  // elements whose CONTENT contains a bare '<', a comment, escaped
+  // reserved characters in the body, and a run of named entities. The
+  // md5 of the EXTRACTED text is under the hash, so tag stripping,
+  // entity decoding, decode order (&amp; last), and whitespace
+  // collapse are all pinned byte-for-byte against the twin.
+  private val HtmlPre =
+    """<html><head><title>T</title><script type="text/javascript">var x = 1 < 2;</script><style>p { color: red; }</style></head><body><h1>"""
+  private val HtmlMid = """</h1><!-- boilerplate --><p>"""
+  private val HtmlPost = """</p><div>&amp;&lt;&gt;&nbsp;&#39;</div></body></html>"""
+
+  private val x35 = Q(
+    "x35_html_extract",
+    (s, d) => {
+      val html = concat(lit(HtmlPre), graft.prep.Html.escape(col("source")),
+        lit(HtmlMid), graft.prep.Html.escape(col("text")), lit(HtmlPost))
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(graft.prep.Html.textOf(html)).as("h"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val htmlSql = s"concat('$HtmlPre', ${graft.prep.Html.escapeSql("source")}, " +
+        s"'$HtmlMid', ${graft.prep.Html.escapeSql("text")}, '$HtmlPost')"
+      s"""SELECT doc_id, md5(${graft.prep.Html.textOfSql(htmlSql)}) AS h
+          FROM documents ORDER BY doc_id"""
+    })
+
+  val qs: Seq[Q] = Seq(x33, x34, x35)
 }
