@@ -79,8 +79,15 @@ class ActionCountSpec extends SparkSpec {
   }
 
   /** Cold-state measurement: caches emptied first so every run pays (and
-    * counts) the same materializations. */
+    * counts) the same materializations. Table RESOLUTION is primed first:
+    * `spark.read.parquet` submits a one-time-per-(session, path)
+    * schema-inference job (footer read, no execution id) on FIRST
+    * resolution, memoized by Tables' dfCache — a fixture-loading artifact
+    * of session history, not a chain action. Without the priming the
+    * budget would be off by one depending on which suites ran earlier in
+    * the shared session (the round-16 full-suite failure: 7 vs a solo 8). */
   private def measure(name: String): Int = {
+    Tables.documents(spark, dir)
     spark.catalog.clearCache()
     actionsDuring(name)(runQuery(name))
   }
@@ -113,8 +120,9 @@ class ActionCountSpec extends SparkSpec {
 }
 
 object ActionCountSpec {
-  // Measured at the round-16 tree (Spark 4.1.2, sf0.001, local[4]).
-  val X26Actions = 8
+  // Measured at the round-16 tree (Spark 4.1.2, sf0.001, local[4]),
+  // with table resolution primed (see measure()): chain actions only.
+  val X26Actions = 7
   val X31Actions = 5
   val X32WarmActions = 3
 }
