@@ -80,6 +80,40 @@ object YeoJohnson {
     * aggregation jobs (a billion-distinct column cannot be collected). */
   val MaxFitHistogram = 200000
 
+  /** The histogram half of [[fit]]: golden-section MLE over a collected
+    * ascending `(value, weight)` histogram — pure driver math, shared by
+    * [[fit]] and by `Transforms.bestTransform`'s single-scan path so the
+    * two can never drift by an ulp. */
+  private[transform] def fitHistogram(xs: Array[(Double, Double)],
+                                      lo: Double = -2.0, hi: Double = 2.0,
+                                      tol: Double = 1e-4): Double = {
+    val n = xs.map(_._2).sum
+    val slog = xs.map { case (x, w) => math.signum(x) * math.log(math.abs(x) + 1) * w }.sum
+    val llf = (l: Double) => {
+      var s = 0.0; var s2 = 0.0
+      xs.foreach { case (x, w) =>
+        val t = YeoJohnson.scalar(x, l); s += t * w; s2 += t * t * w
+      }
+      val m = s / n
+      val v = s2 / n - m * m
+      -n / 2 * math.log(math.max(v, 1e-300)) + (l - 1) * slog
+    }
+    goldenSection(llf, lo, hi, tol)
+  }
+
+  private def goldenSection(llf: Double => Double, lo: Double, hi: Double,
+                            tol: Double): Double = {
+    val phi = (math.sqrt(5) - 1) / 2
+    var (a, b) = (lo, hi)
+    var c1 = b - phi * (b - a); var c2 = a + phi * (b - a)
+    var f1 = llf(c1); var f2 = llf(c2)
+    while (b - a > tol) {
+      if (f1 > f2) { b = c2; c2 = c1; f2 = f1; c1 = b - phi * (b - a); f1 = llf(c1) }
+      else { a = c1; c1 = c2; f1 = f2; c2 = a + phi * (b - a); f2 = llf(c2) }
+    }
+    (a + b) / 2
+  }
+
   /** MLE λ fit by golden-section search over the Yeo-Johnson log-likelihood
     * (scipy's approach, Brent over [-2, 2]):
     *   llf(λ) = −n/2·log(var(ψ(x,λ))) + (λ−1)·Σ sign(x)·log(|x|+1)
@@ -100,21 +134,12 @@ object YeoJohnson {
       .limit(MaxFitHistogram + 1)
       .collect()
 
-    val llf: Double => Double =
-      if (hist.length <= MaxFitHistogram) {
-        val xs = hist.map(r => (r.getDouble(0), r.getLong(1).toDouble)).sortBy(_._1)
-        val n = xs.map(_._2).sum
-        val slog = xs.map { case (x, w) => math.signum(x) * math.log(math.abs(x) + 1) * w }.sum
-        (l: Double) => {
-          var s = 0.0; var s2 = 0.0
-          xs.foreach { case (x, w) =>
-            val t = YeoJohnson.scalar(x, l); s += t * w; s2 += t * t * w
-          }
-          val m = s / n
-          val v = s2 / n - m * m
-          -n / 2 * math.log(math.max(v, 1e-300)) + (l - 1) * slog
-        }
-      } else {
+    if (hist.length <= MaxFitHistogram)
+      return fitHistogram(
+        hist.map(r => (r.getDouble(0), r.getLong(1).toDouble)).sortBy(_._1),
+        lo, hi, tol)
+
+    val llf: Double => Double = {
         val base = df.filter(c.isNotNull)
           .agg(count(lit(1)).as("n"),
             sum(signum(c) * log(abs(c) + 1)).as("slog"))
@@ -130,15 +155,7 @@ object YeoJohnson {
         }
       }
 
-    val phi = (math.sqrt(5) - 1) / 2
-    var (a, b) = (lo, hi)
-    var c1 = b - phi * (b - a); var c2 = a + phi * (b - a)
-    var f1 = llf(c1); var f2 = llf(c2)
-    while (b - a > tol) {
-      if (f1 > f2) { b = c2; c2 = c1; f2 = f1; c1 = b - phi * (b - a); f1 = llf(c1) }
-      else { a = c1; c1 = c2; f1 = f2; c2 = a + phi * (b - a); f2 = llf(c2) }
-    }
-    (a + b) / 2
+    goldenSection(llf, lo, hi, tol)
   }
 }
 
@@ -158,6 +175,57 @@ object Transforms {
 
   def normCdf(x: Column, mean: Column, std: Column): Column =
     (lit(1.0) + erfApprox((x - mean) / (std * math.sqrt(2.0)))) / 2.0
+
+  /** Driver-side twin of [[erfApprox]] — same polynomial, same operation
+    * order (so the histogram KS path below computes the same doubles the
+    * executor expression path does, value for value). */
+  def erfScalar(x: Double): Double = {
+    val t = 1.0 / (1.0 + 0.3275911 * math.abs(x))
+    val y = 1.0 - (((((1.061405429 * t - 1.453152027) * t) +
+      1.421413741) * t - 0.284496736) * t + 0.254829592) * t *
+      math.exp(-x * x)
+    math.signum(x) * y
+  }
+
+  def normCdfScalar(x: Double, mean: Double, std: Double): Double =
+    (1.0 + erfScalar((x - mean) / (std * math.sqrt(2.0)))) / 2.0
+
+  /** Per-tag distinct-value cap for the single-action KS histogram path —
+    * the same bar the pre-existing window fast path used; ≤ this many
+    * distinct doubles per candidate is a bounded driver collect (≤ ~1.5 MB
+    * at the cap), never a collect of raw rows. */
+  val MaxKsHistogram = 65536
+
+  /** KS statistic from a (value, count) histogram: sort ascending, merge
+    * equal values (the groupBy-on-transformed-value semantics), one pass
+    * for the moments, one for the cumulative deviations. Driver math —
+    * the arithmetic mirrors the distributed path operation for operation
+    * (integer-exact cumulative counts; [[normCdfScalar]] per distinct
+    * value; NaN devs propagate through max like Spark's NaN-greatest
+    * ordering). */
+  private[transform] def ksHistogram(rows: Array[(Double, Long)]): Double = {
+    val sorted = rows.sortBy(_._1)
+    // merge adjacent equal values — distinct transformed values can
+    // collide (two raw values rounding to one transformed double)
+    val xs = new scala.collection.mutable.ArrayBuffer[(Double, Long)](sorted.length)
+    sorted.foreach { case (x, w) =>
+      if (xs.nonEmpty && xs.last._1 == x) xs(xs.size - 1) = (x, xs.last._2 + w)
+      else xs += ((x, w))
+    }
+    var n = 0L; var sx = 0.0; var sx2 = 0.0
+    xs.foreach { case (x, w) => n += w; sx += x * w; sx2 += x * x * w }
+    val nd = n.toDouble
+    val m = sx / nd
+    val s = math.sqrt(math.max(sx2 / nd - m * m, 0.0))
+    var c = 0L
+    var ks = Double.NegativeInfinity
+    xs.foreach { case (x, w) =>
+      val p = c; c += w
+      val cdf = normCdfScalar(x, m, s)
+      ks = math.max(ks, math.max(c / nd - cdf, cdf - p / nd))
+    }
+    ks
+  }
 
   /** One-sample Kolmogorov-Smirnov statistics of several candidate
     * transforms at once, against Normal(mean, std_pop) of each transformed
@@ -187,10 +255,35 @@ object Transforms {
     val spark = df.sparkSession
     val tags = cands.map(_._1)
     val pairs = cands.flatMap { case (t, c) => Seq(lit(t), c.cast("double")) }
-    val grouped = df
+    def groupedDf = df
       .select(explode(map(pairs: _*)).as(Seq("tag", "x")))
       .filter(col("x").isNotNull)
       .groupBy("tag", "x").agg(count(lit(1)).as("cnt"))
+
+    // FAST PATH — ONE driver action instead of two (plus the persist the
+    // two-job shape needed): collect the bounded (tag, value, count)
+    // histogram and finish the KS in the driver (ksHistogram — same
+    // arithmetic, deterministic ascending summation). The limit caps the
+    // collect at #tags × MaxKsHistogram + 1 rows (≤ ~6 MB at 4 tags);
+    // a tag over the per-tag cap falls through to the bucketed two-job
+    // scale path below, unchanged. This is the YeoJohnson.fit histogram
+    // trade applied to the scoring half: at any SF where a candidate
+    // column's distinct-value count is bounded (integer-valued fixture
+    // columns; quantized measures), the whole KS pass is one scan-shaped
+    // aggregation job; a truly unbounded column pays one wasted
+    // limit-collect and takes the old path.
+    val head = groupedDf.limit(tags.size * MaxKsHistogram + 1).collect()
+    val byTag = head.groupBy(_.getAs[String]("tag"))
+    if (head.length <= tags.size.toLong * MaxKsHistogram &&
+        byTag.valuesIterator.forall(_.length <= MaxKsHistogram)) {
+      val ksByTag = byTag.map { case (t, rows) =>
+        t -> ksHistogram(rows.map(r =>
+          (r.getAs[Double]("x"), r.getAs[Long]("cnt"))))
+      }
+      return tags.map(t => t -> ksByTag.getOrElse(t, 1.0)).toMap
+    }
+
+    val grouped = groupedDf
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // Per-tag moments (n, Σx·cnt, Σx²·cnt ≡ raw-row sums) + quantile
@@ -198,7 +291,6 @@ object Transforms {
       val probs = (1 until buckets).map(_.toDouble / buckets)
       val meta = grouped.groupBy("tag").agg(
         sum(col("cnt")).as("n"),
-        count(lit(1)).as("d"),
         sum(col("x") * col("cnt")).as("sx"),
         sum(col("x") * col("x") * col("cnt")).as("sx2"),
         percentile_approx(col("x"), array(probs.map(lit(_)): _*),
@@ -217,41 +309,33 @@ object Transforms {
       val absentTags = tags.filterNot(statByTag.contains)
       val presentTags = tags.filter(statByTag.contains)
       if (presentTags.isEmpty) return absentTags.map(_ -> 1.0).toMap
-      val maxDistinct = meta.map(_.getAs[Long]("d")).max
 
-      // Fast path: when every tag's DISTINCT-value count is modest, a single
-      // per-tag window partition (over distinct values, not raw rows) is
-      // cheap — skip the bucket-offset job entirely. The bucketed slow path
-      // below is the unbounded-cardinality scale path.
-      val smallCardinality = maxDistinct <= 65536
-
-      val bucketCol =
-        if (smallCardinality) lit(0)
-        else {
-          def bucketChain(bounds: Seq[Double]): Column =
-            bounds.foldLeft(lit(0)) { (acc, b) =>
-              acc + when(col("x") > b, 1).otherwise(0)
-            }
-          presentTags.foldRight(lit(-1): Column) { (t, els) =>
-            when(col("tag") === t, bucketChain(statByTag(t)._4)).otherwise(els)
+      // (The modest-cardinality window shortcut that used to live here is
+      // subsumed by the single-action histogram path above: reaching this
+      // point means some tag exceeds MaxKsHistogram distinct values.)
+      val bucketCol = {
+        def bucketChain(bounds: Seq[Double]): Column =
+          bounds.foldLeft(lit(0)) { (acc, b) =>
+            acc + when(col("x") > b, 1).otherwise(0)
           }
+        presentTags.foldRight(lit(-1): Column) { (t, els) =>
+          when(col("tag") === t, bucketChain(statByTag(t)._4)).otherwise(els)
         }
+      }
       val bucketed = grouped.withColumn("b", bucketCol)
 
       // Exclusive prefix offsets per (tag, bucket) — #tags × #buckets rows.
-      val offRows =
-        if (smallCardinality) presentTags.map(t => (t, 0, 0L))
-        else {
-          val totals = bucketed.groupBy("tag", "b").agg(sum("cnt").as("bn")).collect()
-          totals.groupBy(_.getAs[String]("tag")).toSeq.flatMap {
-            case (t, rows) =>
-              var acc = 0L
-              rows.sortBy(_.getAs[Int]("b")).map { r =>
-                val off = acc; acc += r.getAs[Long]("bn")
-                (t, r.getAs[Int]("b"), off)
-              }
-          }
+      val offRows = {
+        val totals = bucketed.groupBy("tag", "b").agg(sum("cnt").as("bn")).collect()
+        totals.groupBy(_.getAs[String]("tag")).toSeq.flatMap {
+          case (t, rows) =>
+            var acc = 0L
+            rows.sortBy(_.getAs[Int]("b")).map { r =>
+              val off = acc; acc += r.getAs[Long]("bn")
+              (t, r.getAs[Int]("b"), off)
+            }
         }
+      }
       val offDf = spark.createDataFrame(offRows).toDF("tag", "b", "off")
       val statDf = spark.createDataFrame(
         statByTag.toSeq.map { case (t, (n, m, s, _)) => (t, n, m, s) })
@@ -289,12 +373,54 @@ object Transforms {
   def bestTransform(df: DataFrame, colName: String,
                     fitYj: Boolean = true): Option[FittedTransform] = {
     val c = col(colName).cast("double")
+
+    // SINGLE-SCAN fast path: one bounded histogram of the RAW column
+    // feeds all three consumers — the negativity probe (was its own
+    // limit-1 job), the YJ λ fit (was a second histogram job), and every
+    // candidate's KS statistic (was a tag-exploded scan + devs job):
+    // each candidate transform is a pure scalar function of x, so the
+    // TRANSFORMED histograms derive in the driver (sort + merge equal
+    // values = the groupBy-on-transformed-value semantics), and
+    // fitHistogram/ksHistogram are the identical arithmetic the
+    // per-path jobs ran. 4 driver actions become 1. A column with more
+    // than MaxFitHistogram distinct values (the unbounded scale shape)
+    // pays one wasted limit-collect and takes the original multi-job
+    // path below, unchanged.
+    val hist = df.filter(c.isNotNull)
+      .groupBy(c.as("x")).agg(count(lit(1)).as("cnt"))
+      .limit(YeoJohnson.MaxFitHistogram + 1)
+      .collect()
+    if (hist.length <= YeoJohnson.MaxFitHistogram) {
+      val raw = hist.map(r => (r.getDouble(0), r.getLong(1)))
+      val hasNegative = raw.exists(_._1 < 0)
+      val candidates: Seq[FittedTransform] =
+        Seq(Reciprocal()) ++
+          (if (hasNegative) Seq.empty else Seq(Log2p1, SqrtT)) ++
+          (if (fitYj) Seq(YeoJohnson(YeoJohnson.fitHistogram(
+            raw.map { case (x, w) => (x, w.toDouble) }.sortBy(_._1))))
+           else Seq.empty)
+      // NaN raw values transform to NaN (matching the Column path, where
+      // sqrt/log of NaN is NaN) rather than tripping applyScalar's
+      // non-negativity require — a NaN-poisoned KS is then never < 1.0.
+      def tval(t: FittedTransform, x: Double): Double =
+        if (x.isNaN) Double.NaN else t.applyScalar(x)
+      val stats = candidates.map { t =>
+        t.name -> (if (raw.isEmpty) 1.0
+                   else ksHistogram(raw.map { case (x, w) => (tval(t, x), w) }))
+      }.toMap
+      return pickBest(candidates, stats)
+    }
+
     val hasNegative = df.filter(c < 0).limit(1).count() > 0
     val candidates: Seq[FittedTransform] =
       Seq(Reciprocal()) ++
         (if (hasNegative) Seq.empty else Seq(Log2p1, SqrtT)) ++
         (if (fitYj) Seq(YeoJohnson(YeoJohnson.fit(df, colName))) else Seq.empty)
-    val stats = ksStatistics(df, candidates.map(t => t.name -> t(c)))
+    pickBest(candidates, ksStatistics(df, candidates.map(t => t.name -> t(c))))
+  }
+
+  private def pickBest(candidates: Seq[FittedTransform],
+                       stats: Map[String, Double]): Option[FittedTransform] = {
     var best: Option[FittedTransform] = None
     var bestStat = 1.0
     candidates.foreach { t =>
