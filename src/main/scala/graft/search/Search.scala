@@ -398,9 +398,14 @@ object Search {
     // every round re-ran the scan (and any upstream repartition) — the
     // fit is eager, so the blocks are released in the finally before the
     // caller's encode/score passes run
-    val base = vectors.filter(col(vecCol).isNotNull)
+    // already-cached input (the knn* entry points persist their shared
+    // base across fit/encode/score actions): a second cache layer here
+    // would double the memory for zero saved work — compute through it
+    val inputCached =
+      vectors.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val base0 = vectors.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
-      .persist()
+    val base = if (inputCached) base0 else base0.persist()
     try {
       var cents: Array[Array[Double]] = base.orderBy("id").limit(nCentroids)
         .collect().map(_.getSeq[Double](1).toArray)
@@ -420,7 +425,7 @@ object Search {
         cents = next
       }
       cents
-    } finally { base.unpersist(blocking = false); () }
+    } finally { if (!inputCached) { base.unpersist(blocking = false) }; () }
   }
 
   /** Nearest-centroid id by squared L2 distance (|v|² − 2v·c + |c|²),
@@ -473,9 +478,16 @@ object Search {
     // drift from summation order is fp-noise that does not move ANN
     // quality"), and CompressionCurve grades recall on exact cosine of
     // whatever cells result, so its tiers stay internally consistent.
+    // persisted for the QUERY's lifetime (fit rounds + query-row collect +
+    // the final score pass all read it; without the persist each of those
+    // actions re-ran the scan + spread exchange + array decode). Released
+    // by the caller's clearCache — the d3/d7 persisted-intermediate
+    // lifecycle this engine's harnesses (Bench.runOne, Verify) already
+    // implement.
     val base = graft.Tables.spread(vectors)
       .select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("v"))
+      .persist()
     val cents = ivfCentroids(base, "v", "id", nCentroids, iters, exactMeans)
     val assigned = base.withColumn("cid", ivfAssign(col("v"), cents))
       .withColumn("vn", l2Norm(col("v")))
@@ -530,9 +542,11 @@ object Search {
     // cell for cell; the sim4/sim5/sim8 oracle hashes are the
     // cross-engine witness). Persisted across rounds; fits are eager,
     // blocks released before the caller encodes.
-    val base = vectors.filter(col(vecCol).isNotNull)
+    val inputCached =
+      vectors.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val base0 = vectors.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
-      .persist()
+    val base = if (inputCached) base0 else base0.persist()
     try {
       val head = base.orderBy("id").limit(ksub).collect()
         .map(_.getSeq[Double](1).toArray)
@@ -570,7 +584,7 @@ object Search {
         books = next
       }
       books
-    } finally { base.unpersist(blocking = false); () }
+    } finally { if (!inputCached) { base.unpersist(blocking = false) }; () }
   }
 
   /** PQ encode: array of `m` subspace code ids (nearest sub-centroid per
@@ -608,9 +622,11 @@ object Search {
     // cores (round-12 sf10 profile); a no-op on inputs already wider
     // than the cores, and hash-safe (every query-path fit is exact /
     // order-independent)
+    // persisted for the query's lifetime (see knnIvf's note)
     val base = graft.Tables.spread(vectors)
       .select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("v"))
+      .persist()
     val books = pqCodebooks(base, "v", "id", dim, m, ksub, iters, exactMeans)
     val encoded = base.select(col("id"), pqCodes(col("v"), books, dim).as("codes"))
     val dsub = dim / m
@@ -659,9 +675,11 @@ object Search {
     // cores (round-12 sf10 profile); a no-op on inputs already wider
     // than the cores, and hash-safe (every query-path fit is exact /
     // order-independent)
+    // persisted for the query's lifetime (see knnIvf's note)
     val base = graft.Tables.spread(vectors)
       .select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("v"))
+      .persist()
     val cents = ivfCentroids(base, "v", "id", nCentroids, iters, exactMeans)
     val assigned = base.withColumn("cid", ivfAssign(col("v"), cents))
     // residual mode = the real FAISS IVFPQ: PQ encodes v − c_cid (the
@@ -778,9 +796,11 @@ object Search {
     // cores (round-12 sf10 profile); a no-op on inputs already wider
     // than the cores, and hash-safe (every query-path fit is exact /
     // order-independent)
+    // persisted for the query's lifetime (see knnIvf's note)
     val base = graft.Tables.spread(vectors)
       .select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("v"))
+      .persist()
     val (mins, maxs) = sqParams(base, "v", dim)
     val encoded = base.select(col("id"),
       PqCodes.pack(sqCodes(col("v"), mins, maxs)).as("sq"))
@@ -942,9 +962,14 @@ object Search {
     // cores (round-12 sf10 profile); a no-op on inputs already wider
     // than the cores, and hash-safe (every query-path fit is exact /
     // order-independent)
+    // persisted for the query's lifetime (see knnIvf's note) — the single
+    // final action here references `sigs` twice (shortlist + refine) and
+    // `base` three times; without the cache each reference re-ran the
+    // scan + spread + decode subtree inside the one job
     val base = graft.Tables.spread(vectors)
       .select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("v"))
+      .persist()
     val th = bqThresholds(base, "v", dim)
     // narrow (id, sig) projection — at scale this is the serving scan
     val sigs = base.select(col("id"), bqSignatures(col("v"), th).as("sig"))
@@ -989,8 +1014,11 @@ object Search {
   def knnMrl(vectors: DataFrame, vecCol: String, idCol: String,
              queryIds: Seq[Long], prefixDim: Int, k: Int,
              shortlist: Int): DataFrame = {
+    // persisted for the query's lifetime (see knnIvf's note): the one
+    // final action references base/pre four times across shortlist + refine
     val base = vectors.select(col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("v"))
+      .persist()
     // narrow (id, prefix) projection — at scale this is the serving scan
     val pre = base.select(col("id"), slice(col("v"), 1, prefixDim).as("p"))
     val qp = pre.filter(col("id").isin(queryIds: _*))
