@@ -109,11 +109,14 @@ object TextDedup {
     * twins' `range(1, len − n + 2)` is empty there too; an unguarded
     * `sequence` would run DESCENDING and hit index 0). Shared by d4
     * (bigrams), x6 (trigrams) and x11 (5-grams). */
+  // Native kernel (org.apache.spark.sql.graft.WordNgrams): HOF lambdas
+  // evaluate interpretively per element — the former
+  // transform(sequence(...), i => concat_ws(...)) form cost ~12 s wall
+  // at sf0.1 for the 5-gram pass alone (19 µs/gram); the kernel is the
+  // same semantics (incl. the null/short → empty-array guard and
+  // concat_ws null-token skipping) as one compiled loop.
   private[graft] def wordNgrams(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
-      .otherwise(array().cast("array<string>"))
+    org.apache.spark.sql.graft.WordNgrams.wordNgrams(toks, n)
 
   // D3 LSH candidate pairs: docs sharing any band bucket. The scale path:
   // candidate generation is a join on band hash, never an O(n²) compare.
@@ -478,7 +481,7 @@ object TextDedup {
     * `toks` MUST be a bound attribute — see the helper's aliasing note:
     * unaliased, this path measured 33 s instead of 0.3 s at sf0.1). */
   private[queries] def gramHashes(toks: Column): Column =
-    array_distinct(transform(wordNgrams(toks, X11N), g => md5(g)))
+    org.apache.spark.sql.graft.WordNgrams.gramHashes(toks, X11N)
   private val x11 = Q(
     "x11_contamination",
     (s, d) => {
