@@ -168,9 +168,10 @@ final class FuseRankEngine private (
   lazy val itemsTransformed: DataFrame =
     transforms.foldLeft(items) { case (df, (c, t)) => df.withColumn(c, t(col(c))) }
 
-  /** Release the persisted index (block-manager storage). Searches issued
-    * after close() still work — they recompute the encode projection. */
-  def close(): Unit = { indexed.unpersist(); () }
+  /** Release the persisted index and item cache (block-manager storage).
+    * Searches issued after close() still work — they recompute the encode
+    * projection (and re-scan the item source). */
+  def close(): Unit = { indexed.unpersist(); items.unpersist(); () }
 
   /** Persist the vector table as the durable index (S3/S4 sink). `packed`
     * stores fused vectors as one binary value per row (PackedVectors) —
@@ -190,7 +191,14 @@ object FuseRankEngine {
   /** Build the index: profile pass → (optional) transform fit → encode
     * projection → persist. */
   def index(rawItems: DataFrame, config0: FuseRankConfig): FuseRankEngine = {
-    val items = rawItems
+    // The item table feeds FOUR independent consumers over the engine's
+    // life — the profile aggregation, the (optional) transform fit, the
+    // encode projection, and every search's gather join (plus the geo
+    // farthest-point scan) — and the common callers hand us a multiLine
+    // CSV scan under a global-sort row_id window, so each consumer
+    // re-parsed the file single-task and re-ran the sort. Persist for the
+    // engine lifetime; released in close() with the index.
+    val items = rawItems.persist()
     // Geolocation inference from the schema (reference infers geolocation
     // from tuple-valued object columns, src/app.py:46-50): any aux column
     // typed struct(numeric, numeric, ...) is a geo modality with (lon, lat)
