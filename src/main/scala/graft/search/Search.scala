@@ -850,9 +850,13 @@ object Search {
     // cores (round-12 sf10 profile); a no-op on inputs already wider
     // than the cores, and hash-safe (every query-path fit is exact /
     // order-independent)
+    // persisted for the query's lifetime (see knnIvf's note) — the cell
+    // self-join references `assigned` twice and the keeper join a third
+    // time, on top of the fit rounds
     val base = graft.Tables.spread(vectors)
       .select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("v"))
+      .persist()
     val cents = ivfCentroids(base, "v", "id", nCentroids, iters, exactMeans)
     val assigned = base
       .withColumn("cid", ivfAssign(col("v"), cents).cast("long"))
