@@ -38,21 +38,21 @@ object TextDedup {
     */
   private def sigCols(n: Int): Seq[Int] = 0 until n
 
-  /** `dtoks` MUST be a bound attribute: all 8 signature columns reference
-    * it, and an unbound expression would re-split + re-distinct the
-    * document once PER HASH (the x11 aliasing lesson — see wordNgrams). */
-  private def minhash(dtoks: Column, j: Int): Column =
-    array_min(transform(dtoks, t => md5(concat(lit(s"$j:"), t))))
-
   private def withDistinctToks(df: DataFrame): DataFrame =
     df.withColumn("__dtoks", array_distinct(tokens(col("text"))))
 
-  // D2 MinHash signatures (8 hashes).
+  // D2 MinHash signatures (8 hashes) — ONE native MinHashSigs pass (the
+  // banding kernel's digest-min loop without the banding): the former 8
+  // array_min(transform(md5)) columns each re-scanned the token array
+  // with an interpreted lambda (HOFs never codegen; see WordNgrams).
+  // Values are pinned identical in SigKernelSpec.
   private val d2 = Q(
     "d2_minhash_sig",
     (s, d) => withDistinctToks(Tables.spread(Tables.documents(s, d)))
+      .withColumn("__sigs",
+        org.apache.spark.sql.graft.MinHashBands.sigs(col("__dtoks"), 8))
       .select(col("doc_id") +:
-        sigCols(8).map(j => minhash(col("__dtoks"), j).as(s"h$j")): _*)
+        sigCols(8).map(j => element_at(col("__sigs"), j + 1).as(s"h$j")): _*)
       .orderBy("doc_id"),
     Some(s"""SELECT doc_id,
              ${sigCols(8).map(j => s"min(md5('$j:' || tok)) AS h$j").mkString(", ")}
@@ -206,21 +206,16 @@ object TextDedup {
   // md5-based so the oracle computes identical signatures.
   private val d6 = Q(
     "d6_simhash",
-    (s, d) => {
-      val highs = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-      val bits = (0 until 16).map { j =>
-        val nHigh = size(filter(col("__md5s"),
-          h => substring(h, j + 1, 1).isin(highs: _*)))
-        when(nHigh * 2 > size(col("__md5s")), lit(1L << j)).otherwise(lit(0L))
-      }
-      // per-token md5 hashed ONCE into a bound array: the 16 bit
-      // expressions read different nibbles of the SAME hash, so the
-      // original per-bit filter re-split + re-hashed every token 16×
+    (s, d) =>
+      // native SimHash kernel: one digest pass per token drives all 16
+      // bit counters (the former per-bit size(filter(...)) expressions
+      // each re-scanned the md5 array interpretively — 16 HOF lambdas
+      // per row; see WordNgrams). Values pinned identical in
+      // SigKernelSpec, incl. the null-token and null-array chains.
       withDistinctToks(Tables.spread(Tables.documents(s, d)))
-        .withColumn("__md5s", transform(col("__dtoks"), t => md5(t)))
-        .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
-        .orderBy("doc_id")
-    },
+        .select(col("doc_id"),
+          org.apache.spark.sql.graft.SimHash.simhash16(col("__dtoks")).as("simhash"))
+        .orderBy("doc_id"),
     Some {
       val bits = (0 until 16).map { j =>
         s"""CASE WHEN 2 * len(list_filter(dtoks, t ->

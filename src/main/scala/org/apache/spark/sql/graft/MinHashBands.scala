@@ -136,4 +136,84 @@ object MinHashBands {
   def bands(arr: Column, nSeeds: Int, bandSize: Int): Column =
     ExpressionUtils.column(
       MinHashBands(ExpressionUtils.expression(arr), nSeeds, bandSize))
+
+  /** array<string> of the nSeeds MinHash signature hexes themselves —
+    * exactly `array_min(transform(toks, t => md5(concat("j:", t))))` per
+    * seed j (d2's signature columns), sharing [[MinHashBands]]'s
+    * digest-min loop. */
+  def sigs(arr: Column, nSeeds: Int): Column =
+    ExpressionUtils.column(MinHashSigs(ExpressionUtils.expression(arr), nSeeds))
+}
+
+/** The signature half of [[MinHashBands]]: the per-seed minima as
+  * lowercase-hex strings, WITHOUT banding — the d2 signature dump. Same
+  * single-digest-per-(element, seed) loop; hex built only for the nSeeds
+  * winners. Null elements are skipped like array_min; an empty/all-null
+  * input yields null entries (array_min of an empty transform is null);
+  * a NULL input array is null-in→null-out, and d2's
+  * `element_at(null, j)` columns read null exactly as the HOF form's
+  * per-column nulls did. */
+case class MinHashSigs(child: Expression, nSeeds: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(nSeeds > 0, s"nSeeds must be positive: $nSeeds")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_minhash_sigs"
+
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate(nSeeds)(j => (j.toString + ":").getBytes(StandardCharsets.UTF_8))
+
+  private def hex(d: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  def sigsPublic(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = new Array[Array[Byte]](nSeeds)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) { // array_min skips null elements
+        val bytes = arr.getUTF8String(i).getBytes
+        var j = 0
+        while (j < nSeeds) {
+          md.reset()
+          md.update(prefixes(j))
+          md.update(bytes)
+          val dig = md.digest()
+          if (mins(j) == null ||
+              java.util.Arrays.compareUnsigned(dig, mins(j)) < 0) mins(j) = dig
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[AnyRef](nSeeds)
+    var j = 0
+    while (j < nSeeds) {
+      out(j) = if (mins(j) == null) null else UTF8String.fromString(hex(mins(j)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    sigsPublic(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minhashSigs", this, classOf[MinHashSigs].getName)
+    defineCodeGen(ctx, ev, a => s"$self.sigsPublic($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
 }
