@@ -40,14 +40,26 @@ object Ingest {
     * the x32 state-dir convention) via a staged rename: shards from one
     * `write.json` pass plus the corrupt shard, so concurrent first
     * touches race to an atomic rename, never to a half-written dir. */
+  /** Shard count of both ingest mirrors. The sf-sized documents table is
+    * one parquet split, so an unrepartitioned mirror lands as ONE shard —
+    * and both readers' parallelism IS shard count (gzip/WARC are
+    * non-splittable; JSONL splits but small shards don't), which made the
+    * timed parse single-task on a 32-core harness. 32 shards is the
+    * deployment shape these sources document (a dump is tens of
+    * thousands of shards, each a task); the hashed aggregates are
+    * shard-count independent. Fixed (not derived from the session's core
+    * count) so every harness core-count shares one fixture. */
+  private val MirrorShards = 32
+
   private[graft] def jsonlDirFor(s: SparkSession, d: String): String = {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_jsonl_v1_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      "graft_jsonl_v2_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
     if (!dir.isDirectory) {
       val stage = new java.io.File(dir.getParentFile,
         s".tmp-${dir.getName}-${java.util.UUID.randomUUID()}")
       Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("lang"), col("text"))
+        .repartition(MirrorShards, col("doc_id"))
         .write.mode("overwrite").json(stage.getPath)
       java.nio.file.Files.write(
         stage.toPath.resolve("zz-corrupt-shard.jsonl"),
@@ -86,12 +98,12 @@ object Ingest {
   /** The WARC mirror of a fixture's documents table — the crawl layout
     * (per-record gzip members), URIs carrying source as the host and
     * doc_id as the path the way a real dump's `WARC-Target-URI` carries
-    * the registered domain x24-style capping keys on. Four shards via a
+    * the registered domain x24-style capping keys on. Shards via a
     * deterministic hash repartition; built once per scale factor (x33's
     * staged-rename convention). */
   private[graft] def warcDirFor(s: SparkSession, d: String): String = {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_warc_v1_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      "graft_warc_v2_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
     if (!dir.isDirectory) {
       val stage = new java.io.File(dir.getParentFile,
         s".tmp-${dir.getName}-${java.util.UUID.randomUUID()}")
@@ -101,7 +113,7 @@ object Ingest {
             concat(lit("https://"), col("source"), lit(".example/"),
               col("doc_id")).as("uri"),
             encode(col("text"), "UTF-8").as("payload"))
-          .repartition(4, col("uri")),
+          .repartition(MirrorShards, col("uri")),
         "uri", "payload", stage.getPath)
       if (!stage.renameTo(dir)) {
         import scala.jdk.CollectionConverters._

@@ -50,9 +50,35 @@ object Warc {
     * glob; `.gz` detected per file) into [[Schema]]-shaped rows. */
   def records(s: SparkSession, path: String,
               strict: Boolean = true): DataFrame = {
-    val rows = s.sparkContext.binaryFiles(path)
-      .flatMap { case (file, pds) =>
-        val raw = new java.io.BufferedInputStream(pds.open(), 1 << 16)
+    // ONE TASK PER SHARD, literally: the shard list is enumerated on the
+    // driver and parallelized with one partition per file. The previous
+    // binaryFiles reader promised this shape but could not deliver it —
+    // its CombineFileSplit packing charges every file a 4 MB open cost
+    // and floors maxSplitSize at 4 MB, so any number of small shards
+    // byte-packs into one or two tasks (measured: a 32-shard fixture
+    // parsed ~2.5x SLOWER than 4 shards, all in one task plus 32 extra
+    // file opens). A dump-scale ingest is exactly a task list over shard
+    // paths; this is that, with streaming decode unchanged (peak memory
+    // is still one record's payload).
+    val sc = s.sparkContext
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(sc.hadoopConfiguration)
+    val matched = Option(fs.globStatus(new org.apache.hadoop.fs.Path(path)))
+      .map(_.toSeq).getOrElse(Seq.empty)
+    val shards = matched.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+      else Seq(st)
+    }.map(_.getPath.toString).sorted
+    require(shards.nonEmpty, s"no WARC shards match $path")
+    val rows = sc.parallelize(shards, shards.size)
+      .flatMap { file =>
+        // fresh Configuration in-task: nothing driver-side needs shipping,
+        // and default FS resolution (file://, hdfs:// from core-site on
+        // the executor classpath) is what a shard path means there anyway
+        val hp = new org.apache.hadoop.fs.Path(file)
+        val raw = new java.io.BufferedInputStream(
+          hp.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(hp),
+          1 << 16)
         val in =
           if (file.endsWith(".gz"))
             new java.io.BufferedInputStream(
