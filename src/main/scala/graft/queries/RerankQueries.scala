@@ -153,14 +153,17 @@ object RerankQueries {
     "t7_best_transform_yj",
     (s, d) => {
       val li = Tables.lineitem(s, d)
-      val lam = graft.transform.YeoJohnson.fit(li, "l_quantity")
-      val cands = Seq(
-        "reciprocal" -> (lit(1.0) / (col("l_quantity") + 1e-10)),
-        "log2p1" -> log(2.0, col("l_quantity") + 1),
-        "sqrt" -> sqrt(col("l_quantity")),
-        "yeojohnson" -> YeoJohnson.expr(col("l_quantity"), lam))
-      val ks = Transforms.ksStatistics(li, cands)
-      val best = cands.map { case (n, _) => n -> ks(n) }.minBy(_._2)
+      // ONE histogram action fits λ AND scores all four candidates
+      // (Transforms.fitAndKs — the bestTransform single-scan trade with
+      // an explicit candidate list); was a fit collect plus a separate
+      // KS job set
+      val names = Seq("reciprocal", "log2p1", "sqrt", "yeojohnson")
+      val (lam, ks) = Transforms.fitAndKs(li, "l_quantity", l => Seq(
+        "reciprocal" -> graft.transform.Reciprocal(),
+        "log2p1" -> graft.transform.Log2p1,
+        "sqrt" -> graft.transform.SqrtT,
+        "yeojohnson" -> YeoJohnson(l)))
+      val best = names.map(n => n -> ks(n)).minBy(_._2)
       import s.implicits._
       Seq((best._1,
         BigDecimal(lam).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,

@@ -419,6 +419,40 @@ object Transforms {
     pickBest(candidates, ksStatistics(df, candidates.map(t => t.name -> t(c))))
   }
 
+  /** One-action λ-fit + per-candidate KS for an EXPLICIT candidate list
+    * (t7's shape, where the caller owns the candidate set instead of the
+    * negativity-gated default): collects the bounded raw histogram once,
+    * fits λ driver-side (fitHistogram — identical arithmetic to the
+    * fit-job path), and scores every candidate from the driver-derived
+    * transformed histograms (ksHistogram). Above the cap: the original
+    * two-action shape (YeoJohnson.fit job(s), then the distributed
+    * ksStatistics), unchanged. */
+  def fitAndKs(df: DataFrame, colName: String,
+               candsOf: Double => Seq[(String, FittedTransform)])
+      : (Double, Map[String, Double]) = {
+    val c = col(colName).cast("double")
+    val hist = df.filter(c.isNotNull)
+      .groupBy(c.as("x")).agg(count(lit(1)).as("cnt"))
+      .limit(YeoJohnson.MaxFitHistogram + 1)
+      .collect()
+    if (hist.length <= YeoJohnson.MaxFitHistogram) {
+      val raw = hist.map(r => (r.getDouble(0), r.getLong(1)))
+      val lam = YeoJohnson.fitHistogram(
+        raw.map { case (x, w) => (x, w.toDouble) }.sortBy(_._1))
+      def tval(t: FittedTransform, x: Double): Double =
+        if (x.isNaN) Double.NaN else t.applyScalar(x)
+      val stats = candsOf(lam).map { case (n, t) =>
+        n -> (if (raw.isEmpty) 1.0
+              else ksHistogram(raw.map { case (x, w) => (tval(t, x), w) }))
+      }.toMap
+      (lam, stats)
+    } else {
+      val lam = YeoJohnson.fit(df, colName)
+      val cands = candsOf(lam)
+      (lam, ksStatistics(df, cands.map { case (n, t) => n -> t(c) }))
+    }
+  }
+
   private def pickBest(candidates: Seq[FittedTransform],
                        stats: Map[String, Double]): Option[FittedTransform] = {
     var best: Option[FittedTransform] = None
