@@ -62,7 +62,7 @@ object Restaurants {
     "rest1_restaurants_fused_topk",
     (s, _) => {
       val items = Prep.withRowId(
-        Prep.restaurants(Tables.restaurants(s)),
+        Prep.restaurants(Tables.spread(Tables.restaurants(s))),
         // enough keys that tied rows are indistinguishable in the output
         Seq(col("Restaurant Name"), col("Location.lon"), col("Location.lat"),
           col("Votes"), col("Average Cost for two"), col("City"),
@@ -196,7 +196,7 @@ object Restaurants {
     "rest2_restaurants_fit_transform_topk",
     (s, _) => {
       val items = Prep.withRowId(
-        Prep.restaurants(Tables.restaurants(s)),
+        Prep.restaurants(Tables.spread(Tables.restaurants(s))),
         Seq(col("Restaurant Name"), col("Location.lon"), col("Location.lat"),
           col("Votes"), col("Average Cost for two"), col("City"),
           col("Cuisines"), col("Has Table booking")))
