@@ -628,7 +628,13 @@ object Search {
         asDouble(col(vecCol)).as("v"))
       .persist()
     val books = pqCodebooks(base, "v", "id", dim, m, ksub, iters, exactMeans)
-    val encoded = base.select(col("id"), pqCodes(col("v"), books, dim).as("codes"))
+    // packed codes + the native ADC kernel (knnSq's scoring path): the
+    // former aggregate(zip_with(...)) lookup-sum was an interpreted HOF
+    // per candidate row; adcBytes is the same left-to-right accumulation
+    // over the flattened subspace-major table, bit-identical scores
+    val encoded = base.select(col("id"),
+      org.apache.spark.sql.graft.PqCodes.pack(
+        pqCodes(col("v"), books, dim)).as("codes"))
     val dsub = dim / m
     val qRows = base.filter(col("id").isin(queryIds: _*)).collect()
     val qT = qRows.map { r =>
@@ -640,16 +646,15 @@ object Search {
         while (i < dsub) { s += qv(j * dsub + i) * cent(i); i += 1 }
         s
       }
-      (qid, t.map(_.toSeq).toSeq)
+      (qid, t.flatten.toSeq) // subspace-major: T[j][c] at j·ksub + c
     }
     val qDf = spark.createDataFrame(qT.toIndexedSeq).toDF("q_id", "t")
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("id"))
     encoded.crossJoin(broadcast(qDf))
       .filter(col("q_id") =!= col("id"))
       .withColumn("score", round(
-        aggregate(
-          zip_with(col("codes"), col("t"), (c, tj) => element_at(tj, c + 1)),
-          lit(0.0), (s, x) => s + x), 5) + 0.0)
+        org.apache.spark.sql.graft.PqCodes.adcPacked(
+          col("codes"), col("t"), ksub), 5) + 0.0)
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("id").as("vec_id"), col("score"), col("rk"))
@@ -695,7 +700,10 @@ object Search {
       else assigned.withColumn("pqv", col("v"))
     val books = pqCodebooks(pqInput, "pqv", "id", dim, m, ksub, pqIters, exactMeans)
     val encoded = pqInput
-      .select(col("id"), col("cid"), pqCodes(col("pqv"), books, dim).as("codes"))
+      .select(col("id"), col("cid"),
+        // packed codes + native ADC, as in knnPq — bit-identical scores
+        org.apache.spark.sql.graft.PqCodes.pack(
+          pqCodes(col("pqv"), books, dim)).as("codes"))
     val dsub = dim / m
     val qRows = base.filter(col("id").isin(queryIds: _*)).collect()
     // per-query probe list (with the ⟨q, c_cid⟩ offset) + lookup table,
@@ -717,13 +725,13 @@ object Search {
     val qT = qRows.map { r =>
       val qid = r.getLong(0)
       val qv = r.getSeq[Double](1).toArray
-      val t: Seq[Seq[Double]] = (0 until m).map { j =>
+      val t: Seq[Double] = (0 until m).flatMap { j =>
         (0 until ksub).map { c =>
           var s = 0.0; var i = 0
           while (i < dsub) { s += qv(j * dsub + i) * books(j)(c)(i); i += 1 }
           s
-        }.toSeq
-      }.toSeq
+        }
+      } // subspace-major: T[j][c] at j·ksub + c
       (qid, t)
     }
     val qtDf = spark.createDataFrame(qT.toIndexedSeq).toDF("q_id", "t")
@@ -732,9 +740,8 @@ object Search {
       .filter(col("q_id") =!= col("id"))
       .join(broadcast(qtDf), "q_id")
       .withColumn("score", round(
-        col("off") + aggregate(
-          zip_with(col("codes"), col("t"), (c, tj) => element_at(tj, c + 1)),
-          lit(0.0), (s, x) => s + x), 5) + 0.0)
+        col("off") + org.apache.spark.sql.graft.PqCodes.adcPacked(
+          col("codes"), col("t"), ksub), 5) + 0.0)
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("id").as("vec_id"), col("score"), col("rk"))
