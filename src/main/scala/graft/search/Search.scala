@@ -947,11 +947,12 @@ object Search {
   }
 
   /** Hamming distance between two packed signature arrays: per-word
-    * xor + popcount, summed — codegen'd HOFs over a handful of longs
-    * (java.lang.Long.bitCount intrinsic under `bit_count`). */
+    * xor + popcount, summed. Native kernel — the former
+    * aggregate(zip_with(bit_count(xor))) fold ran its lambdas
+    * interpretively per word per candidate row (HOFs never codegen; see
+    * WordNgrams); HammingSpec pins kernel == fold incl. null chains. */
   def hammingDistance(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-      lit(0L), (s, x) => s + x)
+    org.apache.spark.sql.graft.HammingDistance.hamming(a, b)
 
   /** Binary ANN top-k for a small query-id set — the FIFTH compression
     * lever (LSH buckets / IVF cells / PQ codes / SQ8 bytes / sign BITS):
