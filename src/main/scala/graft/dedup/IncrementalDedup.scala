@@ -49,13 +49,16 @@ object IncrementalDedup {
 
   private def tokensOf(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Word-bigram shingles over a bound token array (TextDedup.wordNgrams'
-    * guard: < 2 tokens → empty array). */
+  /** Word-bigram shingles over a bound token array — the native
+    * [[org.apache.spark.sql.graft.WordNgrams]] kernel (same null/short →
+    * empty-array contract, differentially pinned by WordNgramsSpec). The
+    * round-16 HOF form (`transform(sequence, concat_ws(element_at))`)
+    * re-evaluated its lambda interpretively per element: measured at
+    * sf0.1 (noop sink, round 17) the full-corpus shingle pass was
+    * 0.65–0.88 s HOF vs 0.18 s native (~4×) — paid on BOTH corpus sides
+    * of every cold screen and on the delta side of every warm batch. */
   private def bigrams(toks: Column): Column =
-    when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    org.apache.spark.sql.graft.WordNgrams.wordNgrams(toks, 2)
 
   /** The `(doc_id, sh)` word-bigram shingle relation of a corpus side —
     * the verification-time artifact a deployment persists for the base

@@ -574,12 +574,21 @@ object Pipeline {
       }
     val baseKept = cutByFrozenBar(baseScored, thrOpt)
       .withColumn("__h", md5(col("text")))
-    val baseHashes = baseKept.select(col("__h").as("bh")).distinct()
     val baseExact = baseKept
       .withColumn("__keep", min(col("doc_id")).over(Window.partitionBy(col("__h"))))
       .filter(col("doc_id") === col("__keep"))
       .select(col("doc_id"), col("text"))
       .persist()
+    // the distinct content-hash set IS baseExact's hashes: the min-id
+    // keeper filter leaves exactly one row per __h group, so
+    // md5(baseExact.text) enumerates every kept hash exactly once.
+    // Deriving it from the PERSISTED keeper relation (instead of the
+    // round-16 baseKept.select(__h).distinct()) stops the anti-join's
+    // broadcast build from re-running the whole scored→cut→md5 base
+    // chain cold — measured ~0.85–1.6 s per cold x31 at sf0.1 (round-17
+    // job timeline, plans/r17). Value-identical by construction (and a
+    // duplicate hash could not change a left_anti's semantics anyway).
+    val baseHashes = baseExact.select(md5(col("text")).as("bh"))
     FrozenBase(lmN3, lmN2, nScorableBase, thrOpt, baseHashes, baseExact,
       baseGate)
   }
