@@ -125,9 +125,27 @@ object Embedders {
     * mapPartitions over the compiled embedder (reference batches rows
     * through the model the same way, src/encode.py:289-305). O(text)
     * per row, no interpreted lambdas; null text treated as "".
+    *
+    * FAST PATH: a [[HashingEmbedder]] over string columns embeds through
+    * the native [[org.apache.spark.sql.graft.HashEmbed]] expression —
+    * same per-row call chain (bit-identical vectors, HashEmbedSpec), but
+    * in-plan: no external-Row round trip of every column, column pruning
+    * preserved, whole-stage codegen kept. Model-backed embedders (ONNX)
+    * and non-string columns keep the Row path.
     */
   def fuseInto(df: DataFrame, e: Embedder, weights: Map[String, Double],
-               outCol: String): DataFrame = {
+               outCol: String): DataFrame = e match {
+    case he: HashingEmbedder if weights.keys.forall(c =>
+        df.schema(c).dataType == org.apache.spark.sql.types.StringType) =>
+      df.withColumn(outCol, org.apache.spark.sql.graft.HashEmbed.embed(
+        weights.toSeq.map { case (c, w) => (col(c), w) }, he.dim))
+    case _ => fuseIntoRows(df, e, weights, outCol)
+  }
+
+  /** The general Row-path fusion — any [[Embedder]], any column type. */
+  private[graft] def fuseIntoRows(df: DataFrame, e: Embedder,
+                                  weights: Map[String, Double],
+                                  outCol: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
     import org.apache.spark.sql.types._

@@ -53,6 +53,11 @@ object Prep {
     */
   def flipkartShape(df: DataFrame, categoryCol: String, specsCol: String): DataFrame = {
     val scrub = (c: Column) => regexp_replace(c, "[\\[\"\\]]", "")
+    // bind the scrubbed/split tree ONCE as a real attribute (the x11/
+    // LangId aliasing lesson): inlining `tree` into the three category
+    // withColumns re-ran the regexp_replace + split per column — 3× the
+    // regex work per row. CollapseProject keeps non-cheap aliases in
+    // their own projection, so the binding survives optimization.
     val tree = split(scrub(col(categoryCol)), ">>")
     val extracted = regexp_extract_all(col(specsCol), lit("=>\"(.*?)\""), lit(1))
     val specs = array_join(
@@ -60,9 +65,11 @@ object Prep {
         (v, i) => when(i % 2 === 0, concat(v, lit(":"))).otherwise(concat(v, lit(";")))),
       " ")
     df
-      .withColumn("product_category_1", trim(get(tree, lit(0))))
-      .withColumn("product_category_2", trim(get(tree, lit(1))))
-      .withColumn("product_category_3", trim(get(tree, lit(2))))
+      .withColumn("__cat_tree", tree)
+      .withColumn("product_category_1", trim(get(col("__cat_tree"), lit(0))))
+      .withColumn("product_category_2", trim(get(col("__cat_tree"), lit(1))))
+      .withColumn("product_category_3", trim(get(col("__cat_tree"), lit(2))))
       .withColumn("product_specifications_clean", specs)
+      .drop("__cat_tree")
   }
 }
