@@ -95,6 +95,16 @@ object R17Probe {
           split(trim(col("text")), "\\s+"), 2)), 8, 4).as("b"))
     }
     probe("md5_text") { docs.select(md5(col("text")).as("h")) }
+    probe("tokens_native") {
+      docs.select(org.apache.spark.sql.graft.WsTokens.wsTokens(col("text")).as("t"))
+    }
+    probe("alpha_native") {
+      docs.select((org.apache.spark.sql.graft.TextScrub.alphaCountCol(col("text")).cast("double") /
+        length(col("text"))).as("a"))
+    }
+    probe("lm_scrub_native") {
+      docs.select(org.apache.spark.sql.graft.TextScrub.lmNormalizeCol(col("text")).as("t"))
+    }
 
     // IncrementalDedup.shingled's HOF bigram builder vs the native kernel
     probe("incdedup_shingled_hof") {

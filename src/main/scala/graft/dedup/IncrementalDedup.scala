@@ -47,7 +47,8 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDedup {
 
-  private def tokensOf(text: Column): Column = split(trim(text), "\\s+")
+  private def tokensOf(text: Column): Column =
+    org.apache.spark.sql.graft.WsTokens.wsTokens(text)
 
   /** Word-bigram shingles over a bound token array — the native
     * [[org.apache.spark.sql.graft.WordNgrams]] kernel (same null/short →

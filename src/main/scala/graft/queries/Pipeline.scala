@@ -140,7 +140,7 @@ object Pipeline {
         // yields null → gate reject (DuckDB's x/0 = NULL does the same in
         // the twin). No testdata row is empty, so the hash is indifferent
         when(length(col("text")) > 0,
-          length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+          org.apache.spark.sql.graft.TextScrub.alphaCountCol(col("text")).cast("double") /
             length(col("text"))).as("alpha_ratio"))
     val gate1 = sig
       .filter(col("alpha_ratio") >= AlphaMin && col("n_tokens") >= MinTokens)
@@ -523,7 +523,7 @@ object Pipeline {
       org.apache.spark.sql.graft.TokenCount.tokenCount(col("text"))
         .cast("long").as("n_tokens"),
       when(length(col("text")) > 0,
-        length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+        org.apache.spark.sql.graft.TextScrub.alphaCountCol(col("text")).cast("double") /
           length(col("text"))).as("alpha_ratio"))
     .filter(col("alpha_ratio") >= AlphaMin && col("n_tokens") >= MinTokens)
 

@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
-  private[graft] def tokens(text: Column): Column = split(trim(text), "\\s+")
+  private[graft] def tokens(text: Column): Column =
+    org.apache.spark.sql.graft.WsTokens.wsTokens(text)
 
   // ---- dedup ----
 
@@ -366,7 +367,7 @@ object TextDedup {
       val toks = tokens(col("text"))
       val nTok = size(toks)
       val nStop = size(filter(toks, t => t.isin("the", "a")))
-      val alpha = length(regexp_replace(col("text"), "[^a-z]", ""))
+      val alpha = org.apache.spark.sql.graft.TextScrub.alphaCountCol(col("text"))
       Tables.documents(s, d)
         .select(col("doc_id"),
           round(nStop.cast("double") / nTok, 6).as("stop_ratio"),
@@ -422,7 +423,7 @@ object TextDedup {
           // empty-text guard: see x2 — null (gate reject) instead of an
           // ANSI divide-by-zero throw
           when(length(col("text")) > 0,
-            length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+            org.apache.spark.sql.graft.TextScrub.alphaCountCol(col("text")).cast("double") /
               length(col("text"))))
         .filter(col("alpha_ratio") >= 0.6 && col("n_tokens") >= 5)
       val deduped = quality
@@ -1264,7 +1265,7 @@ object TextDedup {
     (s, d) => {
       // empty-text guard: see x2 — null quality instead of an ANSI throw
       val q = round(when(length(col("text")) > 0,
-        length(regexp_replace(col("text"), "[^a-z]", ""))
+        org.apache.spark.sql.graft.TextScrub.alphaCountCol(col("text"))
           .cast("double") / length(col("text"))), 6)
       domainCap(
         Tables.documents(s, d)
@@ -1349,7 +1350,7 @@ object TextDedup {
       : (org.apache.spark.sql.DataFrame, Long) = {
     import org.apache.spark.sql.graft.CharLmScore
     val (n3, n2, nScorable) = charLmFit(documents)
-    val norm = regexp_replace(lower(col("text")), "[^a-z ]", "")
+    val norm = org.apache.spark.sql.graft.TextScrub.lmNormalizeCol(col("text"))
     val scoredFrame = documents.select(col("doc_id"), norm.as("t"))
       .select(col("doc_id"), CharLmScore.score(col("t"), n3, n2).as("s"))
       .select(col("doc_id"),
@@ -1380,7 +1381,7 @@ object TextDedup {
   def charLmFit(documents: org.apache.spark.sql.DataFrame,
                 textCol: String = "text"): (Array[Long], Array[Long], Long) = {
     import org.apache.spark.sql.graft.TriCounts
-    val norm = regexp_replace(lower(col(textCol)), "[^a-z ]", "")
+    val norm = org.apache.spark.sql.graft.TextScrub.lmNormalizeCol(col(textCol))
     val fit = documents.select(norm.as("t"))
       .select(TriCounts.triCounts(col("t")).as("c"),
         count(when(length(col("t")) >= 3, 1)).as("n")).head()
@@ -1400,7 +1401,7 @@ object TextDedup {
                      n3: Array[Long], n2: Array[Long])
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graft.CharLmScore
-    val t = regexp_replace(lower(textCol), "[^a-z ]", "")
+    val t = org.apache.spark.sql.graft.TextScrub.lmNormalizeCol(textCol)
     round(CharLmScore.score(t, n3, n2).getField("mean"), 6) + 0.0
   }
 
@@ -1415,7 +1416,7 @@ object TextDedup {
                             n3: Array[Long], n2: Array[Long])
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.graft.CharLmScore
-    val norm = regexp_replace(lower(col("text")), "[^a-z ]", "")
+    val norm = org.apache.spark.sql.graft.TextScrub.lmNormalizeCol(col("text"))
     documents.select(col("doc_id"), norm.as("t"))
       .select(col("doc_id"), CharLmScore.score(col("t"), n3, n2).as("s"))
       .select(col("doc_id"),

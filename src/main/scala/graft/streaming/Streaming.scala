@@ -278,7 +278,7 @@ object Streaming {
         // empty text: ANSI division would THROW on length 0; the guard
         // yields null → gate reject, which is DuckDB's x/0 = NULL too
         when(length(col(textCol)) > 0,
-          length(regexp_replace(col(textCol), "[^a-z]", "")).cast("double") /
+          org.apache.spark.sql.graft.TextScrub.alphaCountCol(col(textCol)).cast("double") /
             length(col(textCol))).as("alpha_ratio"))
       .filter(col("alpha_ratio") >= alphaMin && col("n_tokens") >= minTokens)
       .as[(Long, String, Long, Double)]
