@@ -692,11 +692,15 @@ object Search {
     // space, so the same byte budget quantizes finer); scoring adds the
     // per-(query, cell) offset ⟨q, c_cid⟩ back, since
     // ⟨q, v⟩ = ⟨q, c_cid⟩ + ⟨q, r⟩ exactly.
-    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    // native CentroidDelta kernel: the zip_with/element_at HOF form
+    // re-evaluated its lambda interpretively per element, and this
+    // un-persisted projection is swept by every PQ codebook-fit pass
+    // plus the encode — pqIters + 1 interpreted sweeps (round-16's
+    // known-HOF list item; CentroidDeltaSpec pins value parity)
     val pqInput =
       if (residual)
-        assigned.withColumn("pqv",
-          zip_with(col("v"), element_at(centsLit, col("cid") + 1), (x, c) => x - c))
+        assigned.withColumn("pqv", org.apache.spark.sql.graft.CentroidDelta
+          .delta(col("v"), col("cid"), cents))
       else assigned.withColumn("pqv", col("v"))
     val books = pqCodebooks(pqInput, "pqv", "id", dim, m, ksub, pqIters, exactMeans)
     val encoded = pqInput
