@@ -105,6 +105,67 @@ object R17Probe {
     probe("lm_scrub_native") {
       docs.select(org.apache.spark.sql.graft.TextScrub.lmNormalizeCol(col("text")).as("t"))
     }
+    probe("charlm_score") {
+      val n3 = Array.fill(27 * 27 * 27)(7L)
+      val n2 = Array.fill(27 * 27)(7L * 27)
+      docs.select(graft.queries.TextDedup.charLmScoreCol(col("text"), n3, n2).as("s"))
+    }
+    probe("charlm_fit") {
+      val norm = org.apache.spark.sql.graft.TextScrub.lmNormalizeCol(col("text"))
+      docs.select(norm.as("t"))
+        .select(org.apache.spark.sql.graft.TriCounts.triCounts(col("t")).as("c"),
+          count(when(length(col("t")) >= 3, 1)).as("n"))
+    }
+    probe("langid_annotate") {
+      graft.queries.LangId.annotate(docs, "text", "lang_pred")
+        .select(col("doc_id"), col("lang_pred"))
+    }
+    if (which.contains("langid_micro")) {
+      // driver-side interleaved microbench: old HashSet-of-substring vs
+      // new packed-long-table pick over the SAME padded strings
+      import org.apache.spark.unsafe.types.UTF8String
+      val texts = graft.queries.LangId.annotate(docs.limit(20000), "text", "lp")
+        .select(concat(lit(" "),
+          trim(regexp_replace(lower(col("text")), "[^a-zàáâäãéèêëíìîïóòôöõúùûüçñß]+", " ")),
+          lit(" ")).as("p"))
+        .select("p").collect().map(_.getString(0))
+      val profiles = graft.queries.LangId.profiles.map { case (l, p) => (l, p.toSet) }
+      val sets = profiles.map { case (_, p) =>
+        val s = new java.util.HashSet[String](p.size * 2); p.foreach(s.add); s
+      }.toArray
+      def oldPick(t: String): Int = {
+        val counts = new Array[Int](sets.length)
+        var i = 0
+        val last = t.length - 3
+        while (i <= last) {
+          val g = t.substring(i, i + 3)
+          var l = 0
+          while (l < sets.length) { if (sets(l).contains(g)) counts(l) += 1; l += 1 }
+          i += 1
+        }
+        var best = 0; var bi = -1; var l = sets.length - 1
+        while (l >= 0) { if (counts(l) >= best && counts(l) > 0) { best = counts(l); bi = l }; l -= 1 }
+        bi
+      }
+      val expr = org.apache.spark.sql.graft.LangIdPick(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), profiles)
+      val u8 = texts.map(UTF8String.fromString)
+      var sinkO = 0L; var sinkN = 0L
+      for (round <- 1 to 4) {
+        val t0 = System.nanoTime()
+        texts.foreach(t => sinkO += oldPick(t))
+        val t1 = System.nanoTime()
+        u8.foreach(t => sinkN += expr.pickPublic(t).numBytes())
+        val t2 = System.nanoTime()
+        println(f"[r17micro] langid round$round old=${(t1 - t0) / 1e9}%.3f new=${(t2 - t1) / 1e9}%.3f s (sinks $sinkO $sinkN)")
+      }
+      spark.stop(); return
+    }
+    probe("persist_text_roundtrip") {
+      val c = docs.select(col("doc_id"), col("text")).persist()
+      c.count()
+      c
+    }
 
     // IncrementalDedup.shingled's HOF bigram builder vs the native kernel
     probe("incdedup_shingled_hof") {

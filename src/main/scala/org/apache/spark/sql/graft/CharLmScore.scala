@@ -56,8 +56,99 @@ case class CharLmScore(child: Expression, n3: Array[Long], n2: Array[Long])
     else throw new IllegalArgumentException(
       s"CharLmScore input not [a-z ]-normalized: '$c'")
 
+  /** The 27³ per-cell cast results, precomputed ONCE per (deserialized)
+    * expression instance as scale-12 unscaled longs. `p` depends only on
+    * the model cell — (n3[cell]+1)/(n2[cell/27]+27) — so the per-trigram
+    * Decimal(double) construction (a Double.toString + BigDecimal parse!),
+    * changePrecision, and immutable BigDecimal add the round-16 loop paid
+    * ~180 ns/trigram for collapse to a table lookup + long add. The
+    * decimal SUM stays EXACT (each addend is the exact unscaled value of
+    * the cast result; long addition of unscaled values IS BigDecimal
+    * addition at fixed scale), so the mean is bit-identical. Falls back
+    * to the per-trigram Decimal path if any cell's unscaled value does
+    * not fit a long (only possible with garbage model arrays; charLmFit
+    * counts always give p < 1). `maxSafeN` bounds the trigram count so
+    * the long accumulator provably cannot overflow; longer inputs (none
+    * exist below ~9·10⁶ trigrams for real models) take the exact
+    * fallback. Serialization note: @transient — executors rebuild the
+    * 19683-entry table once per deserialized instance, not per row. */
+  @transient private lazy val scaledTable: Array[Long] = {
+    val t = new Array[Long](27 * 27 * 27)
+    var cell = 0
+    var ok = true
+    while (ok && cell < t.length) {
+      val i2 = cell / 27
+      val p = (n3(cell) + 1).toDouble / (n2(i2) + 27).toDouble
+      val d = org.apache.spark.sql.types.Decimal(p)
+      if (!d.changePrecision(28, 12))
+        throw new ArithmeticException(s"p=$p overflows DECIMAL(28,12)")
+      val unscaled = d.toJavaBigDecimal.unscaledValue()
+      if (unscaled.bitLength() >= 62) ok = false // garbage model: fallback
+      else { t(cell) = unscaled.longValueExact(); cell += 1 }
+    }
+    if (ok) t else null
+  }
+  @transient private lazy val maxSafeN: Long = {
+    if (scaledTable == null) 0L
+    else {
+      var mx = 1L
+      var i = 0
+      while (i < scaledTable.length) {
+        if (scaledTable(i) > mx) mx = scaledTable(i); i += 1
+      }
+      Long.MaxValue / 2 / mx
+    }
+  }
+
+  // byte-level cell: ' ' = 26, a-z, negative (a multi-byte UTF-8 lead or
+  // continuation byte) = -1 -> delegate to the char path, which preserves
+  // the exact pre-round-17 semantics for non-normalized input (loud throw,
+  // or the (0, null) short-string result when numChars < 3 < numBytes);
+  // any other ASCII byte fails loudly like cellOf
+  private def cellOfByte(b: Byte): Int =
+    if (b == 0x20) 26
+    else if (b >= 'a' && b <= 'z') b - 'a'
+    else if (b < 0) -1
+    else throw new IllegalArgumentException(
+      s"CharLmScore input not [a-z ]-normalized: '${b.toChar}'")
+
   def scorePublic(s: UTF8String): InternalRow = {
-    val t = s.toString // [a-z ] normalized => ASCII, one char per byte
+    // normalized input is pure ASCII: one byte per char, so the trigram
+    // walk runs on raw bytes with no String materialization; a non-ASCII
+    // byte (unreachable through LmNormalize) falls back to the char path
+    val len = s.numBytes()
+    if (len < 3) return new GenericInternalRow(Array[Any](0L, null))
+    val n = (len - 2).toLong
+    val table = scaledTable
+    if (table == null || n > maxSafeN) return scoreSlow(s.toString)
+    var accL = 0L
+    var c1 = cellOfByte(s.getByte(0))
+    var c2c = cellOfByte(s.getByte(1))
+    if (c1 < 0 || c2c < 0) return scoreSlowChars(s)
+    var i = 2
+    while (i < len) {
+      val c3c = cellOfByte(s.getByte(i))
+      if (c3c < 0) return scoreSlowChars(s)
+      accL += table((c1 * 27 + c2c) * 27 + c3c)
+      c1 = c2c
+      c2c = c3c
+      i += 1
+    }
+    val mean = java.math.BigDecimal.valueOf(accL, 12).doubleValue() / n
+    new GenericInternalRow(Array[Any](n, mean))
+  }
+
+  /** Non-ASCII fallback: exact pre-round-17 behavior over CHARS —
+    * (0, null) when numChars < 3, else the loud cellOf throw. */
+  private def scoreSlowChars(s: UTF8String): InternalRow = {
+    val t = s.toString
+    if (t.length < 3) new GenericInternalRow(Array[Any](0L, null))
+    else scoreSlow(t)
+  }
+
+  /** The round-16 per-trigram Decimal loop — kept as the exact fallback
+    * for inputs beyond the long accumulator's proven-safe bound. */
+  def scoreSlow(t: String): InternalRow = { // exposed for the differential spec
     val len = t.length
     if (len < 3) return new GenericInternalRow(Array[Any](0L, null))
     var acc = java.math.BigDecimal.ZERO

@@ -37,28 +37,65 @@ case class LangIdPick(child: Expression, profiles: Seq[(String, Set[String])])
 
   @transient private lazy val langBytes: Array[UTF8String] =
     profiles.map(p => UTF8String.fromString(p._1)).toArray
-  @transient private lazy val sets: Array[java.util.HashSet[String]] =
-    profiles.map { case (_, prof) =>
-      val s = new java.util.HashSet[String](prof.size * 2)
-      prof.foreach(s.add)
-      s
-    }.toArray
   @transient private lazy val und = UTF8String.fromString("und")
+
+  /** One open-addressed long→bitmask table over ALL profiles: a trigram's
+    * three UTF-16 units pack injectively into 48 bits, and its value is
+    * the bitmask of languages containing it. The round-16 form allocated
+    * a substring AND hashed it against every language's HashSet per
+    * position (4 string hashes + 1 alloc × ~len positions per row); one
+    * long probe replaces all of it — semantics identical (exact 3-char
+    * membership, multiplicity counted) because char-triple equality IS
+    * substring equality. Key 0 (three NUL chars) is the empty-slot
+    * sentinel; no profile trigram contains NUL (asserted). */
+  @transient private lazy val triTable: (Array[Long], Array[Int]) = {
+    var cap = 64
+    val need = profiles.map(_._2.size).sum * 4
+    while (cap < need) cap <<= 1
+    val keys = new Array[Long](cap)
+    val masks = new Array[Int](cap)
+    profiles.zipWithIndex.foreach { case ((_, prof), l) =>
+      prof.foreach { g =>
+        require(g.length == 3, s"not a trigram: '$g'")
+        val key = (g.charAt(0).toLong << 32) | (g.charAt(1).toLong << 16) |
+          g.charAt(2).toLong
+        require(key != 0L, "NUL trigram collides with the empty sentinel")
+        var slot = LangIdPick.mix(key) & (cap - 1)
+        while (keys(slot) != 0L && keys(slot) != key) slot = (slot + 1) & (cap - 1)
+        keys(slot) = key
+        masks(slot) |= 1 << l
+      }
+    }
+    (keys, masks)
+  }
 
   def pickPublic(s: UTF8String): UTF8String = {
     val t = s.toString
-    val nLang = sets.length
+    val nLang = profiles.size
+    val (keys, masks) = triTable
+    val cap1 = keys.length - 1
     val counts = new Array[Int](nLang)
-    val last = t.length - 3
-    var i = 0
-    while (i <= last) {
-      val g = t.substring(i, i + 3)
-      var l = 0
-      while (l < nLang) {
-        if (sets(l).contains(g)) counts(l) += 1
-        l += 1
+    val len = t.length
+    if (len >= 3) {
+      var c1 = t.charAt(0).toLong
+      var c2 = t.charAt(1).toLong
+      var i = 2
+      while (i < len) {
+        val c3 = t.charAt(i).toLong
+        val key = (c1 << 32) | (c2 << 16) | c3
+        var slot = LangIdPick.mix(key) & cap1
+        while (keys(slot) != 0L && keys(slot) != key) slot = (slot + 1) & cap1
+        if (keys(slot) == key) {
+          var m = masks(slot)
+          while (m != 0) {
+            counts(java.lang.Integer.numberOfTrailingZeros(m)) += 1
+            m &= m - 1
+          }
+        }
+        c1 = c2
+        c2 = c3
+        i += 1
       }
-      i += 1
     }
     var best = 0
     var l = 0
@@ -85,6 +122,13 @@ case class LangIdPick(child: Expression, profiles: Seq[(String, Set[String])])
 }
 
 object LangIdPick {
+  /** Fibonacci-style 64-bit mixer: packed letter triples differ mostly in
+    * their low byte per 16-bit lane, and `Long.hashCode` (hi ^ lo) folds
+    * them into a handful of table slots — the multiplicative spread uses
+    * the product's HIGH bits, which every lane perturbs. */
+  @inline private[graft] def mix(key: Long): Int =
+    ((key * -7046029254386353131L) >>> 40).toInt
+
   /** Predicted-language column over the PADDED normalized text. */
   def pick(paddedText: Column, profiles: Seq[(String, Set[String])]): Column =
     ExpressionUtils.column(

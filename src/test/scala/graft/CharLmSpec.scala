@@ -118,4 +118,37 @@ class CharLmSpec extends SparkSpec {
     assert(math.abs(byId(101L)._2 - 4.0 / 30.0) < 1e-6,
       s"seen trigram must score from the FROZEN counts, got ${byId(101L)._2}")
   }
+
+  test("scaled-long table path == per-trigram Decimal fallback, bit-identical") {
+    // round-17 pin: the precomputed scale-12 table (scorePublic's fast
+    // path) must reproduce the round-16 per-trigram Decimal loop
+    // (scoreSlow) EXACTLY — same n, same mean double — across random
+    // models and random normalized strings
+    import org.apache.spark.sql.graft.CharLmScore
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(17)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz "
+    for (trial <- 1 to 5) {
+      val n3 = Array.fill(27 * 27 * 27)(rnd.nextInt(1000).toLong)
+      val n2 = new Array[Long](27 * 27)
+      var c = 0
+      while (c < n3.length) { n2(c / 27) += n3(c); c += 1 }
+      val expr = CharLmScore(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), n3, n2)
+      for (_ <- 1 to 60) {
+        val len = rnd.nextInt(400)
+        val s = (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        val fast = expr.scorePublic(UTF8String.fromString(s))
+        val slow = expr.scoreSlow(s)
+        assert(fast.getLong(0) == slow.getLong(0), s"trial $trial: n differs for '$s'")
+        if (fast.getLong(0) == 0L) {
+          assert(fast.isNullAt(1) && slow.isNullAt(1))
+        } else {
+          assert(java.lang.Double.doubleToLongBits(fast.getDouble(1)) ==
+                 java.lang.Double.doubleToLongBits(slow.getDouble(1)),
+            s"trial $trial: mean differs for '$s': ${fast.getDouble(1)} vs ${slow.getDouble(1)}")
+        }
+      }
+    }
+  }
 }
